@@ -1,0 +1,171 @@
+"""Simulation configuration.
+
+`Params` is the TPU framework's equivalent of the reference's 15-line
+positional parameter file (reference: src/serial/io.c:12-59, format documented
+in parameters.txt:1-15).  It round-trips the exact ``.in`` format so the
+reference's ``tests/1.in``-``4.in`` and ``parameters.txt`` run unmodified,
+while also being a plain dataclass for idiomatic programmatic use.
+
+File format (one value per line, ``#`` comments ignored):
+
+    1  problem   (int)    1 = lid-driven cavity, 2 = oscillating lid
+    2  f         (float)  lid oscillation frequency (problem 2 only)
+    3  i_max     (int)    interior cells in x
+    4  j_max     (int)    interior cells in y
+    5  a         (float)  domain length in x
+    6  b         (float)  domain length in y
+    7  T         (float)  integration end time
+    8  Re        (float)  Reynolds number
+    9  g_x       (float)  body force x
+    10 g_y       (float)  body force y
+    11 tau       (float)  CFL safety factor
+    12 omega     (float)  SOR relaxation factor
+    13 epsilon   (float)  SOR relative tolerance
+    14 max_it    (int)    SOR max iterations
+    15 n_print   (int)    output every n-th step
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Union
+
+import jax.numpy as jnp
+
+# (name, type) in exact file order — the contract from the reference parser.
+_FIELD_ORDER = (
+    ("problem", int),
+    ("f", float),
+    ("i_max", int),
+    ("j_max", int),
+    ("a", float),
+    ("b", float),
+    ("T", float),
+    ("Re", float),
+    ("g_x", float),
+    ("g_y", float),
+    ("tau", float),
+    ("omega", float),
+    ("epsilon", float),
+    ("max_it", int),
+    ("n_print", int),
+)
+
+_FIELD_COMMENTS = {
+    "problem": "problem (1: lid-driven cavity, 2: periodic boundary)",
+    "f": "f: frequency of the periodic boundary conditions (only if problem = 2)",
+    "i_max": "i_max",
+    "j_max": "j_max",
+    "a": "Side a length",
+    "b": "Side b length",
+    "T": "Time to integrate",
+    "Re": "Reynolds number",
+    "g_x": "x-component of g",
+    "g_y": "y-component of g",
+    "tau": "Security factor tau.",
+    "omega": "Relaxation factor for SOR. (1.0 is Gauss-Seidel)",
+    "epsilon": "Relative tolerance for SOR.",
+    "max_it": "Maximum iterations for SOR.",
+    "n_print": "Print results to file every nth step.",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Params:
+    """All solver parameters. Frozen so it can be closed over by jitted fns."""
+
+    problem: int = 1
+    f: float = 1.0
+    i_max: int = 128
+    j_max: int = 128
+    a: float = 1.0
+    b: float = 1.0
+    T: float = 1.0
+    Re: float = 1000.0
+    g_x: float = 0.0
+    g_y: float = 0.0
+    tau: float = 1.0
+    omega: float = 1.7
+    epsilon: float = 1e-4
+    max_it: int = 500
+    n_print: int = 1
+
+    # TPU-specific knobs (not part of the .in format).
+    dtype: str = "float32"
+    # Mixed-precision SOR: re-baseline the f64 master pressure (and check
+    # convergence) every K f32 sweeps; 0 disables refinement (see ops/sor.py).
+    # Only used when dtype == float32 and jax x64 is enabled.
+    sor_refine_every: int = 32
+
+    def __post_init__(self):
+        if self.problem not in (1, 2):
+            raise ValueError(f"unknown problem type {self.problem} (expected 1 or 2)")
+        if self.i_max < 2 or self.j_max < 2:
+            raise ValueError("grid must be at least 2x2 interior cells")
+        if not (0.0 < self.omega < 2.0):
+            raise ValueError(f"SOR omega must be in (0, 2), got {self.omega}")
+        if self.max_it < 1:
+            raise ValueError("max_it must be >= 1")
+
+    # -- derived quantities ------------------------------------------------
+    @property
+    def dx(self) -> float:
+        return self.a / self.i_max
+
+    @property
+    def dy(self) -> float:
+        return self.b / self.j_max
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def shape(self) -> tuple:
+        """Padded field shape: one ghost layer on each side."""
+        return (self.i_max + 2, self.j_max + 2)
+
+    # -- .in format round-trip ----------------------------------------------
+    @classmethod
+    def from_file(cls, path: str, **overrides) -> "Params":
+        """Parse the reference's 15-line positional parameter format."""
+        with open(path, "r") as fh:
+            lines = fh.readlines()
+        return cls.from_lines(lines, **overrides)
+
+    @classmethod
+    def from_lines(cls, lines, **overrides) -> "Params":
+        values = {}
+        if len(lines) < len(_FIELD_ORDER):
+            raise ValueError(
+                f"parameter file has {len(lines)} lines, need {len(_FIELD_ORDER)}"
+            )
+        for (name, typ), line in zip(_FIELD_ORDER, lines):
+            token = line.split("#", 1)[0].split()
+            if not token:
+                raise ValueError(f"missing value for '{name}'")
+            # int fields may be written as '500' or '500.0'
+            values[name] = typ(float(token[0])) if typ is int else typ(token[0])
+        values.update(overrides)
+        return cls(**values)
+
+    def to_file(self, path: str) -> None:
+        with open(path, "w") as fh:
+            fh.write(self.to_text())
+
+    def to_text(self) -> str:
+        out = []
+        for name, typ in _FIELD_ORDER:
+            val = getattr(self, name)
+            sval = str(int(val)) if typ is int else repr(float(val))
+            out.append(f"{sval:<12}# {_FIELD_COMMENTS[name]}")
+        return "\n".join(out) + "\n"
+
+    def replace(self, **kw) -> "Params":
+        return dataclasses.replace(self, **kw)
+
+
+def load_params(path_or_params: Union[str, Params], **overrides) -> Params:
+    if isinstance(path_or_params, Params):
+        return path_or_params.replace(**overrides) if overrides else path_or_params
+    return Params.from_file(path_or_params, **overrides)

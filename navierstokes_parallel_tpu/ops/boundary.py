@@ -1,0 +1,95 @@
+"""Velocity boundary conditions on the staggered grid.
+
+Implements the *serial* reference semantics (src/serial/boundaries.c:3-39):
+fixed normal velocity on the wall edge, tangential velocity reflected through
+the wall by ghost-cell averaging.  The reference's CUDA port drifted from
+these semantics (it touches only the ghost perimeter, src/parallel/
+main.cu:883-925, e.g. writing v[i][j_max+1] where serial writes v[i][j_max]);
+we deliberately implement the serial — mathematically correct staggered —
+version and note the CUDA drift as a reference bug (see SURVEY.md §2.2).
+
+As pure functions these are static slice updates (`x.at[...].set(...)`),
+which XLA fuses into the surrounding step — the reference's precomputed
+border-point lists and 1D boundary kernels (src/parallel/main.cu:194-215,
+838-944) have no TPU analogue because no scatter machinery is needed.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Side(enum.Enum):
+    TOP = "top"
+    BOTTOM = "bottom"
+    LEFT = "left"
+    RIGHT = "right"
+
+
+def set_inflow(
+    u: jax.Array,
+    v: jax.Array,
+    side: Side,
+    u_fix,
+    v_fix,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fix (u_fix, v_fix) velocity on one wall (reference boundaries.c:7-39).
+
+    The component normal to the wall lives exactly on the wall edge and is set
+    directly; the tangential component has no node on the wall, so its ghost
+    value is set such that the average of ghost and first-interior node equals
+    the prescribed wall value.
+    """
+    # Interior ranges: i in [1, i_max] is u[1:-1], j in [1, j_max] is v[:, 1:-1].
+    if side is Side.TOP:
+        # wall at y = b: v on edge j_max, u reflected through ghost j_max+1
+        v = v.at[1:-1, -2].set(v_fix)
+        u = u.at[1:-1, -1].set(2.0 * u_fix - u[1:-1, -2])
+    elif side is Side.BOTTOM:
+        # wall at y = 0: v on edge 0, u reflected through ghost 0
+        v = v.at[1:-1, 0].set(v_fix)
+        u = u.at[1:-1, 0].set(2.0 * u_fix - u[1:-1, 1])
+    elif side is Side.LEFT:
+        # wall at x = 0: u on edge 0, v reflected through ghost 0
+        u = u.at[0, 1:-1].set(u_fix)
+        v = v.at[0, 1:-1].set(2.0 * v_fix - v[1, 1:-1])
+    elif side is Side.RIGHT:
+        # wall at x = a: u on edge i_max, v reflected through ghost i_max+1
+        u = u.at[-2, 1:-1].set(u_fix)
+        v = v.at[-1, 1:-1].set(2.0 * v_fix - v[-2, 1:-1])
+    else:  # pragma: no cover
+        raise ValueError(f"unknown side {side}")
+    return u, v
+
+
+def set_noslip(u: jax.Array, v: jax.Array, side: Side) -> Tuple[jax.Array, jax.Array]:
+    """No-slip wall = inflow with zero velocity (reference boundaries.c:3-5)."""
+    return set_inflow(u, v, side, 0.0, 0.0)
+
+
+def apply_cavity_bcs(u, v, lid_u) -> Tuple[jax.Array, jax.Array]:
+    """No-slip left/right/bottom walls + moving lid on top.
+
+    `lid_u` may be a traced scalar (the oscillating-lid problem passes
+    sin(f*t), reference main.c:104).  Side order matches the reference driver
+    (main.c:95-104); the four sides write disjoint entries so the order is
+    actually immaterial.
+    """
+    u, v = set_noslip(u, v, Side.LEFT)
+    u, v = set_noslip(u, v, Side.RIGHT)
+    u, v = set_noslip(u, v, Side.BOTTOM)
+    u, v = set_inflow(u, v, Side.TOP, lid_u, 0.0)
+    return u, v
+
+
+def lid_velocity(problem: int, f: float, t):
+    """Lid speed for the given problem type (reference main.c:95-108)."""
+    if problem == 1:
+        return jnp.asarray(1.0, dtype=jnp.result_type(t))
+    elif problem == 2:
+        return jnp.sin(f * t)
+    raise ValueError(f"unknown problem type {problem}")

@@ -1,0 +1,137 @@
+"""Time-integration driver.
+
+TPU-native redesign of the reference drivers (src/serial/main.c:31-158,
+src/parallel/main.cu:954-1129).  One time step =
+
+    adaptive CFL dt  ->  velocity BCs  ->  tentative F/G  ->  Poisson RHS
+    ->  red-black SOR pressure solve  ->  velocity projection
+
+exactly the reference's flow, but expressed as a pure function
+`step : State -> State` that jits into a single XLA computation.  The full
+integration `while t < T` is available in two forms:
+
+  * `solve()` — the whole time loop is a `lax.while_loop` **on device**; the
+    host is not involved between t=0 and t=T (no per-step D2H transfers at
+    all, vs. the reference's 2 memcpys per step for dt + 1 per SOR iteration,
+    main.cu:825/710).
+  * `run()` (in cli.py) — host loop over the jitted `step` for when periodic
+    field output / checkpointing is requested (n_print), the working version
+    of the reference's commented-out output path (main.c:138-143).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import Params
+from .grid import State, allocate_state
+from .ops import boundary, momentum, sor
+
+
+class StepDiagnostics(NamedTuple):
+    dt: jax.Array              # time step taken
+    sor_iterations: jax.Array  # SOR sweeps in this step
+    sor_res_norm: jax.Array    # final SOR residual norm
+    sor_converged: jax.Array   # bool: SOR met tolerance (reference silently
+                               # ignores non-convergence, main.c:123; we track)
+
+
+class SolveStats(NamedTuple):
+    steps: jax.Array               # total time steps
+    total_sor_iterations: jax.Array
+    sor_failures: jax.Array        # steps where SOR hit max_it
+    last_res_norm: jax.Array
+
+
+def step(
+    state: State,
+    params: Params,
+    *,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, StepDiagnostics]:
+    """One time step (reference main.c:86-146). Pure; jit over `state`."""
+    u, v, p, t, n = state
+
+    dt, gamma = momentum.adaptive_dt_gamma(u, v, params)
+    lid = boundary.lid_velocity(params.problem, params.f, t)
+    u, v = boundary.apply_cavity_bcs(u, v, lid)
+    F, G = momentum.compute_fg(u, v, dt, gamma, params)
+    rhs = momentum.compute_rhs(F, G, dt, params)
+    result = sor.solve_pressure(p, rhs, params, method=pressure_method)
+    u, v = momentum.project_velocities(u, v, F, G, result.p, dt, params)
+
+    new_state = State(u=u, v=v, p=result.p, t=t + dt, n=n + 1)
+    diag = StepDiagnostics(
+        dt=dt,
+        sor_iterations=result.iterations,
+        sor_res_norm=result.res_norm,
+        sor_converged=result.converged,
+    )
+    return new_state, diag
+
+
+def make_step_fn(params: Params, pressure_method: str = "rb_sor"):
+    """Jitted step closure for host-driven loops (output/checkpoint paths)."""
+    @jax.jit
+    def _step(state: State) -> Tuple[State, StepDiagnostics]:
+        return step(state, params, pressure_method=pressure_method)
+
+    return _step
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _solve_on_device(
+    params: Params,
+    state: State,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, SolveStats]:
+    T = jnp.asarray(params.T, state.t.dtype)
+
+    def cond(carry):
+        state, _ = carry
+        return state.t < T
+
+    def body(carry):
+        state, stats = carry
+        state, diag = step(state, params, pressure_method=pressure_method)
+        stats = SolveStats(
+            steps=stats.steps + 1,
+            total_sor_iterations=stats.total_sor_iterations + diag.sor_iterations,
+            sor_failures=stats.sor_failures
+            + jnp.where(diag.sor_converged, 0, 1).astype(jnp.int32),
+            last_res_norm=diag.sor_res_norm,
+        )
+        return state, stats
+
+    zero = jnp.zeros((), jnp.int32)
+    init_stats = SolveStats(
+        steps=zero,
+        total_sor_iterations=zero,
+        sor_failures=zero,
+        last_res_norm=jnp.zeros((), state.t.dtype),
+    )
+    return lax.while_loop(cond, body, (state, init_stats))
+
+
+def solve(
+    params: Params,
+    state: Optional[State] = None,
+    *,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, SolveStats]:
+    """Integrate from `state` (or zeros) to t >= T entirely on device."""
+    if state is None:
+        state = allocate_state(params)
+    return _solve_on_device(params, state, pressure_method)
+
+
+def center_values(state: State, params: Params) -> Tuple[float, float]:
+    """The reference's reduced observable: cavity-center velocities
+    (main.c:148-149 prints u[i_max/2][j_max/2], v[i_max/2][j_max/2])."""
+    i_c, j_c = params.i_max // 2, params.j_max // 2
+    return float(state.u[i_c, j_c]), float(state.v[i_c, j_c])

@@ -1,0 +1,53 @@
+"""Test configuration: force CPU with 8 virtual devices so the multi-chip
+sharded path runs under CI without a TPU pod (SURVEY.md §4), and enable x64
+so parity tests against the float64 serial oracle are exact."""
+
+import os
+
+# Must happen before jax import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from navierstokes_parallel_tpu.config import Params  # noqa: E402
+
+
+@pytest.fixture
+def small_params() -> Params:
+    """A fast CPU-runnable cavity configuration."""
+    return Params(
+        problem=1,
+        i_max=16,
+        j_max=16,
+        a=1.0,
+        b=1.0,
+        T=0.05,
+        Re=100.0,
+        tau=0.5,
+        omega=1.7,
+        epsilon=1e-4,
+        max_it=500,
+        dtype="float64",
+    )
+
+
+def assert_close_reference_contract(a, b, tol=1e-4):
+    """The notebook comparator's contract: relative tolerance where |x| > 1,
+    absolute otherwise (colab-runner.ipynb compare_outputs_with_tolerance)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    big = (np.abs(a) > 1.0) | (np.abs(b) > 1.0)
+    denom = np.maximum(np.abs(a), np.abs(b))
+    rel_err = np.where(big, np.abs(a - b) / np.where(denom == 0, 1, denom), 0.0)
+    abs_err = np.where(big, 0.0, np.abs(a - b))
+    assert np.all(rel_err <= tol), f"max rel err {rel_err.max()} > {tol}"
+    assert np.all(abs_err <= tol), f"max abs err {abs_err.max()} > {tol}"

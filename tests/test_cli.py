@@ -1,0 +1,85 @@
+"""CLI driver tests: protocol parity (stdout/stderr), output frames,
+checkpoint/resume — exercised in-process on the CPU backend."""
+
+import os
+
+import numpy as np
+import pytest
+
+from navierstokes_parallel_tpu import cli
+from navierstokes_parallel_tpu.utils.io import read_field
+
+
+def _write_config(path, **kw):
+    from navierstokes_parallel_tpu.config import Params
+    defaults = dict(problem=1, i_max=12, j_max=12, T=0.02, Re=100.0, tau=0.5,
+                    epsilon=1e-4, max_it=300, n_print=1)
+    defaults.update(kw)
+    Params(**defaults).to_file(str(path))
+
+
+def test_cli_protocol(tmp_path, capsys):
+    cfg = tmp_path / "c.in"
+    _write_config(cfg)
+    rc = cli.main([str(cfg)])
+    assert rc == 0
+    out = capsys.readouterr()
+    # stdout protocol (reference main.c:148-149)
+    lines = out.out.strip().splitlines()
+    assert lines[0].startswith("U-CENTER: ")
+    assert lines[1].startswith("V-CENTER: ")
+    float(lines[0].split()[1])
+    # stderr protocol: a single scrapeable float (main.c:153, run.sh:57-66)
+    float(out.err.strip().splitlines()[-1])
+
+
+def test_cli_bad_param_file(tmp_path, capsys):
+    bad = tmp_path / "bad.in"
+    bad.write_text("nonsense\n")
+    rc = cli.main([str(bad)])
+    assert rc == 1
+    assert "error" in capsys.readouterr().err
+
+
+def test_cli_output_frames(tmp_path, capsys):
+    cfg = tmp_path / "c.in"
+    _write_config(cfg, n_print=1, T=0.2)  # several steps at this grid's dt
+    outdir = tmp_path / "frames"
+    rc = cli.main([str(cfg), "--output-dir", str(outdir)])
+    assert rc == 0
+    frames = sorted(os.listdir(outdir))
+    assert "0_u.txt" in frames and "0_v.txt" in frames and "0_p.txt" in frames
+    assert "1_u.txt" in frames  # more than one step ran
+    t0, a, b, u0 = read_field(str(outdir / "0_u.txt"))
+    assert t0 == 0.0 and u0.shape == (13, 14)
+
+
+def test_cli_checkpoint_resume(tmp_path, capsys):
+    cfg = tmp_path / "c.in"
+    _write_config(cfg, T=0.3)
+    ck = tmp_path / "ck.npz"
+    rc = cli.main([str(cfg), "--checkpoint-every", "2",
+                   "--checkpoint-path", str(ck)])
+    assert rc == 0
+    assert ck.exists()
+    full_out = capsys.readouterr().out
+
+    # Resume from the checkpoint; must complete and agree with the full run.
+    rc = cli.main([str(cfg), "--resume", str(ck)])
+    assert rc == 0
+    resumed_out = capsys.readouterr().out
+    u_full = float(full_out.splitlines()[0].split()[1])
+    u_res = float(resumed_out.splitlines()[0].split()[1])
+    np.testing.assert_allclose(u_res, u_full, atol=1e-4)
+
+
+def test_cli_checkpoint_wrong_grid(tmp_path, capsys):
+    cfg = tmp_path / "c.in"
+    _write_config(cfg)
+    ck = tmp_path / "ck.npz"
+    cli.main([str(cfg), "--checkpoint-every", "1", "--checkpoint-path", str(ck)])
+    capsys.readouterr()
+    cfg2 = tmp_path / "c2.in"
+    _write_config(cfg2, i_max=24, j_max=24)
+    with pytest.raises(ValueError, match="does not match config grid"):
+        cli.main([str(cfg2), "--resume", str(ck)])

@@ -1,0 +1,65 @@
+"""Text-I/O format parity tests (reference io.c:61-120 contract)."""
+
+import numpy as np
+
+from navierstokes_parallel_tpu.utils import io as nsio
+
+
+def _fields(i_max, j_max, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (i_max + 2, j_max + 2)
+    return (rng.standard_normal(shape), rng.standard_normal(shape),
+            rng.standard_normal(shape))
+
+
+def test_output_format(tmp_path):
+    i_max, j_max = 5, 4
+    u, v, p = _fields(i_max, j_max)
+    prefix = str(tmp_path / "42")
+    nsio.output(u, v, p, t=0.125, a=1.0, b=2.0, prefix=prefix, verbose=False)
+
+    lines_u = open(prefix + "_u.txt").read().splitlines()
+    lines_v = open(prefix + "_v.txt").read().splitlines()
+    lines_p = open(prefix + "_p.txt").read().splitlines()
+
+    # 3-line headers: t, a, b with 5 decimals.
+    assert lines_p[:3] == ["0.12500", "1.00000", "2.00000"]
+    # p: j_max+2 rows of i_max+2 values each, trailing space preserved.
+    assert len(lines_p) == 3 + j_max + 2
+    assert all(len(l.split()) == i_max + 2 for l in lines_p[3:])
+    assert lines_p[3].endswith(" ")
+    # u: i_max+1 columns.
+    assert all(len(l.split()) == i_max + 1 for l in lines_u[3:])
+    # v: j_max+1 data rows then one empty row.
+    assert len(lines_v) == 3 + j_max + 2
+    assert all(len(l.split()) == i_max + 2 for l in lines_v[3 : 3 + j_max + 1])
+    assert lines_v[-1] == ""
+
+
+def test_read_roundtrip(tmp_path):
+    i_max, j_max = 6, 3
+    u, v, p = _fields(i_max, j_max, seed=1)
+    prefix = str(tmp_path / "rt")
+    nsio.output(u, v, p, t=0.5, a=1.0, b=1.0, prefix=prefix, verbose=False)
+
+    t, a, b, p_read = nsio.read_field(prefix + "_p.txt")
+    assert (t, a, b) == (0.5, 1.0, 1.0)
+    np.testing.assert_allclose(p_read, p, atol=1e-5)
+
+    _, _, _, u_read = nsio.read_field(prefix + "_u.txt")
+    np.testing.assert_allclose(u_read, u[: i_max + 1, :], atol=1e-5)
+
+
+def test_comparator(tmp_path):
+    i_max, j_max = 4, 4
+    u, v, p = _fields(i_max, j_max, seed=2)
+    a_prefix = str(tmp_path / "a")
+    b_prefix = str(tmp_path / "b")
+    nsio.output(u, v, p, 0.1, 1.0, 1.0, a_prefix, verbose=False)
+    # Perturb within tolerance.
+    nsio.output(u + 5e-6, v, p, 0.1, 1.0, 1.0, b_prefix, verbose=False)
+    assert nsio.compare_outputs_with_tolerance(a_prefix + "_u.txt", b_prefix + "_u.txt")
+    # Perturb beyond tolerance.
+    c_prefix = str(tmp_path / "c")
+    nsio.output(u + 5e-3, v, p, 0.1, 1.0, 1.0, c_prefix, verbose=False)
+    assert not nsio.compare_outputs_with_tolerance(a_prefix + "_u.txt", c_prefix + "_u.txt")
