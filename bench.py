@@ -1,0 +1,106 @@
+"""Benchmark harness entry point.
+
+Runs the reference's headline workload — tests/1.in: Re=1000 lid-driven
+cavity, 256^2, T=0.01, SOR omega=1.7, eps=1e-4, max_it=20000 (BASELINE.md) —
+on the available accelerator and prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+
+`value` is the solver wall time (our analogue of the reference's stderr
+cumulative-SOR-seconds protocol, main.c:153 — ours covers the WHOLE solve,
+momentum included, so the comparison is conservative in the reference's
+favor).  `vs_baseline` is the speedup over the reference CUDA build's 3.349 s
+on the same workload (speedup.csv:2, sm_60, block=16): > 1 means faster than
+the reference GPU implementation.
+
+Usage: python bench.py [--config configs/1.in] [--backend jnp|sharded]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Reference numbers for this workload (BASELINE.md; speedup.csv:2).
+CUDA_BASELINE_S = {256: 3.349, 512: 18.176, 1024: 182.39, 2048: 2653.29}
+SERIAL_BASELINE_S = {256: 48.58, 512: 759.90, 1024: 12134.53, 2048: 198116.11}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/1.in")
+    ap.add_argument("--backend", choices=["jnp", "sharded"], default="jnp")
+    ap.add_argument("--repeats", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    from navierstokes_parallel_tpu.config import Params
+    from navierstokes_parallel_tpu.grid import allocate_state
+    from navierstokes_parallel_tpu.solver import _solve_on_device
+
+    params = Params.from_file(args.config, dtype="float32")
+    state = allocate_state(params)
+
+    if args.backend == "sharded":
+        from navierstokes_parallel_tpu.parallel.sharded import solve_sharded
+
+        def run():
+            return solve_sharded(params, state)
+    else:
+        # AOT-compile so the timed run excludes compilation (the C reference
+        # has no JIT; its harness times only the solver loop, run.sh:57-66).
+        compiled = (
+            jax.jit(_solve_on_device, static_argnums=(0, 2))
+            .lower(params, state, "rb_sor")
+            .compile()
+        )
+
+        def run():
+            return compiled(state)
+
+    def sync(state):
+        # On the axon remote platform block_until_ready does not actually
+        # wait; a scalar D2H fetch is the only reliable fence.
+        return float(state.u[state.u.shape[0] // 2, state.u.shape[1] // 2])
+
+    # Warmup (also compiles the sharded path) + hard sync.
+    out_state, stats = run()
+    sync(out_state)
+
+    best = float("inf")
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        out_state, stats = run()
+        sync(out_state)
+        best = min(best, time.perf_counter() - t0)
+
+    n = params.i_max
+    total_iters = int(stats.total_sor_iterations)
+    steps = int(stats.steps)
+    mlups = total_iters * params.i_max * params.j_max / best / 1e6
+
+    baseline = CUDA_BASELINE_S.get(n)
+    result = {
+        "metric": f"cavity{n}_re1000_solver_seconds",
+        "value": round(best, 6),
+        "unit": "s",
+        "vs_baseline": round(baseline / best, 3) if baseline else None,
+    }
+    # Diagnostics on stderr (never pollute the JSON stdout line).
+    print(
+        f"steps={steps} sor_iterations={total_iters} "
+        f"sor_failures={int(stats.sor_failures)} "
+        f"mlups={mlups:.1f} device={jax.devices()[0].device_kind} "
+        f"serial_baseline={SERIAL_BASELINE_S.get(n)}s "
+        f"cuda_baseline={baseline}s",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

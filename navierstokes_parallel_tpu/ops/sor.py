@@ -56,12 +56,15 @@ def ghost_fill(p: jax.Array) -> jax.Array:
     return p
 
 
-def _checkerboard(shape: Tuple[int, int], color: int) -> jax.Array:
-    """Boolean mask over the interior: True where (i + j) % 2 == color,
-    with i, j the 1-based global indices (matches main.cu:490)."""
+def _checkerboard(shape: Tuple[int, int], color: int, offset=0) -> jax.Array:
+    """Boolean mask over the interior: True where (i + j) % 2 == color, with
+    i, j the 1-based *global* indices (matches main.cu:490).  For a local
+    shard whose interior origin is global (oi, oj), pass offset = oi + oj
+    (may be a traced scalar) so the checkerboard stays globally consistent
+    across shard boundaries."""
     ii = lax.broadcasted_iota(jnp.int32, shape, 0)
     jj = lax.broadcasted_iota(jnp.int32, shape, 1)
-    return (ii + jj) % 2 == color
+    return (ii + jj + offset) % 2 == color
 
 
 def _half_sweep(p, rhs_int, mask, omega, dx2_inv, dy2_inv):
@@ -84,19 +87,22 @@ def residual(p: jax.Array, rhs_int: jax.Array, dx2_inv, dy2_inv) -> jax.Array:
     )
 
 
-def rb_sor_iteration(p, rhs_int, omega, dx2_inv, dy2_inv, red_mask, black_mask):
+def rb_sor_iteration(p, rhs_int, omega, dx2_inv, dy2_inv, red_mask, black_mask,
+                     ghost_fn=ghost_fill):
     """One full red-black iteration: ghost fill + red sweep + ghost fill +
-    black sweep (structure of main.cu:684-698)."""
-    p = ghost_fill(p)
+    black sweep (structure of main.cu:684-698).  `ghost_fn` refreshes the
+    ghost/halo ring — Neumann copy on one chip, ppermute halo exchange (with
+    Neumann closure at the physical boundary) when sharded."""
+    p = ghost_fn(p)
     p = _half_sweep(p, rhs_int, red_mask, omega, dx2_inv, dy2_inv)
-    p = ghost_fill(p)
+    p = ghost_fn(p)
     p = _half_sweep(p, rhs_int, black_mask, omega, dx2_inv, dy2_inv)
     return p
 
 
-def jacobi_iteration(p, rhs_int, omega, dx2_inv, dy2_inv):
+def jacobi_iteration(p, rhs_int, omega, dx2_inv, dy2_inv, ghost_fn=ghost_fill):
     """One damped-Jacobi iteration (pluggable fallback solver)."""
-    p = ghost_fill(p)
+    p = ghost_fn(p)
     coef = omega / (2.0 * (dx2_inv + dy2_inv))
     p_int = p[1:-1, 1:-1]
     neighbors = (p[2:, 1:-1] + p[:-2, 1:-1]) * dx2_inv + (
@@ -111,8 +117,12 @@ def solve_pressure(
     params: Params,
     *,
     method: str = "rb_sor",
+    **hooks,
 ) -> SORResult:
     """Iterate until L2(res) <= eps*(||p0|| + 1.5) or max_it sweeps.
+
+    `hooks` (ghost_fn, l2_fn, parity) adapt the solver to run on a local
+    shard inside `shard_map` — see parallel/sharded.py.
 
     Fully on-device: the convergence scalar never leaves the chip (vs the
     reference's per-iteration cudaMemcpy + host test, main.cu:710-713).
@@ -134,42 +144,54 @@ def solve_pressure(
         and params.sor_refine_every > 0
         and jax.config.jax_enable_x64
     ):
-        return _solve_pressure_refined(p, rhs, params, method=method)
-    return _solve_pressure_direct(p, rhs, params, method=method)
+        return _solve_pressure_refined(p, rhs, params, method=method, **hooks)
+    return _solve_pressure_direct(p, rhs, params, method=method, **hooks)
 
 
-def _make_iteration(method, rhs_int, omega, dx2_inv, dy2_inv, red_mask, black_mask):
+def _make_iteration(method, rhs_int, omega, dx2_inv, dy2_inv, red_mask,
+                    black_mask, ghost_fn=ghost_fill):
     if method == "rb_sor":
         def iteration(p):
             return rb_sor_iteration(
-                p, rhs_int, omega, dx2_inv, dy2_inv, red_mask, black_mask
+                p, rhs_int, omega, dx2_inv, dy2_inv, red_mask, black_mask,
+                ghost_fn=ghost_fn,
             )
     elif method == "jacobi":
         def iteration(p):
-            return jacobi_iteration(p, rhs_int, omega, dx2_inv, dy2_inv)
+            return jacobi_iteration(p, rhs_int, omega, dx2_inv, dy2_inv,
+                                    ghost_fn=ghost_fn)
     else:
         raise ValueError(f"unknown pressure solver method {method!r}")
     return iteration
 
 
-def _solve_pressure_direct(p, rhs, params, *, method):
+def _default_l2(params):
+    def l2_fn(interior_vals):
+        return l2_norm(interior_vals, params.i_max, params.j_max)
+    return l2_fn
+
+
+def _solve_pressure_direct(p, rhs, params, *, method, ghost_fn=ghost_fill,
+                           l2_fn=None, parity=0):
     """Single-precision-domain solve with the residual check every sweep
     (exact serial semantics, integration.c:136-169)."""
-    i_max, j_max = params.i_max, params.j_max
     dtype = p.dtype
     dx2_inv = jnp.asarray(1.0 / (params.dx * params.dx), dtype)
     dy2_inv = jnp.asarray(1.0 / (params.dy * params.dy), dtype)
     omega = jnp.asarray(params.omega, dtype)
     rhs_int = rhs[1:-1, 1:-1]
+    l2_fn = l2_fn or _default_l2(params)
 
-    red_mask = _checkerboard((i_max, j_max), 0)
-    black_mask = _checkerboard((i_max, j_max), 1)
+    local_shape = (p.shape[0] - 2, p.shape[1] - 2)
+    red_mask = _checkerboard(local_shape, 0, parity)
+    black_mask = _checkerboard(local_shape, 1, parity)
 
-    norm_p0 = l2_norm(p[1:-1, 1:-1], i_max, j_max)
+    norm_p0 = l2_fn(p[1:-1, 1:-1])
     threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
 
     iteration = _make_iteration(
-        method, rhs_int, omega, dx2_inv, dy2_inv, red_mask, black_mask
+        method, rhs_int, omega, dx2_inv, dy2_inv, red_mask, black_mask,
+        ghost_fn=ghost_fn,
     )
 
     def cond(carry):
@@ -179,7 +201,7 @@ def _solve_pressure_direct(p, rhs, params, *, method):
     def body(carry):
         p, it, _ = carry
         p = iteration(p)
-        res_norm = l2_norm(residual(p, rhs_int, dx2_inv, dy2_inv), i_max, j_max)
+        res_norm = l2_fn(residual(p, rhs_int, dx2_inv, dy2_inv))
         return p, it + 1, res_norm
 
     init = (p, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
@@ -188,7 +210,8 @@ def _solve_pressure_direct(p, rhs, params, *, method):
                      converged=res_norm <= threshold)
 
 
-def _solve_pressure_refined(p, rhs, params, *, method):
+def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
+                            l2_fn=None, parity=0):
     """Mixed-precision iterative refinement around f32 SOR sweeps.
 
     Outer loop (f64, once per K sweeps): defect r = A p - RHS, L2 norm,
@@ -198,9 +221,9 @@ def _solve_pressure_refined(p, rhs, params, *, method):
     point the f32 sweeps only ever handle the small-scale correction, so the
     ulp(p)-amplification floor never appears.
     """
-    i_max, j_max = params.i_max, params.j_max
     K = params.sor_refine_every
     f64, f32 = jnp.float64, jnp.float32
+    l2_fn = l2_fn or _default_l2(params)
 
     dx2_inv64 = jnp.asarray(1.0 / (params.dx * params.dx), f64)
     dy2_inv64 = jnp.asarray(1.0 / (params.dy * params.dy), f64)
@@ -208,20 +231,22 @@ def _solve_pressure_refined(p, rhs, params, *, method):
     dy2_inv32 = dy2_inv64.astype(f32)
     omega32 = jnp.asarray(params.omega, f32)
 
-    red_mask = _checkerboard((i_max, j_max), 0)
-    black_mask = _checkerboard((i_max, j_max), 1)
+    local_shape = (p.shape[0] - 2, p.shape[1] - 2)
+    red_mask = _checkerboard(local_shape, 0, parity)
+    black_mask = _checkerboard(local_shape, 1, parity)
 
     p64 = p.astype(f64)
     rhs_int64 = rhs[1:-1, 1:-1].astype(f64)
 
-    norm_p0 = l2_norm(p64[1:-1, 1:-1], i_max, j_max)
+    norm_p0 = l2_fn(p64[1:-1, 1:-1])
     threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
 
     def inner_sweeps(neg_res32, n_sweeps):
         """n_sweeps f32 red-black sweeps on A delta = -r, delta0 = 0."""
         delta0 = jnp.zeros(p.shape, f32)
         iteration = _make_iteration(
-            method, neg_res32, omega32, dx2_inv32, dy2_inv32, red_mask, black_mask
+            method, neg_res32, omega32, dx2_inv32, dy2_inv32, red_mask,
+            black_mask, ghost_fn=ghost_fn,
         )
         return lax.fori_loop(0, n_sweeps, lambda _, d: iteration(d), delta0)
 
@@ -234,14 +259,14 @@ def _solve_pressure_refined(p, rhs, params, *, method):
         n_inner = jnp.minimum(K, params.max_it - it)
         delta = inner_sweeps(-r64.astype(f32), n_inner)
         p64 = p64.at[1:-1, 1:-1].add(delta[1:-1, 1:-1].astype(f64))
-        r64 = residual(ghost_fill(p64), rhs_int64, dx2_inv64, dy2_inv64)
-        res_norm = l2_norm(r64, i_max, j_max)
+        r64 = residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64)
+        res_norm = l2_fn(r64)
         return p64, r64, it + n_inner, res_norm
 
-    r64_0 = residual(ghost_fill(p64), rhs_int64, dx2_inv64, dy2_inv64)
+    r64_0 = residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64)
     init = (p64, r64_0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, f64))
     p64, _, it, res_norm = lax.while_loop(cond, body, init)
-    p_out = ghost_fill(p64).astype(p.dtype)
+    p_out = ghost_fn(p64).astype(p.dtype)
     return SORResult(
         p=p_out,
         iterations=it,

@@ -1,0 +1,322 @@
+"""Multi-chip sharded solver: `shard_map` + ppermute halos + psum reductions.
+
+The framework's genuinely new capability vs the reference (which is single-
+GPU only, SURVEY.md §2.4): the staggered grid's interior is block-sharded
+over a 2D ("x", "y") ICI mesh; every shard advances its local block with the
+same stencil ops as the single-chip path, exchanging one-cell halo strips
+with `lax.ppermute` (the multi-chip analogue of the CUDA shared-memory halo
+loads, main.cu:411-484) and combining reductions with `lax.psum`/`lax.pmax`
+(the analogue of its two-stage reduction kernels, main.cu:515-622, 729-796).
+
+The ENTIRE integration — time loop, adaptive-CFL pmax, boundary conditions,
+momentum, the nested SOR while_loop with its psum'd convergence norm — runs
+inside one shard_mapped `lax.while_loop`: zero host round-trips, and every
+collective rides ICI.
+
+Semantics notes:
+  * The checkerboard parity is made globally consistent by offsetting each
+    shard's mask with its global origin (ops/sor.py `_checkerboard`).
+  * Ghost entries that the stencils never read (e.g. far corner ghosts) may
+    differ from the reference's byte-level ghost contents; all *read*
+    entries match.  `solve_sharded` reconstructs reference-style ghosts on
+    the gathered result for output-file parity.
+  * The reference's max_mat seeds its signed max with the u[0][0] ghost
+    corner (io.c:124) which is provably always zero for the supported
+    problems; the sharded reduction seeds with 0 accordingly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Params
+from ..grid import State
+from ..ops import sor
+from ..ops import stencils as st
+from ..solver import SolveStats
+from . import halo
+from .topology import MESH_AXES, grid_sharding, make_grid_mesh
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _pad1(x):
+    return jnp.pad(x, 1)
+
+
+def _global_indices(shape, li, lj):
+    """(gi, gj) global 1-based interior indices for each local interior cell."""
+    ox = lax.axis_index("x") * li
+    oy = lax.axis_index("y") * lj
+    gi = lax.broadcasted_iota(jnp.int32, shape, 0) + ox + 1
+    gj = lax.broadcasted_iota(jnp.int32, shape, 1) + oy + 1
+    return gi, gj
+
+
+def _refresh_velocity_halos(u, v, lid_u, edges, params: Params):
+    """Wall-value writes + halo exchange + BC ghost closures for u, v.
+
+    Mirrors the serial BC semantics (boundaries.c:7-39) on local blocks;
+    order y-exchange -> y-closures -> x-exchange -> x-closures so halo
+    corners carry the correct diagonal values for the donor-cell stencils.
+    Ghost entries the stencils never read are not guaranteed to match the
+    reference byte-for-byte (see module docstring).
+    """
+    # Wall values stored in the interior: right wall u, lid-plane v.
+    u = u.at[-2, 1:-1].set(jnp.where(edges["right"], 0.0, u[-2, 1:-1]))
+    v = v.at[1:-1, -2].set(jnp.where(edges["top"], 0.0, v[1:-1, -2]))
+
+    # y exchange (full rows), then y closures.
+    u = u.at[:, 0].set(halo._shift_up(u[:, -2], "y"))
+    u = u.at[:, -1].set(halo._shift_down(u[:, 1], "y"))
+    v = v.at[:, 0].set(halo._shift_up(v[:, -2], "y"))
+    v = v.at[:, -1].set(halo._shift_down(v[:, 1], "y"))
+
+    # BOTTOM: v wall edge lives in the ghost row; u tangential reflection.
+    v = v.at[1:-1, 0].set(jnp.where(edges["bottom"], 0.0, v[1:-1, 0]))
+    u = u.at[1:-1, 0].set(
+        jnp.where(edges["bottom"], -u[1:-1, 1], u[1:-1, 0])
+    )
+    # TOP: u tangential reflection against the moving lid (main.c:99/104).
+    u = u.at[1:-1, -1].set(
+        jnp.where(edges["top"], 2.0 * lid_u - u[1:-1, -2], u[1:-1, -1])
+    )
+
+    # x exchange (full columns, including fresh y-halo entries -> corners).
+    u = u.at[0, :].set(halo._shift_up(u[-2, :], "x"))
+    u = u.at[-1, :].set(halo._shift_down(u[1, :], "x"))
+    v = v.at[0, :].set(halo._shift_up(v[-2, :], "x"))
+    v = v.at[-1, :].set(halo._shift_down(v[1, :], "x"))
+
+    # LEFT: u wall edge lives in the ghost column; v tangential reflection.
+    u = u.at[0, :].set(jnp.where(edges["left"], 0.0, u[0, :]))
+    v = v.at[0, 1:-1].set(
+        jnp.where(edges["left"], -v[1, 1:-1], v[0, 1:-1])
+    )
+    # RIGHT: v tangential reflection into the ghost column.
+    v = v.at[-1, 1:-1].set(
+        jnp.where(edges["right"], -v[-2, 1:-1], v[-1, 1:-1])
+    )
+    return u, v
+
+
+def _local_fg(u, v, dt, gamma, params: Params, gi, gj):
+    """Tentative velocities on a local block (integration.c:73-96 math),
+    masked by the *global* F/G domains, with F=u / G=v on the walls."""
+    dx, dy, Re = params.dx, params.dy, params.Re
+    u_int = st.shifted(u, 0, 0)
+    v_int = st.shifted(v, 0, 0)
+
+    diff_u = (st.d2_dx2(u, dx) + st.d2_dy2(u, dy)) / Re
+    conv_u = st.du2_dx(u, v, dx, gamma) + st.duv_dy(u, v, dy, gamma)
+    f_all = u_int + dt * (diff_u - conv_u + params.g_x)
+
+    diff_v = (st.d2_dx2(v, dx) + st.d2_dy2(v, dy)) / Re
+    conv_v = st.duv_dx(u, v, dx, gamma) + st.dv2_dy(u, v, dy, gamma)
+    g_all = v_int + dt * (diff_v - conv_v + params.g_y)
+
+    f_int = jnp.where(gi <= params.i_max - 1, f_all, u_int)  # F=u on right wall
+    g_int = jnp.where(gj <= params.j_max - 1, g_all, v_int)  # G=v on lid plane
+
+    F = jnp.zeros_like(u).at[1:-1, 1:-1].set(f_int)
+    G = jnp.zeros_like(v).at[1:-1, 1:-1].set(g_int)
+
+    # F needs a valid west halo for the RHS divergence (F[0]=u[0]=0 on the
+    # left wall, neighbor F otherwise); G needs a valid south halo.
+    F = F.at[0, :].set(halo._shift_up(F[-2, :], "x"))
+    G = G.at[:, 0].set(halo._shift_up(G[:, -2], "y"))
+    edges = halo.edge_masks()
+    F = F.at[0, :].set(jnp.where(edges["left"], u[0, :], F[0, :]))
+    G = G.at[:, 0].set(jnp.where(edges["bottom"], v[:, 0], G[:, 0]))
+    return F, G
+
+
+def _sharded_step(u, v, p, t, params: Params, li, lj, pressure_method):
+    """One full time step on local padded blocks (reference main.c:86-146)."""
+    f64 = u.dtype
+    edges = halo.edge_masks()
+    gi, gj = _global_indices((li, lj), li, lj)
+    dx, dy = params.dx, params.dy
+
+    # Adaptive dt: signed global maxima via pmax (io.c:122 quirk: seed 0).
+    u_max = jnp.maximum(0.0, lax.pmax(jnp.max(u[1:-1, 1:-1]), MESH_AXES))
+    v_max = jnp.maximum(0.0, lax.pmax(jnp.max(v[1:-1, 1:-1]), MESH_AXES))
+    visc = params.Re / 2.0 / (1.0 / (dx * dx) + 1.0 / (dy * dy))
+    dt = params.tau * jnp.minimum(
+        visc, jnp.minimum(dx / jnp.abs(u_max), dy / jnp.abs(v_max))
+    )
+    gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+
+    if params.problem == 1:
+        lid_u = jnp.asarray(1.0, t.dtype)
+    else:
+        lid_u = jnp.sin(params.f * t)
+    u, v = _refresh_velocity_halos(u, v, lid_u, edges, params)
+
+    F, G = _local_fg(u, v, dt, gamma, params, gi, gj)
+    rhs = jnp.zeros_like(p).at[1:-1, 1:-1].set(
+        (
+            (F[1:-1, 1:-1] - F[:-2, 1:-1]) / dx
+            + (G[1:-1, 1:-1] - G[1:-1, :-2]) / dy
+        )
+        / dt
+    )
+
+    # Pressure solve with sharded hooks: ppermute ghost_fn, psum'd L2 norm,
+    # globally-consistent checkerboard parity.
+    ox = lax.axis_index("x") * li
+    oy = lax.axis_index("y") * lj
+    n_cells = params.i_max * params.j_max
+
+    def l2_fn(arr):
+        return jnp.sqrt(lax.psum(jnp.sum(arr * arr), MESH_AXES) / n_cells)
+
+    result = sor.solve_pressure(
+        p, rhs, params,
+        method=pressure_method,
+        ghost_fn=halo.neumann_or_exchange,
+        l2_fn=l2_fn,
+        parity=(ox + oy) % 2,
+    )
+    p = result.p
+
+    # Projection (main.c:131-136), masked by the global update domains.
+    u_new = F[1:-1, 1:-1] - dt * (p[2:, 1:-1] - p[1:-1, 1:-1]) / dx
+    v_new = G[1:-1, 1:-1] - dt * (p[1:-1, 2:] - p[1:-1, 1:-1]) / dy
+    u = u.at[1:-1, 1:-1].set(
+        jnp.where(gi <= params.i_max - 1, u_new, u[1:-1, 1:-1])
+    )
+    v = v.at[1:-1, 1:-1].set(
+        jnp.where(gj <= params.j_max - 1, v_new, v[1:-1, 1:-1])
+    )
+    return u, v, p, dt, result
+
+
+def _local_solve(u_int, v_int, p_int, t0, params: Params, pressure_method: str):
+    """Full `while t < T` on local blocks; runs inside shard_map."""
+    li, lj = u_int.shape
+    u = _pad1(u_int)
+    v = _pad1(v_int)
+    p = _pad1(p_int)
+
+    T = jnp.asarray(params.T, t0.dtype)
+    zero = jnp.zeros((), jnp.int32)
+
+    def cond(carry):
+        _, _, _, t, _ = carry
+        return t < T
+
+    def body(carry):
+        u, v, p, t, stats = carry
+        u, v, p, dt, result = _sharded_step(
+            u, v, p, t, params, li, lj, pressure_method
+        )
+        stats = SolveStats(
+            steps=stats.steps + 1,
+            total_sor_iterations=stats.total_sor_iterations + result.iterations,
+            sor_failures=stats.sor_failures
+            + jnp.where(result.converged, 0, 1).astype(jnp.int32),
+            last_res_norm=result.res_norm.astype(t.dtype),
+        )
+        return u, v, p, t + dt, stats
+
+    stats0 = SolveStats(
+        steps=zero, total_sor_iterations=zero, sor_failures=zero,
+        last_res_norm=jnp.zeros((), t0.dtype),
+    )
+    u, v, p, t, stats = lax.while_loop(cond, body, (u, v, p, t0, stats0))
+    return u[1:-1, 1:-1], v[1:-1, 1:-1], p[1:-1, 1:-1], t, stats
+
+
+def make_sharded_step_fn(params: Params, mesh: Mesh,
+                         pressure_method: str = "rb_sor"):
+    """Jitted shard_mapped single time step over interior blocks.
+
+    Used by the host-driven sharded loop (periodic output / checkpointing)
+    and by the multi-chip compile dry run (__graft_entry__.dryrun_multichip).
+    """
+    spec = P(*MESH_AXES)
+
+    def local_step(u_int, v_int, p_int, t):
+        li, lj = u_int.shape
+        u, v, p = _pad1(u_int), _pad1(v_int), _pad1(p_int)
+        u, v, p, dt, result = _sharded_step(
+            u, v, p, t, params, li, lj, pressure_method
+        )
+        return (
+            u[1:-1, 1:-1], v[1:-1, 1:-1], p[1:-1, 1:-1], t + dt,
+            result.iterations, result.res_norm,
+        )
+
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P()),
+        out_specs=(spec, spec, spec, P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_sharded_solve(params: Params, mesh: Mesh, pressure_method: str = "rb_sor"):
+    """Build the jitted shard_mapped full-solve callable."""
+    spec = P(*MESH_AXES)
+    fn = functools.partial(
+        _local_solve, params=params, pressure_method=pressure_method
+    )
+    mapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P()),
+        out_specs=(spec, spec, spec, P(), SolveStats(P(), P(), P(), P())),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def solve_sharded(
+    params: Params,
+    state: Optional[State] = None,
+    mesh: Optional[Mesh] = None,
+    *,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, SolveStats]:
+    """Sharded drop-in for solver.solve(): scatter -> on-device solve ->
+    gather, returning a reference-layout padded State."""
+    from ..grid import allocate_state
+    from ..ops import boundary
+
+    if state is None:
+        state = allocate_state(params)
+    if mesh is None:
+        mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
+
+    sharding = grid_sharding(mesh)
+    u_int = jax.device_put(state.u[1:-1, 1:-1], sharding)
+    v_int = jax.device_put(state.v[1:-1, 1:-1], sharding)
+    p_int = jax.device_put(state.p[1:-1, 1:-1], sharding)
+
+    solve_fn = make_sharded_solve(params, mesh, pressure_method)
+    u_int, v_int, p_int, t, stats = solve_fn(u_int, v_int, p_int, state.t)
+
+    # Reassemble the padded reference layout; regenerate ghost entries (BC +
+    # Neumann fill).  Interior matches the on-device result exactly; ghosts
+    # are cosmetic (write-only in the reference's output files).
+    shape = params.shape
+    u = jnp.zeros(shape, state.u.dtype).at[1:-1, 1:-1].set(u_int)
+    v = jnp.zeros(shape, state.v.dtype).at[1:-1, 1:-1].set(v_int)
+    p = jnp.zeros(shape, state.p.dtype).at[1:-1, 1:-1].set(p_int)
+    p = sor.ghost_fill(p)
+    lid = boundary.lid_velocity(params.problem, params.f, t)
+    u, v = boundary.apply_cavity_bcs(u, v, lid)
+    new_state = State(u=u, v=v, p=p, t=t, n=state.n + stats.steps)
+    return new_state, stats

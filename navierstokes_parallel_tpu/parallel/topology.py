@@ -1,0 +1,70 @@
+"""Device-mesh topology for 2D grid sharding.
+
+The reference has no multi-device capability at all (SURVEY.md §2.4): its
+only parallelism is CUDA thread-block tiling inside one GPU.  This module is
+the TPU framework's genuinely new scaling layer: a 2D `jax.sharding.Mesh`
+("x", "y") over ICI onto which the staggered grid's interior is block-
+sharded, the multi-chip analogue of the CUDA tile decomposition
+(main.cu:407-486) with ppermute halo exchange standing in for shared-memory
+halo loads.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MESH_AXES = ("x", "y")
+
+
+def _factor_pairs(n: int):
+    """All (px, py) with px * py == n, ordered nearest-square first."""
+    pairs = []
+    for px in range(1, n + 1):
+        if n % px == 0:
+            pairs.append((px, n // px))
+    pairs.sort(key=lambda ab: abs(ab[0] - ab[1]))
+    return pairs
+
+
+def choose_mesh_shape(
+    n_devices: int, i_max: int, j_max: int
+) -> Tuple[int, int]:
+    """Pick (px, py) with px*py == n_devices that evenly divides the interior
+    grid, preferring a near-square decomposition (minimum halo perimeter)."""
+    for px, py in _factor_pairs(n_devices):
+        if i_max % px == 0 and j_max % py == 0:
+            return px, py
+    raise ValueError(
+        f"cannot shard a {i_max}x{j_max} interior over {n_devices} devices: "
+        f"no factorization divides the grid evenly"
+    )
+
+
+def make_grid_mesh(
+    n_devices: Optional[int] = None,
+    i_max: int = 0,
+    j_max: int = 0,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2D ("x", "y") mesh over the given (or all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = list(devices)[:n_devices]
+    px, py = choose_mesh_shape(n_devices, i_max, j_max)
+    dev_array = np.asarray(devices).reshape(px, py)
+    return Mesh(dev_array, MESH_AXES)
+
+
+def grid_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of an (i_max, j_max) interior block over the mesh."""
+    return NamedSharding(mesh, P(*MESH_AXES))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

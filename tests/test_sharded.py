@@ -1,0 +1,109 @@
+"""Multi-chip sharded-path tests on the 8-virtual-CPU-device mesh
+(SURVEY.md §4: test sharding without a pod via forced host devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from navierstokes_parallel_tpu import solve
+from navierstokes_parallel_tpu.config import Params
+from navierstokes_parallel_tpu.parallel import topology
+from navierstokes_parallel_tpu.parallel.sharded import solve_sharded
+
+from conftest import assert_close_reference_contract
+
+
+def _params(**kw):
+    defaults = dict(problem=1, i_max=16, j_max=16, T=0.05, Re=100.0, tau=0.5,
+                    epsilon=1e-4, max_it=500, dtype="float64")
+    defaults.update(kw)
+    return Params(**defaults)
+
+
+def test_mesh_factorization():
+    assert topology.choose_mesh_shape(8, 16, 16) in ((4, 2), (2, 4))
+    assert topology.choose_mesh_shape(4, 16, 16) == (2, 2)
+    assert topology.choose_mesh_shape(1, 7, 7) == (1, 1)
+    with pytest.raises(ValueError):
+        topology.choose_mesh_shape(8, 7, 7)
+
+
+def test_make_mesh():
+    mesh = topology.make_grid_mesh(8, i_max=32, j_max=32)
+    assert mesh.axis_names == ("x", "y")
+    assert mesh.devices.shape in ((4, 2), (2, 4))
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 4, 8])
+def test_sharded_matches_single_chip(n_devices):
+    """The sharded solve must agree with the single-chip solve to fp-noise
+    level (same algorithm, different data layout/collectives)."""
+    prm = _params()
+    mesh = topology.make_grid_mesh(n_devices, prm.i_max, prm.j_max)
+    single_state, single_stats = solve(prm)
+    sh_state, sh_stats = solve_sharded(prm, mesh=mesh)
+
+    assert int(sh_stats.steps) == int(single_stats.steps)
+    # The psum'd L2 norm rounds differently than a single-array sum, so the
+    # threshold crossing may shift by a sweep or two; fields must still agree
+    # far inside the reference tolerance contract.
+    assert abs(
+        int(sh_stats.total_sor_iterations) - int(single_stats.total_sor_iterations)
+    ) <= 2 * int(sh_stats.steps)
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u[1:-1, 1:-1]),
+        np.asarray(single_state.u[1:-1, 1:-1]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.v[1:-1, 1:-1]),
+        np.asarray(single_state.v[1:-1, 1:-1]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(float(sh_state.t), float(single_state.t),
+                               rtol=1e-12)
+
+
+def test_sharded_oracle_contract():
+    """And the 1e-4 reference contract vs the serial oracle holds end to end."""
+    from navierstokes_parallel_tpu import oracle
+
+    prm = _params(T=0.05)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    res_o = oracle.oracle_solve(prm)
+    sh_state, sh_stats = solve_sharded(prm, mesh=mesh)
+    assert int(sh_stats.steps) == res_o.steps
+    assert_close_reference_contract(
+        np.asarray(sh_state.u[1:-1, 1:-1]), res_o.u[1:-1, 1:-1], tol=1e-4
+    )
+    assert_close_reference_contract(
+        np.asarray(sh_state.v[1:-1, 1:-1]), res_o.v[1:-1, 1:-1], tol=1e-4
+    )
+
+
+def test_sharded_float32_refined():
+    """Mixed-precision refinement inside shard_map (psum'd f64 defect norm)."""
+    prm = _params(dtype="float32", max_it=2000, i_max=32, j_max=32, T=0.02)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    sh_state, sh_stats = solve_sharded(prm, mesh=mesh)
+    assert int(sh_stats.sor_failures) == 0
+    single_state, _ = solve(prm)
+    assert_close_reference_contract(
+        np.asarray(sh_state.u[1:-1, 1:-1], dtype=np.float64),
+        np.asarray(single_state.u[1:-1, 1:-1], dtype=np.float64),
+        tol=1e-4,
+    )
+
+
+def test_sharded_oscillating_lid():
+    prm = _params(problem=2, f=10.0, T=0.05)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    single_state, single_stats = solve(prm)
+    sh_state, sh_stats = solve_sharded(prm, mesh=mesh)
+    assert int(sh_stats.steps) == int(single_stats.steps)
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u[1:-1, 1:-1]),
+        np.asarray(single_state.u[1:-1, 1:-1]),
+        atol=1e-5,
+    )
