@@ -33,7 +33,8 @@ SERIAL_BASELINE_S = {256: 48.58, 512: 759.90, 1024: 12134.53, 2048: 198116.11}
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/1.in")
-    ap.add_argument("--backend", choices=["jnp", "sharded"], default="jnp")
+    ap.add_argument("--backend", choices=["auto", "jnp", "pallas", "sharded"],
+                    default="auto")
     ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args(argv)
 
@@ -50,11 +51,17 @@ def main(argv=None):
         def run():
             return solve_sharded(params, state)
     else:
+        if args.backend == "auto":
+            from navierstokes_parallel_tpu.ops.sor import default_method
+            method = default_method(params)
+        else:
+            method = {"jnp": "rb_sor", "pallas": "pallas_sor"}[args.backend]
+        print(f"pressure solver: {method}", file=sys.stderr)
         # AOT-compile so the timed run excludes compilation (the C reference
         # has no JIT; its harness times only the solver loop, run.sh:57-66).
         compiled = (
             jax.jit(_solve_on_device, static_argnums=(0, 2))
-            .lower(params, state, "rb_sor")
+            .lower(params, state, method)
             .compile()
         )
 

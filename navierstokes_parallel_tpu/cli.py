@@ -43,8 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="15-line parameter file (reference .in format)")
     ap.add_argument("tile_size", nargs="?", type=int, default=None,
                     help="kernel tile size (reference CUDA block-size analogue)")
-    ap.add_argument("--backend", choices=["jnp", "pallas", "sharded"],
-                    default="jnp", help="compute path for the pressure solver")
+    ap.add_argument("--backend", choices=["auto", "jnp", "pallas", "sharded"],
+                    default="auto", help="compute path for the pressure solver")
     ap.add_argument("--method", choices=["rb_sor", "jacobi"], default="rb_sor")
     ap.add_argument("--dtype", choices=["float32", "float64"], default=None,
                     help="override dtype (default: config / float32)")
@@ -84,9 +84,12 @@ def main(argv=None) -> int:
     pressure_method = args.method
     if args.backend == "pallas":
         pressure_method = "pallas_sor"
-        if args.tile_size:
-            from .ops.pallas import sor_kernel
-            sor_kernel.set_default_tile(args.tile_size)
+    elif args.backend == "auto" and args.method == "rb_sor":
+        from .ops.sor import default_method
+        pressure_method = default_method(params)
+    if args.tile_size:
+        from .ops.pallas import sor_kernel
+        sor_kernel.set_default_tile(args.tile_size)
 
     if args.resume:
         state = load_checkpoint(args.resume, params)

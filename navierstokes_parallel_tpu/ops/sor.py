@@ -111,6 +111,17 @@ def jacobi_iteration(p, rhs_int, omega, dx2_inv, dy2_inv, ghost_fn=ghost_fill):
     return p.at[1:-1, 1:-1].set((1.0 - omega) * p_int + coef * (neighbors - rhs_int))
 
 
+def default_method(params: Params) -> str:
+    """Best pressure solver for the current backend: the Pallas VMEM kernel
+    on TPU when the whole grid fits on-chip, the fused-jnp red-black path
+    otherwise (CPU, oversized grids, sharded local blocks)."""
+    from .pallas import sor_kernel
+
+    if jax.default_backend() == "tpu" and sor_kernel.fits_in_vmem(params):
+        return "pallas_sor"
+    return "rb_sor"
+
+
 def solve_pressure(
     p: jax.Array,
     rhs: jax.Array,
@@ -139,6 +150,17 @@ def solve_pressure(
     identical to plain SOR — refinement only stops floating-point error from
     accumulating in the large-magnitude iterate.
     """
+    if method == "pallas_sor":
+        # Pallas VMEM kernel as the refinement inner stage.  Single-chip
+        # only: the kernel performs K sweeps without halo exchange, so the
+        # sharded path keeps the jnp inner (its ghost_fn must run between
+        # half-sweeps).
+        if hooks:
+            raise ValueError("pallas_sor is single-chip only (got shard hooks)")
+        if not jax.config.jax_enable_x64:
+            raise ValueError("pallas_sor requires x64 for the f64 master")
+        return _solve_pressure_refined(p, rhs, params, method="rb_sor",
+                                       inner="pallas")
     if (
         p.dtype == jnp.float32
         and params.sor_refine_every > 0
@@ -211,7 +233,7 @@ def _solve_pressure_direct(p, rhs, params, *, method, ghost_fn=ghost_fill,
 
 
 def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
-                            l2_fn=None, parity=0):
+                            l2_fn=None, parity=0, inner="jnp"):
     """Mixed-precision iterative refinement around f32 SOR sweeps.
 
     Outer loop (f64, once per K sweeps): defect r = A p - RHS, L2 norm,
@@ -241,14 +263,21 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
     norm_p0 = l2_fn(p64[1:-1, 1:-1])
     threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
 
-    def inner_sweeps(neg_res32, n_sweeps):
-        """n_sweeps f32 red-black sweeps on A delta = -r, delta0 = 0."""
-        delta0 = jnp.zeros(p.shape, f32)
-        iteration = _make_iteration(
-            method, neg_res32, omega32, dx2_inv32, dy2_inv32, red_mask,
-            black_mask, ghost_fn=ghost_fn,
-        )
-        return lax.fori_loop(0, n_sweeps, lambda _, d: iteration(d), delta0)
+    if inner == "pallas":
+        from .pallas import sor_kernel
+
+        def inner_sweeps(neg_res32, n_sweeps):
+            rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+            return sor_kernel.inner_sweeps(rhs_full, n_sweeps, params)
+    else:
+        def inner_sweeps(neg_res32, n_sweeps):
+            """n_sweeps f32 red-black sweeps on A delta = -r, delta0 = 0."""
+            delta0 = jnp.zeros(p.shape, f32)
+            iteration = _make_iteration(
+                method, neg_res32, omega32, dx2_inv32, dy2_inv32, red_mask,
+                black_mask, ghost_fn=ghost_fn,
+            )
+            return lax.fori_loop(0, n_sweeps, lambda _, d: iteration(d), delta0)
 
     def cond(carry):
         _, _, it, res_norm = carry

@@ -135,3 +135,25 @@ def test_ghost_fill_neumann():
     np.testing.assert_array_equal(g[1:-1, -1], p[1:-1, -2])
     # Interior untouched.
     np.testing.assert_array_equal(g[1:-1, 1:-1], p[1:-1, 1:-1])
+
+
+def test_pallas_sor_matches_jnp():
+    """Pallas VMEM kernel (interpret mode on CPU) must reproduce the jnp
+    red-black path to f32 rounding."""
+    n = 16
+    prm = _params(n, epsilon=1e-4, max_it=600, dtype="float32")
+    rng = np.random.default_rng(4)
+    rhs = np.zeros((n + 2, n + 2), np.float32)
+    ri = rng.standard_normal((n, n)).astype(np.float32) * 20.0
+    ri -= ri.mean()
+    rhs[1:-1, 1:-1] = ri
+    z = jnp.zeros((n + 2, n + 2), jnp.float32)
+
+    r_jnp = sor.solve_pressure(z, jnp.asarray(rhs), prm, method="rb_sor")
+    r_pl = sor.solve_pressure(z, jnp.asarray(rhs), prm, method="pallas_sor")
+    assert bool(r_pl.converged)
+    assert int(r_pl.iterations) == int(r_jnp.iterations)
+    np.testing.assert_allclose(
+        np.asarray(r_pl.p)[1:-1, 1:-1], np.asarray(r_jnp.p)[1:-1, 1:-1],
+        atol=1e-5,
+    )
