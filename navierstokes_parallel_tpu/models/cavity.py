@@ -1,0 +1,134 @@
+"""Lid-driven cavity problem definitions and Ghia et al. (1982) validation.
+
+The framework's model family (reference: problem types 1 and 2,
+src/serial/main.c:95-108) plus the physics-validation data the reference
+keeps in its plotting script (src/plot_ghia.py:27-45): the benchmark
+centerline profiles from Ghia, Ghia & Shin, "High-Re solutions for
+incompressible flow using the Navier-Stokes equations and a multigrid
+method", J. Comput. Phys. 48 (1982) — Tables I and II.
+
+u profiles are u(y) along the vertical centerline x = 0.5; v profiles are
+v(x) along the horizontal centerline y = 0.5.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import numpy as np
+
+from ..config import Params
+
+# y-locations of Ghia Table I (identical for all Re).
+GHIA_Y = np.array([
+    1.0000, 0.9766, 0.9688, 0.9609, 0.9531, 0.8516, 0.7344, 0.6172,
+    0.5000, 0.4531, 0.2813, 0.1719, 0.1016, 0.0703, 0.0625, 0.0547, 0.0000,
+])
+# x-locations of Ghia Table II.
+GHIA_X = np.array([
+    1.0000, 0.9688, 0.9609, 0.9531, 0.9453, 0.9063, 0.8594, 0.8047,
+    0.5000, 0.2344, 0.2266, 0.1563, 0.0938, 0.0781, 0.0703, 0.0625, 0.0000,
+])
+
+# u(y) at x = 0.5 (Table I).
+GHIA_U: Dict[int, np.ndarray] = {
+    100: np.array([
+        1.00000, 0.84123, 0.78871, 0.73722, 0.68717, 0.23151, 0.00332,
+        -0.13641, -0.20581, -0.21090, -0.15662, -0.10150, -0.06434,
+        -0.04775, -0.04192, -0.03717, 0.00000,
+    ]),
+    400: np.array([
+        1.00000, 0.75837, 0.68439, 0.61756, 0.55892, 0.29093, 0.16256,
+        0.02135, -0.11477, -0.17119, -0.32726, -0.24299, -0.14612,
+        -0.10338, -0.09266, -0.08186, 0.00000,
+    ]),
+    1000: np.array([
+        1.00000, 0.65928, 0.57492, 0.51117, 0.46604, 0.33304, 0.18719,
+        0.05702, -0.06080, -0.10648, -0.27805, -0.38289, -0.29730,
+        -0.22220, -0.20196, -0.18109, 0.00000,
+    ]),
+}
+
+# v(x) at y = 0.5 (Table II).
+GHIA_V: Dict[int, np.ndarray] = {
+    100: np.array([
+        0.00000, -0.05906, -0.07391, -0.08864, -0.10313, -0.16914,
+        -0.22445, -0.24533, 0.05454, 0.17527, 0.17507, 0.16077,
+        0.12317, 0.10890, 0.10091, 0.09233, 0.00000,
+    ]),
+    400: np.array([
+        0.00000, -0.12146, -0.15663, -0.19254, -0.22847, -0.23827,
+        -0.44993, -0.38598, 0.05186, 0.30174, 0.30203, 0.28124,
+        0.22965, 0.20920, 0.19713, 0.18360, 0.00000,
+    ]),
+    1000: np.array([
+        0.00000, -0.21388, -0.27669, -0.33714, -0.39188, -0.51550,
+        -0.42665, -0.31966, 0.02526, 0.32235, 0.33075, 0.37095,
+        0.32627, 0.30353, 0.29012, 0.27485, 0.00000,
+    ]),
+}
+
+
+def lid_driven_cavity(Re: float = 1000.0, n: int = 128, T: float = 1.0,
+                      **overrides) -> Params:
+    """Problem 1: unit-speed lid on a unit square (reference main.c:95-99)."""
+    defaults = dict(problem=1, i_max=n, j_max=n, a=1.0, b=1.0, T=T, Re=Re,
+                    tau=0.5, omega=1.7, epsilon=1e-4, max_it=20000)
+    defaults.update(overrides)
+    return Params(**defaults)
+
+
+def oscillating_lid(Re: float = 10000.0, f: float = 10.0, n: int = 128,
+                    T: float = 1.0, **overrides) -> Params:
+    """Problem 2: lid speed sin(f*t) (reference main.c:100-104)."""
+    defaults = dict(problem=2, f=f, i_max=n, j_max=n, a=1.0, b=1.0, T=T,
+                    Re=Re, tau=0.5, omega=1.7, epsilon=1e-4, max_it=20000)
+    defaults.update(overrides)
+    return Params(**defaults)
+
+
+def centerline_profiles(u, v, params: Params) -> Tuple[np.ndarray, np.ndarray,
+                                                       np.ndarray, np.ndarray]:
+    """(y, u(y) at x=0.5, x, v(x) at y=0.5) from padded state arrays.
+
+    On the staggered grid, u[i][j] sits at (i*dx, (j-0.5)*dy): the u column
+    at i = i_max/2 is exactly x = 0.5 for even i_max; v[i][j] sits at
+    ((i-0.5)*dx, j*dy) symmetrically.  Matches the reference's extraction
+    (plot_ghia.py:21-22) which reads column DIM/2 of the text outputs.
+    """
+    u = np.asarray(u)
+    v = np.asarray(v)
+    i_mid = params.i_max // 2
+    j_mid = params.j_max // 2
+    dy = params.dy
+    dx = params.dx
+    # u(y): average the two j-neighbors to land on cell corners? The
+    # reference samples u[j] directly at y=(j-0.5)*dy for j=1..j_max.
+    y = (np.arange(1, params.j_max + 1) - 0.5) * dy
+    u_prof = u[i_mid, 1:-1]
+    x = (np.arange(1, params.i_max + 1) - 0.5) * dx
+    v_prof = v[1:-1, j_mid]
+    return y, u_prof, x, v_prof
+
+
+class GhiaErrors(NamedTuple):
+    max_u_err: float
+    max_v_err: float
+
+
+def ghia_errors(u, v, params: Params, Re: int) -> GhiaErrors:
+    """Max deviation of the computed centerline profiles from the Ghia
+    tables, with linear interpolation onto the table locations."""
+    if Re not in GHIA_U:
+        raise ValueError(f"no Ghia table for Re={Re} (have {list(GHIA_U)})")
+    y, u_prof, x, v_prof = centerline_profiles(u, v, params)
+    u_at = np.interp(GHIA_Y, y, u_prof)
+    v_at = np.interp(GHIA_X, x, v_prof)
+    # Endpoints y=0/1 sit outside the staggered sample range; np.interp
+    # clamps — exclude them (they are BC-trivial anyway).
+    mask = (GHIA_Y > y.min()) & (GHIA_Y < y.max())
+    mask_v = (GHIA_X > x.min()) & (GHIA_X < x.max())
+    return GhiaErrors(
+        max_u_err=float(np.max(np.abs(u_at[mask] - GHIA_U[Re][mask]))),
+        max_v_err=float(np.max(np.abs(v_at[mask_v] - GHIA_V[Re][mask_v]))),
+    )

@@ -1,0 +1,164 @@
+"""Post-processing / validation plots — ports of the reference's L6 tooling
+(src/plot_ghia.py, src/plot_field.py, src/plot_pressure.py), reading either
+live State arrays or the text-format output frames.
+
+matplotlib is imported lazily so the solver has no plotting dependency.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Optional
+
+import numpy as np
+
+from ..config import Params
+from ..models import cavity
+from . import io as nsio
+
+
+def _mpl():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_ghia(u, v, params: Params, Re: int, out_prefix: str = "ghia"):
+    """Centerline u/v profiles vs the Ghia et al. 1982 tables
+    (reference plot_ghia.py:48-66).  Writes <out_prefix>_{u,v}.png."""
+    plt = _mpl()
+    y, u_prof, x, v_prof = cavity.centerline_profiles(u, v, params)
+
+    plt.figure(figsize=(5, 4))
+    plt.grid(linestyle="dashed", color="gray")
+    plt.plot(y, u_prof, color="red", label="Solution")
+    plt.plot(cavity.GHIA_Y, cavity.GHIA_U[Re], "x", color="black",
+             label="Ghia et al.")
+    plt.xlim(0.0, 1.0)
+    plt.xlabel("$y$")
+    plt.ylabel("$u$")
+    plt.legend()
+    plt.tight_layout()
+    plt.savefig(f"{out_prefix}_u.png", dpi=150)
+    plt.close()
+
+    plt.figure(figsize=(5, 4))
+    plt.grid(linestyle="dashed", color="gray")
+    plt.plot(x, v_prof, color="red", label="Solution")
+    plt.plot(cavity.GHIA_X, cavity.GHIA_V[Re], "x", color="black",
+             label="Ghia et al.")
+    plt.xlim(0.0, 1.0)
+    plt.xlabel("$x$")
+    plt.ylabel("$v$")
+    plt.legend()
+    plt.tight_layout()
+    plt.savefig(f"{out_prefix}_v.png", dpi=150)
+    plt.close()
+    return f"{out_prefix}_u.png", f"{out_prefix}_v.png"
+
+
+def plot_ghia_from_files(prefix: str, Re: int, out_prefix: str = "ghia"):
+    """Ghia plot from `<prefix>_{u,v}.txt` output files (the reference's
+    file-based flow, plot_ghia.py:21-22)."""
+    _, a, b, u = nsio.read_field(prefix + "_u.txt")
+    _, _, _, v = nsio.read_field(prefix + "_v.txt")
+    i_max = v.shape[0] - 2
+    j_max = u.shape[1] - 2
+    params = Params(i_max=i_max, j_max=j_max, a=a, b=b)
+    # pad u back to uniform shape for centerline_profiles
+    u_full = np.zeros((i_max + 2, j_max + 2))
+    u_full[: u.shape[0], :] = u
+    v_full = np.zeros((i_max + 2, j_max + 2))
+    v_full[:, : v.shape[1]] = v
+    return plot_ghia(u_full, v_full, params, Re, out_prefix)
+
+
+def _frames(out_dir: str):
+    """Numbered frame prefixes `<out_dir>/<n>` sorted by n."""
+    ns = []
+    for path in glob.glob(os.path.join(out_dir, "*_p.txt")):
+        m = re.match(r"(\d+)_p\.txt$", os.path.basename(path))
+        if m:
+            ns.append(int(m.group(1)))
+    return [os.path.join(out_dir, str(n)) for n in sorted(ns)]
+
+
+def animate_flow(out_dir: str, gif_path: str = "flow.gif", fps: int = 30,
+                 max_frames: Optional[int] = None):
+    """Speed-magnitude imshow + quiver animation over the numbered output
+    frames (reference plot_field.py), written as a looping GIF."""
+    plt = _mpl()
+    from matplotlib import animation
+
+    prefixes = _frames(out_dir)
+    if max_frames:
+        prefixes = prefixes[:max_frames]
+    if not prefixes:
+        raise FileNotFoundError(f"no numbered frames in {out_dir}")
+
+    def load(prefix):
+        _, _, _, u = nsio.read_field(prefix + "_u.txt")
+        _, _, _, v = nsio.read_field(prefix + "_v.txt")
+        n = min(u.shape[0], v.shape[0]) - 1
+        m = min(u.shape[1], v.shape[1]) - 1
+        uu, vv = u[1:n, 1:m], v[1:n, 1:m]
+        return uu, vv, np.sqrt(uu**2 + vv**2)
+
+    u0, v0, s0 = load(prefixes[0])
+    fig, ax = plt.subplots(figsize=(5, 5))
+    im = ax.imshow(s0.T, origin="lower", extent=(0, 1, 0, 1), cmap="viridis")
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    step = max(1, s0.shape[0] // 12)
+    X, Y = np.meshgrid(
+        np.linspace(0, 1, u0[::step, ::step].shape[0]),
+        np.linspace(0, 1, u0[::step, ::step].shape[1]), indexing="ij",
+    )
+    qv = ax.quiver(X, Y, u0[::step, ::step], v0[::step, ::step],
+                   color="white", scale=2.0)
+
+    def update(k):
+        u, v, s = load(prefixes[k])
+        im.set_data(s.T)
+        qv.set_UVC(u[::step, ::step], v[::step, ::step])
+        return im, qv
+
+    anim = animation.FuncAnimation(fig, update, frames=len(prefixes))
+    anim.save(gif_path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return gif_path
+
+
+def animate_pressure(out_dir: str, gif_path: str = "pressure.gif",
+                     fps: int = 30, max_frames: Optional[int] = None):
+    """Pressure-field animation (reference plot_pressure.py)."""
+    plt = _mpl()
+    from matplotlib import animation
+
+    prefixes = _frames(out_dir)
+    if max_frames:
+        prefixes = prefixes[:max_frames]
+    if not prefixes:
+        raise FileNotFoundError(f"no numbered frames in {out_dir}")
+
+    def load(prefix):
+        _, _, _, p = nsio.read_field(prefix + "_p.txt")
+        return p[1:-1, 1:-1]
+
+    p0 = load(prefixes[0])
+    fig, ax = plt.subplots(figsize=(5, 5))
+    im = ax.imshow(p0.T, origin="lower", extent=(0, 1, 0, 1), cmap="coolwarm")
+    fig.colorbar(im, ax=ax, shrink=0.8)
+
+    def update(k):
+        p = load(prefixes[k])
+        im.set_data(p.T)
+        im.autoscale()
+        return (im,)
+
+    anim = animation.FuncAnimation(fig, update, frames=len(prefixes))
+    anim.save(gif_path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return gif_path

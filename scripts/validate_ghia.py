@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Physics validation: lid-driven cavity centerline profiles vs Ghia et al.
+1982 (the reference's validation mechanism, src/plot_ghia.py + README.md:61).
+
+Runs the cavity to steady state on the available accelerator, reports the
+max deviation of the u(y)/v(x) centerline profiles from the Ghia tables,
+writes the comparison plots, and exits nonzero if the deviation exceeds the
+tolerance for the chosen Re/resolution.
+
+    python scripts/validate_ghia.py --re 100 --n 128 --T 20
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+
+# Generous-but-meaningful accuracy expectations for a first-order-upwind
+# staggered scheme at moderate resolution (donor-cell gamma upwinding is
+# diffusive; these catch sign/structure errors, not discretization order).
+DEFAULT_TOL = {100: 0.03, 400: 0.06, 1000: 0.08}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--re", type=int, default=100, choices=[100, 400, 1000])
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--T", type=float, default=20.0)
+    ap.add_argument("--tol", type=float, default=None)
+    ap.add_argument("--plot-prefix", default="results/ghia")
+    ap.add_argument("--backend", choices=["auto", "jnp"], default="auto")
+    ap.add_argument("--tau", type=float, default=0.9)
+    args = ap.parse_args(argv)
+
+    from navierstokes_parallel_tpu.models import cavity
+    from navierstokes_parallel_tpu.ops.sor import default_method
+    from navierstokes_parallel_tpu.solver import solve
+    from navierstokes_parallel_tpu.utils.timing import Timer, device_fence
+
+    params = cavity.lid_driven_cavity(
+        Re=float(args.re), n=args.n, T=args.T, dtype="float32",
+        epsilon=1e-4, max_it=5000, tau=args.tau, sor_refine_every=64,
+    )
+    method = default_method(params) if args.backend == "auto" else "rb_sor"
+    print(f"Re={args.re} {args.n}^2 cavity to T={args.T} "
+          f"({method}, {jax.devices()[0].device_kind})...", flush=True)
+
+    from navierstokes_parallel_tpu.grid import allocate_state
+    from navierstokes_parallel_tpu.solver import _solve_on_device
+
+    state0 = allocate_state(params)
+    with Timer() as ct:
+        compiled = (
+            jax.jit(_solve_on_device, static_argnums=(0, 2))
+            .lower(params, state0, method)
+            .compile()
+        )
+        ct.stop()
+    print(f"compile: {ct.elapsed:.1f}s", flush=True)
+
+    with Timer() as timer:
+        state, stats = compiled(state0)
+        timer.stop(fence_on=state)
+
+    errs = cavity.ghia_errors(state.u, state.v, params, args.re)
+    print(f"steps={int(stats.steps)} sor_iterations="
+          f"{int(stats.total_sor_iterations)} "
+          f"sor_failures={int(stats.sor_failures)} wall={timer.elapsed:.1f}s")
+    print(f"max |u - Ghia| = {errs.max_u_err:.4f}")
+    print(f"max |v - Ghia| = {errs.max_v_err:.4f}")
+
+    if args.plot_prefix:
+        os.makedirs(os.path.dirname(args.plot_prefix) or ".", exist_ok=True)
+        from navierstokes_parallel_tpu.utils import plotting
+        paths = plotting.plot_ghia(
+            np.asarray(state.u), np.asarray(state.v), params, args.re,
+            args.plot_prefix,
+        )
+        print("plots:", *paths)
+
+    tol = args.tol if args.tol is not None else DEFAULT_TOL[args.re]
+    if errs.max_u_err > tol or errs.max_v_err > tol:
+        print(f"FAIL: deviation exceeds tol={tol}")
+        return 1
+    print(f"PASS (tol={tol})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
