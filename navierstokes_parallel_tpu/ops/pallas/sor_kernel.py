@@ -108,6 +108,9 @@ def _sweeps_call(n_sweeps, rhs_neg, *, shape, omega, dx2_inv, dy2_inv,
                  interpret):
     kernel = _make_kernel(shape, omega, dx2_inv, dy2_inv,
                           use_pltpu_roll=not interpret)
+    # v5e has far more physical VMEM than the 16 MB scoped default; size the
+    # limit to the working set (delta + rhs + roll temps).
+    limit = max(16, 12 * (shape[0] * -(-shape[1] // 128) * 128 * 4 >> 20)) << 20
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
@@ -116,8 +119,142 @@ def _sweeps_call(n_sweeps, rhs_neg, *, shape, omega, dx2_inv, dy2_inv,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         interpret=interpret,
     )(n_sweeps, rhs_neg)
+
+
+# ---------------------------------------------------------------------------
+# Tiled variant for grids that do not fit VMEM whole.
+#
+# The grid is cut into row strips of B interior rows plus a 2K-deep halo on
+# each side (axis 0 = x = sublane dimension; columns are never split, so the
+# expensive lane-dimension neighbor rolls need no halo logic).  Each strip is
+# DMA'd into VMEM once and swept K times before writing back: contamination
+# from the stale strip edges advances one row per half-sweep, so a 2K halo
+# keeps the written B rows exact — the strips of one chunk are therefore
+# INDEPENDENT (they all read the pre-chunk snapshot), unlike the reference's
+# CUDA tiles which re-synchronize through global memory every half-sweep
+# (main.cu:684-698).  HBM traffic: ~3 passes per K sweeps instead of the
+# reference's 2 passes per half-sweep.
+# ---------------------------------------------------------------------------
+
+TILE_ROWS = 256          # B: interior rows written per strip
+SWEEPS_PER_CHUNK = 8     # K: halo depth is 2K
+
+
+def _make_tiled_kernel(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
+                       omega, dx2_inv, dy2_inv, use_pltpu_roll):
+    """Single-program kernel looping over row strips: DMA strip (B+2H, W)
+    into VMEM, sweep ns times (ns <= halo/2, dynamic), DMA the central B rows
+    back out.  Gridless because the axon remote-compile toolchain rejects
+    gridded pallas kernels; all in-kernel integers are kept int32 (any i64
+    sends the Mosaic convert lowering into infinite recursion — the kernel
+    is therefore traced under jax.enable_x64(False))."""
+    import numpy as np
+
+    _, W = ext_shape
+    B, H = tile_rows, halo
+    coef = omega / (2.0 * (dx2_inv + dy2_inv))
+    roll = _roll if use_pltpu_roll else jnp.roll
+    f32 = jnp.float32
+
+    def kernel(ns_ref, d_hbm, rhs_hbm, out_hbm):
+        def body(d_t, rhs_t, o_t, sem_d, sem_r, sem_o):
+            jj = lax.broadcasted_iota(jnp.int32, (B + 2 * H, W), 1)
+            tt = lax.broadcasted_iota(jnp.int32, (B + 2 * H, W), 0)
+            j_int = (jj >= 1) & (jj <= j_max)
+            j_edge = ((jj == 1).astype(f32) + (jj == j_max).astype(f32)) * dy2_inv
+
+            def strip(s, carry):
+                row0 = s * np.int32(B)  # ext-layout start row of the window
+                load_d = pltpu.make_async_copy(
+                    d_hbm.at[pl.ds(row0, B + 2 * H)], d_t, sem_d)
+                load_r = pltpu.make_async_copy(
+                    rhs_hbm.at[pl.ds(row0, B + 2 * H)], rhs_t, sem_r)
+                load_d.start()
+                load_r.start()
+                load_d.wait()
+                load_r.wait()
+
+                # Global padded-domain row of tile row t:  r = s*B + t - H
+                # (ext layout stores core row r at ext row r + H).
+                ii = tt + row0 - np.int32(H)
+                interior = (ii >= 1) & (ii <= i_max) & j_int
+                par = (ii + jj) & 1
+                red = interior & (par == 0)
+                black = interior & (par == 1)
+                self_coef = (
+                    ((ii == 1).astype(f32) + (ii == i_max).astype(f32))
+                    * dx2_inv
+                    + j_edge
+                )
+
+                rhs = rhs_t[:]
+
+                def half(d, mask):
+                    nb = (
+                        (roll(d, 1, 0) + roll(d, -1, 0)) * dx2_inv
+                        + (roll(d, 1, 1) + roll(d, -1, 1)) * dy2_inv
+                        + d * self_coef
+                    )
+                    return jnp.where(
+                        mask, (1.0 - omega) * d + coef * (nb - rhs), d)
+
+                def sweep(_, d):
+                    return half(half(d, red), black)
+
+                d = lax.fori_loop(0, ns_ref[0], sweep, d_t[:])
+                o_t[:] = d[H : H + B, :]
+                store = pltpu.make_async_copy(
+                    o_t, out_hbm.at[pl.ds(row0, B)], sem_o)
+                store.start()
+                store.wait()
+                return carry
+
+            lax.fori_loop(np.int32(0), np.int32(n_strips), strip, np.int32(0))
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((B + 2 * H, W), f32),
+            pltpu.VMEM((B + 2 * H, W), f32),
+            pltpu.VMEM((B, W), f32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ext_shape", "tile_rows", "halo", "i_max", "j_max",
+    "omega", "dx2_inv", "dy2_inv", "interpret"))
+def _tiled_chunk_call(ns, d_ext, rhs_ext, *, ext_shape, tile_rows, halo,
+                      i_max, j_max, omega, dx2_inv, dy2_inv, interpret):
+    R, W = ext_shape  # R = S * tile_rows + 2 * halo
+    S = (R - 2 * halo) // tile_rows
+    kernel = _make_tiled_kernel(ext_shape, tile_rows, halo, S,
+                                i_max, j_max, omega, dx2_inv, dy2_inv,
+                                use_pltpu_roll=not interpret)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            out_shape=jax.ShapeDtypeStruct((R - 2 * halo, W), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # The result buffer may be placed in VMEM by XLA; leave room
+                # for it plus the strip scratch.
+                vmem_limit_bytes=min(110, max(24, (R * W * 4 >> 20) + 16)) << 20,
+            ),
+            interpret=interpret,
+        )(ns, d_ext, rhs_ext)
 
 
 def vmem_bytes_required(params: Params) -> int:
@@ -131,13 +268,175 @@ def vmem_bytes_required(params: Params) -> int:
     return 3 * per_array
 
 
-def fits_in_vmem(params: Params, budget_bytes: int = 12 * 1024 * 1024) -> bool:
+def fits_in_vmem(params: Params, budget_bytes: int = 48 * 1024 * 1024) -> bool:
+    """Whole-grid kernel viability: v5e VMEM comfortably fits ~8 working
+    arrays up to 1024^2 (verified empirically); 2048^2 does not compile and
+    routes to the tiled kernel."""
     return vmem_bytes_required(params) <= budget_bytes
 
 
+# On real TPU hardware the strip-tiled DMA kernel is the right >VMEM path.
+# Through the axon tunnel used for development, in-kernel DMAs run at only
+# ~10 GB/s while XLA-generated memory ops reach full HBM bandwidth
+# (~760 GB/s measured), so by default oversized grids take the XLA roll
+# formulation below instead.  Flip this on a directly-attached TPU.
+PREFER_TILED_DMA = False
+
+
+def _roll_sweeps_xla(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
+    """XLA fallback for grids larger than VMEM: the same roll + self-coef
+    red-black formulation as the kernels, expressed as fused XLA ops (full
+    HBM bandwidth, ~15 array passes per sweep)."""
+    ni, nj = params.shape
+    f32 = jnp.float32
+    dx2_inv = jnp.asarray(1.0 / (params.dx * params.dx), f32)
+    dy2_inv = jnp.asarray(1.0 / (params.dy * params.dy), f32)
+    omega = jnp.asarray(params.omega, f32)
+    coef = omega / (2.0 * (dx2_inv + dy2_inv))
+
+    ii = lax.broadcasted_iota(jnp.int32, (ni, nj), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (ni, nj), 1)
+    interior = (ii >= 1) & (ii <= ni - 2) & (jj >= 1) & (jj <= nj - 2)
+    par = (ii + jj) % 2
+    red = interior & (par == 0)
+    black = interior & (par == 1)
+    self_coef = (
+        ((ii == 1).astype(f32) + (ii == ni - 2).astype(f32)) * dx2_inv
+        + ((jj == 1).astype(f32) + (jj == nj - 2).astype(f32)) * dy2_inv
+    )
+    rhs = rhs_neg.astype(f32)
+
+    def half(d, mask):
+        nb = (
+            (jnp.roll(d, 1, 0) + jnp.roll(d, -1, 0)) * dx2_inv
+            + (jnp.roll(d, 1, 1) + jnp.roll(d, -1, 1)) * dy2_inv
+            + d * self_coef
+        )
+        return jnp.where(mask, (1.0 - omega) * d + coef * (nb - rhs), d)
+
+    def sweep(_, d):
+        return half(half(d, red), black)
+
+    return lax.fori_loop(0, jnp.asarray(n_sweeps, jnp.int32), sweep,
+                         jnp.zeros((ni, nj), f32))
+
+
 def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
-    """Drop-in replacement for the refinement solver's inner stage: K f32
-    red-black sweeps on A delta = rhs_neg from delta = 0, fully in VMEM."""
+    """Drop-in replacement for the refinement solver's inner stage: n_sweeps
+    f32 red-black sweeps on A delta = rhs_neg from delta = 0.  Whole-grid-in-
+    VMEM kernel when it fits; otherwise the strip-tiled DMA kernel (real
+    hardware) or the XLA roll formulation (tunneled dev platform)."""
+    if not fits_in_vmem(params):
+        if PREFER_TILED_DMA:
+            return inner_sweeps_tiled(rhs_neg, n_sweeps, params)
+        return _roll_sweeps_xla(rhs_neg, n_sweeps, params)
+    interpret = jax.default_backend() != "tpu"
+    ns = jnp.asarray(n_sweeps, jnp.int32).reshape(1)
+    return _sweeps_call(
+        ns,
+        rhs_neg.astype(jnp.float32),
+        shape=params.shape,
+        omega=float(params.omega),
+        dx2_inv=float(1.0 / (params.dx * params.dx)),
+        dy2_inv=float(1.0 / (params.dy * params.dy)),
+        interpret=interpret,
+    )
+
+
+def inner_sweeps_tiled(rhs_neg: jax.Array, n_sweeps, params: Params,
+                       tile_rows: int = TILE_ROWS,
+                       sweeps_per_chunk: int = SWEEPS_PER_CHUNK) -> jax.Array:
+    """K-sweep-chunked strip-tiled inner stage for large grids."""
+    interpret = jax.default_backend() != "tpu"
+    ni, nj = params.shape
+    B, K = tile_rows, sweeps_per_chunk
+    H = 2 * K
+    S = -(-ni // B)
+    R = S * B
+    # HBM->VMEM DMA slices must be 128-lane / 8-sublane aligned; pad the
+    # width (junk columns are masked out of every update and never read by
+    # valid cells).
+    W = -(-nj // 128) * 128
+    assert (B + 2 * H) % 8 == 0, "tile_rows + 4*sweeps_per_chunk must be 8-aligned"
+
+    rhs_core = jnp.zeros((R, W), jnp.float32).at[:ni, :nj].set(
+        rhs_neg.astype(jnp.float32))
+    rhs_ext = jnp.pad(rhs_core, ((H, H), (0, 0)))
+
+    kwargs = dict(
+        ext_shape=(R + 2 * H, W), tile_rows=B, halo=H,
+        i_max=params.i_max, j_max=params.j_max, omega=float(params.omega),
+        dx2_inv=float(1.0 / (params.dx * params.dx)),
+        dy2_inv=float(1.0 / (params.dy * params.dy)), interpret=interpret,
+    )
+
+    n_sweeps = jnp.asarray(n_sweeps, jnp.int32)
+    n_chunks = -(-n_sweeps // K)
+
+    def chunk(c, d_core):
+        ns = jnp.minimum(K, n_sweeps - c * K).astype(jnp.int32).reshape(1)
+        d_ext = jnp.pad(d_core, ((H, H), (0, 0)))
+        return _tiled_chunk_call(ns, d_ext, rhs_ext, **kwargs)
+
+    d_core = lax.fori_loop(0, n_chunks, chunk, jnp.zeros((R, W), jnp.float32))
+    return d_core[:ni, :nj]
+
+
+# On real TPU hardware the strip-tiled DMA kernel is the right >VMEM path.
+# Through the axon tunnel used for development, in-kernel DMAs run at only
+# ~10 GB/s while XLA-generated memory ops reach full HBM bandwidth
+# (~760 GB/s measured), so by default oversized grids take the XLA roll
+# formulation below instead.  Flip this on a directly-attached TPU.
+PREFER_TILED_DMA = False
+
+
+def _roll_sweeps_xla(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
+    """XLA fallback for grids larger than VMEM: the same roll + self-coef
+    red-black formulation as the kernels, expressed as fused XLA ops (full
+    HBM bandwidth, ~15 array passes per sweep)."""
+    ni, nj = params.shape
+    f32 = jnp.float32
+    dx2_inv = jnp.asarray(1.0 / (params.dx * params.dx), f32)
+    dy2_inv = jnp.asarray(1.0 / (params.dy * params.dy), f32)
+    omega = jnp.asarray(params.omega, f32)
+    coef = omega / (2.0 * (dx2_inv + dy2_inv))
+
+    ii = lax.broadcasted_iota(jnp.int32, (ni, nj), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (ni, nj), 1)
+    interior = (ii >= 1) & (ii <= ni - 2) & (jj >= 1) & (jj <= nj - 2)
+    par = (ii + jj) % 2
+    red = interior & (par == 0)
+    black = interior & (par == 1)
+    self_coef = (
+        ((ii == 1).astype(f32) + (ii == ni - 2).astype(f32)) * dx2_inv
+        + ((jj == 1).astype(f32) + (jj == nj - 2).astype(f32)) * dy2_inv
+    )
+    rhs = rhs_neg.astype(f32)
+
+    def half(d, mask):
+        nb = (
+            (jnp.roll(d, 1, 0) + jnp.roll(d, -1, 0)) * dx2_inv
+            + (jnp.roll(d, 1, 1) + jnp.roll(d, -1, 1)) * dy2_inv
+            + d * self_coef
+        )
+        return jnp.where(mask, (1.0 - omega) * d + coef * (nb - rhs), d)
+
+    def sweep(_, d):
+        return half(half(d, red), black)
+
+    return lax.fori_loop(0, jnp.asarray(n_sweeps, jnp.int32), sweep,
+                         jnp.zeros((ni, nj), f32))
+
+
+def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
+    """Drop-in replacement for the refinement solver's inner stage: n_sweeps
+    f32 red-black sweeps on A delta = rhs_neg from delta = 0.  Whole-grid-in-
+    VMEM kernel when it fits; otherwise the strip-tiled DMA kernel (real
+    hardware) or the XLA roll formulation (tunneled dev platform)."""
+    if not fits_in_vmem(params):
+        if PREFER_TILED_DMA:
+            return inner_sweeps_tiled(rhs_neg, n_sweeps, params)
+        return _roll_sweeps_xla(rhs_neg, n_sweeps, params)
     interpret = jax.default_backend() != "tpu"
     ns = jnp.asarray(n_sweeps, jnp.int32).reshape(1)
     return _sweeps_call(

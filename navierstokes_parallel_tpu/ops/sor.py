@@ -112,12 +112,10 @@ def jacobi_iteration(p, rhs_int, omega, dx2_inv, dy2_inv, ghost_fn=ghost_fill):
 
 
 def default_method(params: Params) -> str:
-    """Best pressure solver for the current backend: the Pallas VMEM kernel
-    on TPU when the whole grid fits on-chip, the fused-jnp red-black path
-    otherwise (CPU, oversized grids, sharded local blocks)."""
-    from .pallas import sor_kernel
-
-    if jax.default_backend() == "tpu" and sor_kernel.fits_in_vmem(params):
+    """Best pressure solver for the current backend: the Pallas kernels on
+    TPU (whole-grid-in-VMEM when it fits, strip-tiled otherwise), the
+    fused-jnp red-black path elsewhere (CPU, sharded local blocks)."""
+    if jax.default_backend() == "tpu":
         return "pallas_sor"
     return "rb_sor"
 
