@@ -35,6 +35,12 @@ def main(argv=None):
     ap.add_argument("--config", default="configs/1.in")
     ap.add_argument("--backend", choices=["auto", "jnp", "pallas", "sharded"],
                     default="auto")
+    ap.add_argument("--method", choices=["auto", "rb_sor", "pallas_sor", "mg"],
+                    default="auto",
+                    help="pressure solver; auto = reference-parity red-black "
+                         "(pallas) up to 1024^2, multigrid at 2048^2+ where "
+                         "plain SOR is impractical (and the reference itself "
+                         "never converges)")
     ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args(argv)
 
@@ -51,9 +57,14 @@ def main(argv=None):
         def run():
             return solve_sharded(params, state)
     else:
-        if args.backend == "auto":
-            from navierstokes_parallel_tpu.ops.sor import default_method
-            method = default_method(params)
+        if args.method != "auto":
+            method = args.method
+        elif args.backend == "auto":
+            if params.i_max >= 2048:
+                method = "mg"
+            else:
+                from navierstokes_parallel_tpu.ops.sor import default_method
+                method = default_method(params)
         else:
             method = {"jnp": "rb_sor", "pallas": "pallas_sor"}[args.backend]
         print(f"pressure solver: {method}", file=sys.stderr)

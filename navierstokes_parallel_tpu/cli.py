@@ -45,7 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="kernel tile size (reference CUDA block-size analogue)")
     ap.add_argument("--backend", choices=["auto", "jnp", "pallas", "sharded"],
                     default="auto", help="compute path for the pressure solver")
-    ap.add_argument("--method", choices=["rb_sor", "jacobi"], default="rb_sor")
+    ap.add_argument("--method", choices=["rb_sor", "jacobi", "mg"], default="rb_sor",
+                    help="pressure solver (mg = multigrid V-cycles)")
     ap.add_argument("--dtype", choices=["float32", "float64"], default=None,
                     help="override dtype (default: config / float32)")
     ap.add_argument("--output-dir", default=None,
@@ -59,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="resume from a checkpoint file")
     ap.add_argument("--stats", action="store_true",
                     help="print SOR iteration / convergence stats to stderr")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="fault on the first NaN-producing op (jax_debug_nans)")
     return ap
 
 
@@ -80,6 +83,10 @@ def main(argv=None) -> int:
     # master in the mixed-precision SOR (ops/sor.py); explicit dtypes keep
     # the compute path f32 everywhere else.
     jax.config.update("jax_enable_x64", True)
+
+    if args.debug_nans:
+        from .utils.checks import enable_nan_debugging
+        enable_nan_debugging()
 
     pressure_method = args.method
     if args.backend == "pallas":
@@ -108,6 +115,9 @@ def main(argv=None) -> int:
         state, stats = solve(params, state, pressure_method=pressure_method)
     jax.block_until_ready(state.u)
     elapsed = time.perf_counter() - start
+
+    from .utils.checks import validate_state
+    validate_state(state, where="end of integration")
 
     uc, vc = center_values(state, params)
     print(f"U-CENTER: {uc:.6f}")

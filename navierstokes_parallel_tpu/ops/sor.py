@@ -148,6 +148,19 @@ def solve_pressure(
     identical to plain SOR — refinement only stops floating-point error from
     accumulating in the large-magnitude iterate.
     """
+    if method == "mg":
+        # Geometric multigrid V-cycles as the refinement inner stage
+        # (ops/mg.py): one cycle per f64 defect check; `iterations` counts
+        # V-cycles.  Same convergence contract, ~1000x fewer sweeps on
+        # large grids.  Single-chip only.
+        if hooks:
+            raise ValueError("mg is single-chip only (got shard hooks)")
+        if not jax.config.jax_enable_x64:
+            raise ValueError("mg requires x64 for the f64 master")
+        return _solve_pressure_refined(
+            p, rhs, params.replace(sor_refine_every=1), method="rb_sor",
+            inner="mg",
+        )
     if method == "pallas_sor":
         # Pallas VMEM kernel as the refinement inner stage.  Single-chip
         # only: the kernel performs K sweeps without halo exchange, so the
@@ -267,6 +280,12 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
         def inner_sweeps(neg_res32, n_sweeps):
             rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
             return sor_kernel.inner_sweeps(rhs_full, n_sweeps, params)
+    elif inner == "mg":
+        from . import mg
+
+        def inner_sweeps(neg_res32, n_sweeps):
+            rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+            return mg.inner_v_cycle(rhs_full, n_sweeps, params)
     else:
         def inner_sweeps(neg_res32, n_sweeps):
             """n_sweeps f32 red-black sweeps on A delta = -r, delta0 = 0."""

@@ -157,3 +157,72 @@ def test_pallas_sor_matches_jnp():
         np.asarray(r_pl.p)[1:-1, 1:-1], np.asarray(r_jnp.p)[1:-1, 1:-1],
         atol=1e-5,
     )
+
+
+def test_multigrid_converges_where_sor_cannot():
+    """MG must satisfy the reference stopping rule in O(10) V-cycles on a
+    grid where 20000 plain sweeps fail, with matching pressure gradients."""
+    n = 128
+    prm = _params(n, epsilon=1e-4, max_it=20000, dtype="float32")
+    rng = np.random.default_rng(2)
+    rhs = np.zeros((n + 2, n + 2), np.float32)
+    ri = rng.standard_normal((n, n)).astype(np.float32) * 100.0
+    ri -= ri.mean()
+    rhs[1:-1, 1:-1] = ri
+    z = jnp.zeros((n + 2, n + 2), jnp.float32)
+    rhsj = jnp.asarray(rhs)
+
+    r_mg = sor.solve_pressure(z, rhsj, prm, method="mg")
+    assert bool(r_mg.converged)
+    assert int(r_mg.iterations) <= 20
+
+    # Gradient parity vs the (still converging) refined red-black solve at a
+    # size where it does converge.
+    n = 64
+    prm = _params(n, epsilon=1e-4, max_it=20000, dtype="float32")
+    rhs = np.zeros((n + 2, n + 2), np.float32)
+    ri = rng.standard_normal((n, n)).astype(np.float32) * 100.0
+    ri -= ri.mean()
+    rhs[1:-1, 1:-1] = ri
+    z = jnp.zeros((n + 2, n + 2), jnp.float32)
+    rhsj = jnp.asarray(rhs)
+    r_mg = sor.solve_pressure(z, rhsj, prm, method="mg")
+    r_rb = sor.solve_pressure(z, rhsj, prm, method="rb_sor")
+    assert bool(r_mg.converged) and bool(r_rb.converged)
+    gmg = np.diff(np.asarray(r_mg.p)[1:-1, 1:-1], axis=0)
+    grb = np.diff(np.asarray(r_rb.p)[1:-1, 1:-1], axis=0)
+    np.testing.assert_allclose(gmg, grb, atol=2e-5)
+
+
+def test_multigrid_end_to_end_oracle_contract():
+    from navierstokes_parallel_tpu import solve, oracle
+    from navierstokes_parallel_tpu.config import Params
+
+    prm = Params(i_max=16, j_max=16, T=0.05, Re=100.0, tau=0.5,
+                 epsilon=1e-4, max_it=500, dtype="float64")
+    res_o = oracle.oracle_solve(prm)
+    state, stats = solve(prm.replace(dtype="float32"), pressure_method="mg")
+    assert int(stats.steps) == res_o.steps
+    assert int(stats.sor_failures) == 0
+    np.testing.assert_allclose(np.asarray(state.u, dtype=np.float64),
+                               res_o.u, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.v, dtype=np.float64),
+                               res_o.v, atol=1e-4)
+
+
+def test_multigrid_rectangular_grid():
+    """Anisotropic spacing (dx != dy) and non-square level hierarchy."""
+    from navierstokes_parallel_tpu.ops import mg as mgmod
+
+    prm = _params(32, epsilon=1e-4, max_it=1000, dtype="float32",
+                  a=2.0, b=1.0)
+    levels = mgmod.build_levels(prm)
+    assert len(levels) >= 2
+    rng = np.random.default_rng(3)
+    rhs = np.zeros((34, 34), np.float32)
+    ri = rng.standard_normal((32, 32)).astype(np.float32)
+    ri -= ri.mean()
+    rhs[1:-1, 1:-1] = ri
+    r = sor.solve_pressure(jnp.zeros((34, 34), jnp.float32),
+                           jnp.asarray(rhs), prm, method="mg")
+    assert bool(r.converged)
