@@ -60,8 +60,13 @@ def step(
     dt, gamma = momentum.adaptive_dt_gamma(u, v, params)
     lid = boundary.lid_velocity(params.problem, params.f, t)
     u, v = boundary.apply_cavity_bcs(u, v, lid)
-    F, G = momentum.compute_fg(u, v, dt, gamma, params)
-    rhs = momentum.compute_rhs(F, G, dt, params)
+    from .ops.pallas import momentum_kernel
+    if momentum_kernel.usable(params):
+        # Fused single-VMEM-pass F/G/RHS kernel (TPU, f32, fits VMEM).
+        F, G, rhs = momentum_kernel.momentum_rhs(u, v, dt, gamma, params)
+    else:
+        F, G = momentum.compute_fg(u, v, dt, gamma, params)
+        rhs = momentum.compute_rhs(F, G, dt, params)
     result = sor.solve_pressure(p, rhs, params, method=pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, result.p, dt, params)
 
