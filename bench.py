@@ -68,16 +68,26 @@ def main(argv=None):
         else:
             method = {"jnp": "rb_sor", "pallas": "pallas_sor"}[args.backend]
         print(f"pressure solver: {method}", file=sys.stderr)
-        # AOT-compile so the timed run excludes compilation (the C reference
-        # has no JIT; its harness times only the solver loop, run.sh:57-66).
-        compiled = (
-            jax.jit(_solve_on_device, static_argnums=(0, 2))
-            .lower(params, state, method)
-            .compile()
-        )
+        if params.i_max >= 4096:
+            # Very large grids: segmented dispatches (a single monolithic
+            # multi-minute dispatch can crash the remote TPU worker).
+            from navierstokes_parallel_tpu.solver import solve_segmented
 
-        def run():
-            return compiled(state)
+            def run():
+                return solve_segmented(params, state, pressure_method=method,
+                                       steps_per_dispatch=16)
+        else:
+            # AOT-compile so the timed run excludes compilation (the C
+            # reference has no JIT; its harness times only the solver loop,
+            # run.sh:57-66).
+            compiled = (
+                jax.jit(_solve_on_device, static_argnums=(0, 2))
+                .lower(params, state, method)
+                .compile()
+            )
+
+            def run():
+                return compiled(state)
 
     def sync(state):
         # On the axon remote platform block_until_ready does not actually

@@ -135,6 +135,61 @@ def solve(
     return _solve_on_device(params, state, pressure_method)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _solve_capped(
+    params: Params,
+    state: State,
+    stats: SolveStats,
+    max_steps,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, SolveStats]:
+    """Like _solve_on_device but stops after `max_steps` additional steps,
+    resuming from carried stats."""
+    T = jnp.asarray(params.T, state.t.dtype)
+    stop_at = stats.steps + jnp.asarray(max_steps, jnp.int32)
+
+    def cond(carry):
+        state, stats = carry
+        return jnp.logical_and(state.t < T, stats.steps < stop_at)
+
+    def body(carry):
+        state, stats = carry
+        state, diag = step(state, params, pressure_method=pressure_method)
+        stats = SolveStats(
+            steps=stats.steps + 1,
+            total_sor_iterations=stats.total_sor_iterations + diag.sor_iterations,
+            sor_failures=stats.sor_failures
+            + jnp.where(diag.sor_converged, 0, 1).astype(jnp.int32),
+            last_res_norm=diag.sor_res_norm,
+        )
+        return state, stats
+
+    return lax.while_loop(cond, body, (state, stats))
+
+
+def solve_segmented(
+    params: Params,
+    state: Optional[State] = None,
+    *,
+    pressure_method: str = "rb_sor",
+    steps_per_dispatch: int = 16,
+) -> Tuple[State, SolveStats]:
+    """Integrate to T in host-bounded dispatches of `steps_per_dispatch`
+    steps each.  Numerically identical to solve(); use for very large grids
+    or fragile remote platforms where a single multi-minute dispatch is
+    risky (each segment boundary is a natural checkpoint opportunity)."""
+    if state is None:
+        state = allocate_state(params)
+    zero = jnp.zeros((), jnp.int32)
+    stats = SolveStats(steps=zero, total_sor_iterations=zero,
+                       sor_failures=zero,
+                       last_res_norm=jnp.zeros((), state.t.dtype))
+    while float(state.t) < params.T:  # the float() fetch fences each segment
+        state, stats = _solve_capped(params, state, stats,
+                                     steps_per_dispatch, pressure_method)
+    return state, stats
+
+
 def center_values(state: State, params: Params) -> Tuple[float, float]:
     """The reference's reduced observable: cavity-center velocities
     (main.c:148-149 prints u[i_max/2][j_max/2], v[i_max/2][j_max/2])."""

@@ -27,17 +27,20 @@ import numpy as np
 # Generous-but-meaningful accuracy expectations for a first-order-upwind
 # staggered scheme at moderate resolution (donor-cell gamma upwinding is
 # diffusive; these catch sign/structure errors, not discretization order).
-DEFAULT_TOL = {100: 0.03, 400: 0.06, 1000: 0.08}
+DEFAULT_TOL = {100: 0.03, 1000: 0.08}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--re", type=int, default=100, choices=[100, 400, 1000])
+    ap.add_argument("--re", type=int, default=100, choices=[100, 1000])
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--T", type=float, default=20.0)
     ap.add_argument("--tol", type=float, default=None)
     ap.add_argument("--plot-prefix", default="results/ghia")
     ap.add_argument("--backend", choices=["auto", "jnp"], default="auto")
+    ap.add_argument("--method", choices=["auto", "rb_sor", "mg"], default="mg",
+                    help="pressure solver (mg converges every step and is "
+                         "~10x faster; auto = parity red-black)")
     ap.add_argument("--tau", type=float, default=0.9)
     args = ap.parse_args(argv)
 
@@ -50,7 +53,12 @@ def main(argv=None):
         Re=float(args.re), n=args.n, T=args.T, dtype="float32",
         epsilon=1e-4, max_it=5000, tau=args.tau, sor_refine_every=64,
     )
-    method = default_method(params) if args.backend == "auto" else "rb_sor"
+    if args.method == "mg":
+        method = "mg"
+    elif args.method == "rb_sor" or args.backend == "jnp":
+        method = "rb_sor"
+    else:
+        method = default_method(params)
     print(f"Re={args.re} {args.n}^2 cavity to T={args.T} "
           f"({method}, {jax.devices()[0].device_kind})...", flush=True)
 

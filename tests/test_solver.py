@@ -95,3 +95,15 @@ def test_gravity_body_force():
     state, _ = solve(prm)
     assert_close_reference_contract(np.asarray(state.u), res_o.u, tol=1e-4)
     assert_close_reference_contract(np.asarray(state.v), res_o.v, tol=1e-4)
+
+
+def test_segmented_solve_matches_monolithic(small_params):
+    from navierstokes_parallel_tpu.solver import solve_segmented
+
+    prm = small_params
+    s1, st1 = solve(prm)
+    s2, st2 = solve_segmented(prm, steps_per_dispatch=2)
+    assert int(st2.steps) == int(st1.steps)
+    assert int(st2.total_sor_iterations) == int(st1.total_sor_iterations)
+    np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s2.p), np.asarray(s1.p), atol=1e-12)
