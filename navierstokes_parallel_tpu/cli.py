@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="print SOR iteration / convergence stats to stderr")
     ap.add_argument("--debug-nans", action="store_true",
                     help="fault on the first NaN-producing op (jax_debug_nans)")
+    ap.add_argument("--history-file", default=None,
+                    help="write per-step diagnostics CSV (step,t,dt,"
+                         "sor_iterations,res_norm) — the working version of "
+                         "the reference's commented-out residual print "
+                         "(integration.c:162)")
+    ap.add_argument("--log-every", type=int, default=0,
+                    help="print per-step diagnostics to stderr every N steps")
     return ap
 
 
@@ -103,12 +110,15 @@ def main(argv=None) -> int:
     else:
         state = allocate_state(params)
 
-    host_loop = bool(args.output_dir or args.checkpoint_every)
+    host_loop = bool(args.output_dir or args.checkpoint_every
+                     or args.history_file or args.log_every)
 
     start = time.perf_counter()
     if args.backend == "sharded":
         from .parallel import sharded
-        state, stats = sharded.solve_sharded(params, state)
+        method = pressure_method if pressure_method in ("rb_sor", "jacobi", "mg") else "rb_sor"
+        state, stats = sharded.solve_sharded(params, state,
+                                             pressure_method=method)
     elif host_loop:
         state, stats = _run_host_loop(params, state, args, pressure_method)
     else:
@@ -156,6 +166,9 @@ def _run_host_loop(params: Params, state: State, args, pressure_method):
     failures = 0
     last_norm = 0.0
     n_out = 0
+    hist_fh = open(args.history_file, "w") if args.history_file else None
+    if hist_fh:
+        hist_fh.write("step,t,dt,sor_iterations,res_norm\n")
     while float(state.t) < params.T:
         if args.output_dir and steps % max(params.n_print, 1) == 0:
             nsio.output(np.asarray(state.u), np.asarray(state.v),
@@ -167,8 +180,17 @@ def _run_host_loop(params: Params, state: State, args, pressure_method):
         total_iters += int(diag.sor_iterations)
         failures += 0 if bool(diag.sor_converged) else 1
         last_norm = float(diag.sor_res_norm)
+        if hist_fh:
+            hist_fh.write(f"{steps},{float(state.t):.8f},{float(diag.dt):.8f},"
+                          f"{int(diag.sor_iterations)},{last_norm:.6e}\n")
+        if args.log_every and steps % args.log_every == 0:
+            print(f"step={steps} t={float(state.t):.5f} dt={float(diag.dt):.5f}"
+                  f" sor_iters={int(diag.sor_iterations)} res={last_norm:.3e}",
+                  file=sys.stderr)
         if args.checkpoint_every and steps % args.checkpoint_every == 0:
             save_checkpoint(args.checkpoint_path, state)
+    if hist_fh:
+        hist_fh.close()
     stats = SolveStats(
         steps=np.int32(steps),
         total_sor_iterations=np.int32(total_iters),

@@ -163,3 +163,127 @@ def inner_v_cycle(rhs_neg: jax.Array, n_cycles, params: Params) -> jax.Array:
     # v_cycle takes the current d.
     return lax.fori_loop(0, jnp.asarray(n_cycles, jnp.int32), one,
                          jnp.zeros(params.shape, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Sharded multigrid (used inside shard_map; see parallel/sharded.py).
+#
+# Coarsening by 2 keeps the block decomposition aligned: restriction (2x2
+# average) and prolongation (constant injection) act on each shard's local
+# interior with NO communication at all; only the smoother and the level
+# residual need halo exchanges (lax.ppermute), and the outer defect norm is
+# psum'd by the refinement loop.  Masks/self-coefficients are built from
+# *global* indices via the shard's mesh coordinates so physical-boundary
+# Neumann folding and the checkerboard stay globally consistent.
+# ---------------------------------------------------------------------------
+
+
+def build_levels_sharded(params: Params, li: int, lj: int,
+                         min_local: int = 4):
+    """Per-shard level list: (local padded shape, global interior dims,
+    level dx2_inv/dy2_inv).  Coarsen while the LOCAL block stays even."""
+    gi, gj = params.i_max, params.j_max
+    dx2_inv = 1.0 / (params.dx * params.dx)
+    dy2_inv = 1.0 / (params.dy * params.dy)
+    levels = [((li + 2, lj + 2), (gi, gj), dx2_inv, dy2_inv)]
+    while (
+        li % 2 == 0 and lj % 2 == 0
+        and li // 2 >= min_local and lj // 2 >= min_local
+    ):
+        li //= 2; lj //= 2; gi //= 2; gj //= 2
+        dx2_inv /= 4.0; dy2_inv /= 4.0
+        levels.append(((li + 2, lj + 2), (gi, gj), dx2_inv, dy2_inv))
+    return levels
+
+
+def _sharded_level_masks(shape, g_dims, dx2_inv, dy2_inv):
+    """Traced masks from global indices (shard origin via axis_index)."""
+    ni_l, nj_l = shape  # local padded
+    i_max_l, j_max_l = g_dims
+    li_l, lj_l = ni_l - 2, nj_l - 2
+    ox = lax.axis_index("x") * li_l
+    oy = lax.axis_index("y") * lj_l
+    gi = lax.broadcasted_iota(jnp.int32, shape, 0) + ox  # global padded idx
+    gj = lax.broadcasted_iota(jnp.int32, shape, 1) + oy
+    interior = (gi >= 1) & (gi <= i_max_l) & (gj >= 1) & (gj <= j_max_l) & (
+        lax.broadcasted_iota(jnp.int32, shape, 0) >= 1
+    ) & (lax.broadcasted_iota(jnp.int32, shape, 0) <= ni_l - 2) & (
+        lax.broadcasted_iota(jnp.int32, shape, 1) >= 1
+    ) & (lax.broadcasted_iota(jnp.int32, shape, 1) <= nj_l - 2)
+    par = (gi + gj) % 2
+    f32 = jnp.float32
+    self_coef = (
+        ((gi == 1).astype(f32) + (gi == i_max_l).astype(f32)) * dx2_inv
+        + ((gj == 1).astype(f32) + (gj == j_max_l).astype(f32)) * dy2_inv
+    )
+    return interior & (par == 0), interior & (par == 1), self_coef
+
+
+def _nb_sum_sh(d, dx2_inv, dy2_inv, self_coef):
+    return (
+        (jnp.roll(d, 1, 0) + jnp.roll(d, -1, 0)) * dx2_inv
+        + (jnp.roll(d, 1, 1) + jnp.roll(d, -1, 1)) * dy2_inv
+        + d * self_coef
+    )
+
+
+def _smooth_sharded(p, rhs, level, n_sweeps, omega: float = 1.0):
+    """Red-black sweeps on a local block; ppermute halo refresh before each
+    half-sweep (physical-edge halos need no refresh: the self-coefficient
+    folds the Neumann BC, and rolled-in garbage is masked out)."""
+    from ..parallel import halo
+
+    shape, g_dims, dx2_inv, dy2_inv = level
+    red, black, self_coef = _sharded_level_masks(shape, g_dims, dx2_inv, dy2_inv)
+    coef = omega / (2.0 * (dx2_inv + dy2_inv))
+
+    def half(p, mask):
+        p = halo.exchange_halo(p)
+        nb = _nb_sum_sh(p, dx2_inv, dy2_inv, self_coef)
+        return jnp.where(mask, (1.0 - omega) * p + coef * (nb - rhs), p)
+
+    def sweep(_, p):
+        return half(half(p, red), black)
+
+    return lax.fori_loop(0, n_sweeps, sweep, p)
+
+
+def _lap_sharded(p, level):
+    from ..parallel import halo
+
+    shape, g_dims, dx2_inv, dy2_inv = level
+    _, _, self_coef = _sharded_level_masks(shape, g_dims, dx2_inv, dy2_inv)
+    p = halo.exchange_halo(p)
+    return _nb_sum_sh(p, dx2_inv, dy2_inv, self_coef) - 2.0 * (
+        dx2_inv + dy2_inv
+    ) * p
+
+
+def v_cycle_sharded(p, rhs, levels, depth: int = 0, nu1: int = 2,
+                    nu2: int = 2, coarse_sweeps: int = 64):
+    lvl = levels[depth]
+    if depth == len(levels) - 1:
+        return _smooth_sharded(p, rhs, lvl, coarse_sweeps)
+    p = _smooth_sharded(p, rhs, lvl, nu1)
+    r = rhs - _lap_sharded(p, lvl)
+    r_c = _restrict(r, levels[depth + 1][0])
+    e_c = jnp.zeros(levels[depth + 1][0], p.dtype)
+    e_c = v_cycle_sharded(e_c, r_c, levels, depth + 1, nu1, nu2, coarse_sweeps)
+    p = p + _prolong(e_c, lvl[0])
+    return _smooth_sharded(p, rhs, lvl, nu2)
+
+
+def make_sharded_inner(params: Params, li: int, lj: int):
+    """inner_fn(neg_res32_local_padded, n_cycles) for the refinement loop."""
+    levels = build_levels_sharded(params, li, lj)
+
+    def inner(rhs_neg, n_cycles):
+        rhs = rhs_neg.astype(jnp.float32)
+
+        def one(_, d):
+            return v_cycle_sharded(d, rhs, levels)
+
+        return lax.fori_loop(0, jnp.asarray(n_cycles, jnp.int32), one,
+                             jnp.zeros(levels[0][0], jnp.float32))
+
+    return inner

@@ -244,7 +244,7 @@ def _solve_pressure_direct(p, rhs, params, *, method, ghost_fn=ghost_fill,
 
 
 def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
-                            l2_fn=None, parity=0, inner="jnp"):
+                            l2_fn=None, parity=0, inner="jnp", inner_fn=None):
     """Mixed-precision iterative refinement around f32 SOR sweeps.
 
     Outer loop (f64, once per K sweeps): defect r = A p - RHS, L2 norm,
@@ -274,7 +274,11 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
     norm_p0 = l2_fn(p64[1:-1, 1:-1])
     threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
 
-    if inner == "pallas":
+    if inner_fn is not None:
+        def inner_sweeps(neg_res32, n_sweeps):
+            rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+            return inner_fn(rhs_full, n_sweeps)
+    elif inner == "pallas":
         from .pallas import sor_kernel
 
         def inner_sweeps(neg_res32, n_sweeps):

@@ -180,13 +180,28 @@ def _sharded_step(u, v, p, t, params: Params, li, lj, pressure_method):
     def l2_fn(arr):
         return jnp.sqrt(lax.psum(jnp.sum(arr * arr), MESH_AXES) / n_cells)
 
-    result = sor.solve_pressure(
-        p, rhs, params,
-        method=pressure_method,
-        ghost_fn=halo.neumann_or_exchange,
-        l2_fn=l2_fn,
-        parity=(ox + oy) % 2,
-    )
+    if pressure_method == "mg":
+        # Sharded multigrid: V-cycles on local blocks (local restriction/
+        # prolongation, ppermute-halo smoothing) inside the same f64
+        # refinement outer with psum'd defect norms.
+        from ..ops import mg as mgmod
+
+        result = sor._solve_pressure_refined(
+            p, rhs, params.replace(sor_refine_every=1),
+            method="rb_sor",
+            ghost_fn=halo.neumann_or_exchange,
+            l2_fn=l2_fn,
+            parity=(ox + oy) % 2,
+            inner_fn=mgmod.make_sharded_inner(params, li, lj),
+        )
+    else:
+        result = sor.solve_pressure(
+            p, rhs, params,
+            method=pressure_method,
+            ghost_fn=halo.neumann_or_exchange,
+            l2_fn=l2_fn,
+            parity=(ox + oy) % 2,
+        )
     p = result.p
 
     # Projection (main.c:131-136), masked by the global update domains.

@@ -83,3 +83,18 @@ def test_cli_checkpoint_wrong_grid(tmp_path, capsys):
     _write_config(cfg2, i_max=24, j_max=24)
     with pytest.raises(ValueError, match="does not match config grid"):
         cli.main([str(cfg2), "--resume", str(ck)])
+
+
+def test_cli_history_and_logging(tmp_path, capsys):
+    cfg = tmp_path / "c.in"
+    _write_config(cfg, T=0.3)
+    hist = tmp_path / "hist.csv"
+    rc = cli.main([str(cfg), "--history-file", str(hist), "--log-every", "1"])
+    assert rc == 0
+    lines = hist.read_text().strip().splitlines()
+    assert lines[0] == "step,t,dt,sor_iterations,res_norm"
+    assert len(lines) >= 3
+    # columns parse
+    step, t, dt, iters, res = lines[1].split(",")
+    assert int(step) == 1 and float(dt) > 0 and float(res) >= 0
+    assert "sor_iters=" in capsys.readouterr().err

@@ -107,3 +107,35 @@ def test_sharded_oscillating_lid():
         np.asarray(single_state.u[1:-1, 1:-1]),
         atol=1e-5,
     )
+
+
+def test_sharded_multigrid():
+    """Sharded MG: local restriction/prolongation + halo-exchanged smoothing
+    must converge and match the single-chip MG solve."""
+    prm = _params(i_max=32, j_max=32, dtype="float32", T=0.05)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    sh, shs = solve_sharded(prm, mesh=mesh, pressure_method="mg")
+    st, ss = solve(prm, pressure_method="mg")
+    assert int(shs.steps) == int(ss.steps)
+    assert int(shs.sor_failures) == 0
+    np.testing.assert_allclose(
+        np.asarray(sh.u)[1:-1, 1:-1], np.asarray(st.u)[1:-1, 1:-1], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.v)[1:-1, 1:-1], np.asarray(st.v)[1:-1, 1:-1], atol=1e-5
+    )
+
+
+def test_sharded_multigrid_oracle_contract():
+    from navierstokes_parallel_tpu import oracle
+
+    prm = _params(i_max=32, j_max=32, T=0.05)  # float64 oracle config
+    res_o = oracle.oracle_solve(prm)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    sh, shs = solve_sharded(prm.replace(dtype="float32"), mesh=mesh,
+                            pressure_method="mg")
+    assert int(shs.steps) == res_o.steps
+    assert_close_reference_contract(
+        np.asarray(sh.u, dtype=np.float64)[1:-1, 1:-1],
+        res_o.u[1:-1, 1:-1], tol=1e-4,
+    )
