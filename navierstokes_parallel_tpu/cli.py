@@ -139,11 +139,13 @@ def main(argv=None) -> int:
                     args.final_output_prefix)
 
     if args.stats:
+        from .utils.timing import mlups
         print(
             f"steps={int(stats.steps)} "
             f"sor_iterations={int(stats.total_sor_iterations)} "
             f"sor_failures={int(stats.sor_failures)} "
-            f"last_res_norm={float(stats.last_res_norm):.3e}",
+            f"last_res_norm={float(stats.last_res_norm):.3e} "
+            f"mlups={mlups(int(stats.total_sor_iterations), params.i_max, params.j_max, elapsed):.1f}",
             file=sys.stderr,
         )
         print("", file=sys.stderr)

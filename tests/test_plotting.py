@@ -1,0 +1,51 @@
+"""Plotting/animation ports (reference plot_ghia/plot_field/plot_pressure)."""
+
+import numpy as np
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+
+from navierstokes_parallel_tpu.config import Params
+from navierstokes_parallel_tpu.utils import io as nsio
+from navierstokes_parallel_tpu.utils import plotting
+
+
+def _write_frames(tmp_path, n_frames=3, n=8):
+    rng = np.random.default_rng(0)
+    shape = (n + 2, n + 2)
+    for k in range(n_frames):
+        u = rng.standard_normal(shape) * 0.1
+        v = rng.standard_normal(shape) * 0.1
+        p = rng.standard_normal(shape)
+        nsio.output(u, v, p, t=0.1 * k, a=1.0, b=1.0,
+                    prefix=str(tmp_path / str(k)), verbose=False)
+
+
+def test_ghia_plot(tmp_path):
+    prm = Params(i_max=16, j_max=16)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(prm.shape) * 0.1
+    v = rng.standard_normal(prm.shape) * 0.1
+    pu, pv = plotting.plot_ghia(u, v, prm, 100, str(tmp_path / "g"))
+    import os
+    assert os.path.getsize(pu) > 1000 and os.path.getsize(pv) > 1000
+
+
+def test_flow_animation(tmp_path):
+    _write_frames(tmp_path)
+    gif = plotting.animate_flow(str(tmp_path), str(tmp_path / "f.gif"), fps=2)
+    import os
+    assert os.path.getsize(gif) > 1000
+
+
+def test_pressure_animation(tmp_path):
+    _write_frames(tmp_path)
+    gif = plotting.animate_pressure(str(tmp_path), str(tmp_path / "p.gif"),
+                                    fps=2)
+    import os
+    assert os.path.getsize(gif) > 1000
+
+
+def test_animation_requires_frames(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        plotting.animate_flow(str(tmp_path / "empty"))
