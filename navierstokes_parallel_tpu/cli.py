@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="kernel tile size (reference CUDA block-size analogue)")
     ap.add_argument("--backend", choices=["auto", "jnp", "pallas", "sharded"],
                     default="auto", help="compute path for the pressure solver")
-    ap.add_argument("--method", choices=["rb_sor", "jacobi", "mg"], default="rb_sor",
+    ap.add_argument("--method", choices=["rb_sor", "jacobi", "mg", "cg"], default="rb_sor",
                     help="pressure solver (mg = multigrid V-cycles)")
     ap.add_argument("--dtype", choices=["float32", "float64"], default=None,
                     help="override dtype (default: config / float32)")

@@ -107,6 +107,15 @@ def _smooth(p, rhs, lvl: _Level, n_sweeps: int, omega: float = 1.0):
     return lax.fori_loop(0, n_sweeps, sweep, p)
 
 
+def ghost_zero(p):
+    """Zero the ghost ring (the roll+self-coef Laplacian expects it)."""
+    ni, nj = p.shape
+    import numpy as np
+    mask = np.zeros((ni, nj), bool)
+    mask[1:-1, 1:-1] = True
+    return jnp.where(mask, p, 0.0)
+
+
 def _lap(p, lvl: _Level):
     _, _, self_coef = _masks(lvl.shape, lvl.dx2_inv, lvl.dy2_inv)
     s2 = 2.0 * (lvl.dx2_inv + lvl.dy2_inv)

@@ -330,6 +330,8 @@ def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
         if PREFER_TILED_DMA:
             return inner_sweeps_tiled(rhs_neg, n_sweeps, params)
         return _roll_sweeps_xla(rhs_neg, n_sweeps, params)
+    if USE_COMPRESSED and params.shape[1] % 2 == 0:
+        return inner_sweeps_compressed(rhs_neg, n_sweeps, params)
     interpret = jax.default_backend() != "tpu"
     ns = jnp.asarray(n_sweeps, jnp.int32).reshape(1)
     return _sweeps_call(
@@ -437,11 +439,157 @@ def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
         if PREFER_TILED_DMA:
             return inner_sweeps_tiled(rhs_neg, n_sweeps, params)
         return _roll_sweeps_xla(rhs_neg, n_sweeps, params)
+    if USE_COMPRESSED and params.shape[1] % 2 == 0:
+        return inner_sweeps_compressed(rhs_neg, n_sweeps, params)
     interpret = jax.default_backend() != "tpu"
     ns = jnp.asarray(n_sweeps, jnp.int32).reshape(1)
     return _sweeps_call(
         ns,
         rhs_neg.astype(jnp.float32),
+        shape=params.shape,
+        omega=float(params.omega),
+        dx2_inv=float(1.0 / (params.dx * params.dx)),
+        dy2_inv=float(1.0 / (params.dy * params.dy)),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Color-compressed variant: red and black cells in separate (ni, nj/2)
+# arrays.  The masked kernel computes every cell's stencil twice per sweep
+# (once per color) and throws half away; here each half-sweep updates ALL
+# elements of one compacted array — ~2x fewer vector ops per sweep.
+#
+# Index algebra (b = i & 1 is the row parity; nj even):
+#   red[i, k]   = d[i, 2k + b]       black[i, k] = d[i, 2k + 1 - b]
+#   red W/E neighbors  = black[i -/+ 1, k]          (pure sublane rolls!)
+#   red N = black[i, k + b],   red S = black[i, k + b - 1]
+#   black N = red[i, k + 1 - b], black S = red[i, k - b]
+# so each half-sweep is 2 sublane rolls + 2 lane rolls + 2 row-parity
+# selects on half-width data.  Compression/decompression happens in XLA
+# outside the kernel (strided lane ops are cheap there, amortized over K
+# sweeps).
+# ---------------------------------------------------------------------------
+
+
+def _compress_colors(full):
+    """full (ni, nj even) -> (red, black) of shape (ni, nj//2)."""
+    ni, nj = full.shape
+    even_j = full[:, 0::2]
+    odd_j = full[:, 1::2]
+    row_odd = (jnp.arange(ni, dtype=jnp.int32) & 1).astype(bool)[:, None]
+    red = jnp.where(row_odd, odd_j, even_j)
+    black = jnp.where(row_odd, even_j, odd_j)
+    return red, black
+
+
+def _decompress_colors(red, black):
+    ni, njc = red.shape
+    row_odd = (jnp.arange(ni, dtype=jnp.int32) & 1).astype(bool)[:, None]
+    even_j = jnp.where(row_odd, black, red)
+    odd_j = jnp.where(row_odd, red, black)
+    return jnp.stack([even_j, odd_j], axis=-1).reshape(ni, 2 * njc)
+
+
+def _make_compressed_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
+    """Kernel over compacted color arrays; shape = full padded (ni, nj)."""
+    ni, nj = shape
+    njc = nj // 2
+    coef = omega / (2.0 * (dx2_inv + dy2_inv))
+    roll = _roll if use_pltpu_roll else jnp.roll
+    f32 = jnp.float32
+
+    def cell_meta(is_red):
+        """(interior_mask, self_coef) for a compacted color array."""
+        ii = lax.broadcasted_iota(jnp.int32, (ni, njc), 0)
+        kk = lax.broadcasted_iota(jnp.int32, (ni, njc), 1)
+        b = ii & 1
+        jj = 2 * kk + (b if is_red else 1 - b)
+        interior = (ii >= 1) & (ii <= ni - 2) & (jj >= 1) & (jj <= nj - 2)
+        self_coef = (
+            ((ii == 1).astype(f32) + (ii == ni - 2).astype(f32)) * dx2_inv
+            + ((jj == 1).astype(f32) + (jj == nj - 2).astype(f32)) * dy2_inv
+        )
+        row_odd = b == 1
+        return interior, self_coef, row_odd
+
+    def kernel(ns_ref, rhs_r_ref, rhs_b_ref, red_ref, black_ref):
+        rhs_r = rhs_r_ref[:]
+        rhs_b = rhs_b_ref[:]
+        int_r, sc_r, row_odd = cell_meta(True)
+        int_b, sc_b, _ = cell_meta(False)
+
+        def update(tgt, other, rhs, interior, self_coef, n_sel, s_sel):
+            we = (roll(other, 1, 0) + roll(other, -1, 0)) * dx2_inv
+            o_m = roll(other, 1, 1)   # k-1
+            o_p = roll(other, -1, 1)  # k+1
+            nth = jnp.where(n_sel, o_p, other)
+            sth = jnp.where(s_sel, other, o_m)
+            nb = we + (nth + sth) * dy2_inv + tgt * self_coef
+            new = (1.0 - omega) * tgt + coef * (nb - rhs)
+            return jnp.where(interior, new, tgt)
+
+        def sweep(_, carry):
+            red, black = carry
+            # red N = black[k + b]  -> k+1 on odd rows; S = black[k + b - 1]
+            red = update(red, black, rhs_r, int_r, sc_r,
+                         n_sel=row_odd, s_sel=row_odd)
+            # black N = red[k + 1 - b] -> k+1 on even rows; S = red[k - b]
+            black = update(black, red, rhs_b, int_b, sc_b,
+                           n_sel=~row_odd, s_sel=~row_odd)
+            return red, black
+
+        zero = jnp.zeros((ni, njc), f32)
+        red, black = lax.fori_loop(0, ns_ref[0], sweep, (zero, zero))
+        red_ref[:] = red
+        black_ref[:] = black
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "omega", "dx2_inv",
+                                             "dy2_inv", "interpret"))
+def _compressed_sweeps_call(n_sweeps, rhs_neg, *, shape, omega, dx2_inv,
+                            dy2_inv, interpret):
+    ni, nj = shape
+    rhs_r, rhs_b = _compress_colors(rhs_neg.astype(jnp.float32))
+    kernel = _make_compressed_kernel(shape, omega, dx2_inv, dy2_inv,
+                                     use_pltpu_roll=not interpret)
+    limit = max(16, 12 * (ni * -(-nj // 128) * 128 * 4 >> 20)) << 20
+    out = jax.ShapeDtypeStruct((ni, nj // 2), jnp.float32)
+    with jax.enable_x64(False):
+        red, black = pl.pallas_call(
+            kernel,
+            out_shape=(out, out),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
+            interpret=interpret,
+        )(n_sweeps, rhs_r, rhs_b)
+    return _decompress_colors(red, black)
+
+
+# MEASURED NEGATIVE RESULT (kept for the record): the compressed kernel is
+# bit-exact but NOT faster on TPU (6.5 vs 6.3 us/sweep at 256^2).  Vector
+# ops process whole 128-lane vregs, and ceil(nj/2/128) * 2 >= ceil(nj/128):
+# halving the elements does not halve the vregs, so the masked kernel's
+# "compute both colors, select one" waste is already free.  The classic
+# GPU/CPU red-black compaction does not transfer to TPU's wide-vreg model.
+USE_COMPRESSED = False
+
+
+def inner_sweeps_compressed(rhs_neg, n_sweeps, params: Params):
+    interpret = jax.default_backend() != "tpu"
+    ns = jnp.asarray(n_sweeps, jnp.int32).reshape(1)
+    return _compressed_sweeps_call(
+        ns, rhs_neg,
         shape=params.shape,
         omega=float(params.omega),
         dx2_inv=float(1.0 / (params.dx * params.dx)),

@@ -148,6 +148,17 @@ def solve_pressure(
     identical to plain SOR — refinement only stops floating-point error from
     accumulating in the large-magnitude iterate.
     """
+    if method == "cg":
+        # Conjugate-gradient inner (restarted every K iterations by the
+        # refinement outer).  The Neumann Laplacian is symmetric negative
+        # semi-definite; CG runs on B = -A.  Slower than multigrid but a
+        # robust Krylov fallback; `iterations` counts CG steps.
+        if hooks:
+            raise ValueError("cg is single-chip only (got shard hooks)")
+        if not jax.config.jax_enable_x64:
+            raise ValueError("cg requires x64 for the f64 master")
+        return _solve_pressure_refined(p, rhs, params, method="rb_sor",
+                                       inner="cg")
     if method == "mg":
         # Geometric multigrid V-cycles as the refinement inner stage
         # (ops/mg.py): one cycle per f64 defect check; `iterations` counts
@@ -290,6 +301,41 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
         def inner_sweeps(neg_res32, n_sweeps):
             rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
             return mg.inner_v_cycle(rhs_full, n_sweeps, params)
+    elif inner == "cg":
+        from . import mg as _mg  # reuse the level-0 Laplacian machinery
+
+        lvl = _mg.build_levels(params)[0]
+
+        def inner_sweeps(neg_res32, n_sweeps):
+            """n_sweeps CG iterations on B x = -b, B = -A (SPD), x0 = 0."""
+            b = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+
+            def B(x):
+                return -_mg._lap(_mg.ghost_zero(x), lvl)
+
+            def dot(a, c):
+                return jnp.sum(a[1:-1, 1:-1] * c[1:-1, 1:-1])
+
+            x0 = jnp.zeros(p.shape, f32)
+            r0 = -b
+            rs0 = dot(r0, r0)
+
+            def body(_, carry):
+                x, r, d, rs = carry
+                Bd = B(d)
+                denom = dot(d, Bd)
+                alpha = jnp.where(denom > 0, rs / denom, 0.0)
+                x = x + alpha * d
+                r = r - alpha * Bd
+                rs_new = dot(r, r)
+                beta = jnp.where(rs > 0, rs_new / rs, 0.0)
+                d = r + beta * d
+                return x, r, d, rs_new
+
+            x, _, _, _ = lax.fori_loop(
+                0, jnp.asarray(n_sweeps, jnp.int32), body, (x0, r0, r0, rs0)
+            )
+            return x
     else:
         def inner_sweeps(neg_res32, n_sweeps):
             """n_sweeps f32 red-black sweeps on A delta = -r, delta0 = 0."""

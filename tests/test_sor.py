@@ -226,3 +226,39 @@ def test_multigrid_rectangular_grid():
     r = sor.solve_pressure(jnp.zeros((34, 34), jnp.float32),
                            jnp.asarray(rhs), prm, method="mg")
     assert bool(r.converged)
+
+
+def test_compressed_color_kernel_bit_exact():
+    """The color-compressed kernel (kept as a documented negative result —
+    no TPU speedup) must stay bit-exact vs the masked kernel."""
+    from navierstokes_parallel_tpu.ops.pallas import sor_kernel
+
+    n = 16
+    prm = _params(n, dtype="float32")
+    rng = np.random.default_rng(0)
+    rhs = np.zeros((n + 2, n + 2), np.float32)
+    rhs[1:-1, 1:-1] = rng.standard_normal((n, n)).astype(np.float32)
+    rhsj = jnp.asarray(rhs)
+    a = sor_kernel.inner_sweeps(rhsj, 13, prm)
+    b = sor_kernel.inner_sweeps_compressed(rhsj, 13, prm)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cg_fallback_converges():
+    """Restarted-CG inner (method='cg'): converges under the reference rule
+    with the expected O(n) Krylov iteration count, matching gradients."""
+    n = 64
+    prm = _params(n, epsilon=1e-4, max_it=20000, dtype="float32")
+    rng = np.random.default_rng(0)
+    rhs = np.zeros((n + 2, n + 2), np.float32)
+    ri = rng.standard_normal((n, n)).astype(np.float32) * 100.0
+    ri -= ri.mean()
+    rhs[1:-1, 1:-1] = ri
+    z = jnp.zeros((n + 2, n + 2), jnp.float32)
+    r_cg = sor.solve_pressure(z, jnp.asarray(rhs), prm, method="cg")
+    r_rb = sor.solve_pressure(z, jnp.asarray(rhs), prm, method="rb_sor")
+    assert bool(r_cg.converged)
+    assert int(r_cg.iterations) < int(r_rb.iterations)
+    g_cg = np.diff(np.asarray(r_cg.p)[1:-1, 1:-1], axis=0)
+    g_rb = np.diff(np.asarray(r_rb.p)[1:-1, 1:-1], axis=0)
+    np.testing.assert_allclose(g_cg, g_rb, atol=2e-5)
