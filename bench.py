@@ -75,7 +75,7 @@ def main(argv=None):
 
             def run():
                 return solve_segmented(params, state, pressure_method=method,
-                                       steps_per_dispatch=16)
+                                       steps_per_dispatch=8)
         else:
             # AOT-compile so the timed run excludes compilation (the C
             # reference has no JIT; its harness times only the solver loop,

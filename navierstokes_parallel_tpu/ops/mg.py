@@ -91,7 +91,18 @@ def _neighbor_sum(p, lvl: _Level, self_coef):
     )
 
 
+def _level_fits_vmem(shape) -> bool:
+    # the warm-start smoother kernel needs ~16 resident arrays; cap so its
+    # vmem_limit stays within what v5e actually provides (~64-100 MB)
+    ni, nj = shape
+    return 16 * ni * (-(-nj // 128) * 128) * 4 <= 72 * 1024 * 1024
+
+
 def _smooth(p, rhs, lvl: _Level, n_sweeps: int, omega: float = 1.0):
+    if jax.default_backend() == "tpu" and _level_fits_vmem(lvl.shape):
+        from .pallas import sor_kernel
+        return sor_kernel.warm_sweeps(p, rhs, n_sweeps, omega,
+                                      lvl.dx2_inv, lvl.dy2_inv)
     red, black, self_coef = _masks(lvl.shape, lvl.dx2_inv, lvl.dy2_inv)
     coef = omega / (2.0 * (lvl.dx2_inv + lvl.dy2_inv))
 
@@ -122,20 +133,39 @@ def _lap(p, lvl: _Level):
     return _neighbor_sum(p, lvl, self_coef) - s2 * p
 
 
+@functools.lru_cache(maxsize=None)
+def _injection_matrix(n_fine: int):
+    """U (n_fine x n_fine/2) with ones at (2i, i), (2i+1, i): constant
+    prolongation as an MXU matmul (0.5*U^T is the full-weighting
+    restriction).  reshape/repeat formulations lower poorly on TPU lanes
+    (5x slower measured at 2048^2)."""
+    import numpy as np
+
+    m = n_fine // 2
+    U = np.zeros((n_fine, m), np.float32)
+    U[2 * np.arange(m), np.arange(m)] = 1.0
+    U[2 * np.arange(m) + 1, np.arange(m)] = 1.0
+    return U
+
+
 def _restrict(r_fine, coarse_shape):
     """2x2 full-weighting average of the fine interior into a padded coarse
-    array (zeros elsewhere)."""
-    interior = r_fine[1:-1, 1:-1]
-    ni, nj = interior.shape
-    avg = interior.reshape(ni // 2, 2, nj // 2, 2).mean(axis=(1, 3))
+    array (zeros elsewhere).  reduce_window lowers to the TPU's native
+    windowed reduction."""
+    avg = 0.25 * lax.reduce_window(
+        r_fine[1:-1, 1:-1], 0.0, lax.add, (2, 2), (2, 2), "VALID"
+    )
     return jnp.zeros(coarse_shape, r_fine.dtype).at[1:-1, 1:-1].set(avg)
 
 
 def _prolong(e_coarse, fine_shape):
     """Piecewise-constant injection of the coarse interior onto the fine
-    interior (padded)."""
+    interior (padded), as two MXU matmuls: e_f = U e_c U^T."""
     interior = e_coarse[1:-1, 1:-1]
-    up = jnp.repeat(jnp.repeat(interior, 2, axis=0), 2, axis=1)
+    ni, nj = fine_shape[0] - 2, fine_shape[1] - 2
+    Ui = jnp.asarray(_injection_matrix(ni))
+    Uj = jnp.asarray(_injection_matrix(nj))
+    up = Ui @ interior @ Uj.T
     return jnp.zeros(fine_shape, e_coarse.dtype).at[1:-1, 1:-1].set(up)
 
 

@@ -32,15 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import Params
 
-# Reserved hook for future tiled variants (the analogue of the reference's
-# CUDA block-size CLI argument, main.cu:987-1000).  The current kernel keeps
-# the whole grid in VMEM, so there is no tile size to choose.
-_DEFAULT_TILE = None
-
-
 def set_default_tile(tile_size: int) -> None:
-    global _DEFAULT_TILE
-    _DEFAULT_TILE = tile_size
+    """CLI hook: the analogue of the reference's CUDA block-size argument
+    (main.cu:987-1000) — sets the strip height of the tiled kernel."""
+    global TILE_ROWS
+    TILE_ROWS = int(tile_size)
 
 
 def _roll(x, shift, axis):
@@ -100,6 +96,83 @@ def _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
         out_ref[:] = lax.fori_loop(0, ns_ref[0], sweep, jnp.zeros_like(rhs))
 
     return kernel
+
+
+def _make_warm_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
+    """Like _make_kernel but sweeps from a provided initial field (used as
+    the multigrid smoother, which must not restart from zero)."""
+    base = _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll)
+    # Rebuild with an extra d0 input: reuse the same half-sweep machinery by
+    # reconstructing the closure pieces here.
+    ni, nj = shape
+    coef = omega / (2.0 * (dx2_inv + dy2_inv))
+    roll = _roll if use_pltpu_roll else jnp.roll
+
+    def make_masks():
+        ii = lax.broadcasted_iota(jnp.int32, shape, 0)
+        jj = lax.broadcasted_iota(jnp.int32, shape, 1)
+        interior = (ii >= 1) & (ii <= ni - 2) & (jj >= 1) & (jj <= nj - 2)
+        par = (ii + jj) & 1
+        f32 = jnp.float32
+        self_coef = (
+            ((ii == 1).astype(f32) + (ii == ni - 2).astype(f32)) * dx2_inv
+            + ((jj == 1).astype(f32) + (jj == nj - 2).astype(f32)) * dy2_inv
+        )
+        return interior & (par == 0), interior & (par == 1), self_coef
+
+    def kernel(ns_ref, rhs_ref, d0_ref, out_ref):
+        rhs = rhs_ref[:]
+        red, black, self_coef = make_masks()
+
+        def half(d, mask):
+            nb = (
+                (roll(d, 1, 0) + roll(d, -1, 0)) * dx2_inv
+                + (roll(d, 1, 1) + roll(d, -1, 1)) * dy2_inv
+                + d * self_coef
+            )
+            return jnp.where(mask, (1.0 - omega) * d + coef * (nb - rhs), d)
+
+        def sweep(_, d):
+            return half(half(d, red), black)
+
+        out_ref[:] = lax.fori_loop(0, ns_ref[0], sweep, d0_ref[:])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "omega", "dx2_inv",
+                                             "dy2_inv", "interpret"))
+def _warm_sweeps_call(n_sweeps, rhs, d0, *, shape, omega, dx2_inv, dy2_inv,
+                      interpret):
+    kernel = _make_warm_kernel(shape, omega, dx2_inv, dy2_inv,
+                               use_pltpu_roll=not interpret)
+    # the warm variant carries an extra resident input (d0) -> bigger stack
+    limit = max(24, 16 * (shape[0] * -(-shape[1] // 128) * 128 * 4 >> 20)) << 20
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
+            interpret=interpret,
+        )(n_sweeps, rhs, d0)
+
+
+def warm_sweeps(p, rhs, n_sweeps, omega, dx2_inv, dy2_inv):
+    """n_sweeps red-black sweeps from initial p (the MG smoother fast path).
+    Caller guarantees the padded shape fits VMEM."""
+    interpret = jax.default_backend() != "tpu"
+    ns = jnp.asarray(n_sweeps, jnp.int32).reshape(1)
+    return _warm_sweeps_call(
+        ns, rhs.astype(jnp.float32), p.astype(jnp.float32),
+        shape=p.shape, omega=float(omega), dx2_inv=float(dx2_inv),
+        dy2_inv=float(dy2_inv), interpret=interpret,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "omega", "dx2_inv",
@@ -346,12 +419,12 @@ def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
 
 
 def inner_sweeps_tiled(rhs_neg: jax.Array, n_sweeps, params: Params,
-                       tile_rows: int = TILE_ROWS,
+                       tile_rows: int = None,
                        sweeps_per_chunk: int = SWEEPS_PER_CHUNK) -> jax.Array:
     """K-sweep-chunked strip-tiled inner stage for large grids."""
     interpret = jax.default_backend() != "tpu"
     ni, nj = params.shape
-    B, K = tile_rows, sweeps_per_chunk
+    B, K = tile_rows or TILE_ROWS, sweeps_per_chunk
     H = 2 * K
     S = -(-ni // B)
     R = S * B
