@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(integration.c:162)")
     ap.add_argument("--log-every", type=int, default=0,
                     help="print per-step diagnostics to stderr every N steps")
+    ap.add_argument("--max-steps", type=int, default=0,
+                    help="stop after N steps (exit code 3 if t < T remains; "
+                         "combine with --checkpoint-every/--resume for "
+                         "crash-tolerant incremental runs)")
     return ap
 
 
@@ -111,7 +115,7 @@ def main(argv=None) -> int:
         state = allocate_state(params)
 
     host_loop = bool(args.output_dir or args.checkpoint_every
-                     or args.history_file or args.log_every)
+                     or args.history_file or args.log_every or args.max_steps)
 
     start = time.perf_counter()
     if args.backend == "sharded":
@@ -154,6 +158,8 @@ def main(argv=None) -> int:
     # reference reports cumulative SOR seconds only; we report the full
     # solve wall time — a strict upper bound, conservative in comparisons.
     print(f"{elapsed:.6f}", file=sys.stderr, end="")
+    if args.max_steps and float(state.t) < params.T:
+        return 3  # incomplete: resume from the checkpoint to continue
     return 0
 
 
@@ -172,6 +178,8 @@ def _run_host_loop(params: Params, state: State, args, pressure_method):
     if hist_fh:
         hist_fh.write("step,t,dt,sor_iterations,res_norm\n")
     while float(state.t) < params.T:
+        if args.max_steps and steps >= args.max_steps:
+            break
         if args.output_dir and steps % max(params.n_print, 1) == 0:
             nsio.output(np.asarray(state.u), np.asarray(state.v),
                         np.asarray(state.p), float(state.t), params.a,

@@ -183,12 +183,19 @@ def solve_pressure(
             raise ValueError("pallas_sor requires x64 for the f64 master")
         return _solve_pressure_refined(p, rhs, params, method="rb_sor",
                                        inner="pallas")
-    if (
-        p.dtype == jnp.float32
-        and params.sor_refine_every > 0
-        and jax.config.jax_enable_x64
-    ):
-        return _solve_pressure_refined(p, rhs, params, method=method, **hooks)
+    if p.dtype == jnp.float32 and params.sor_refine_every > 0:
+        if jax.config.jax_enable_x64:
+            return _solve_pressure_refined(p, rhs, params, method=method,
+                                           **hooks)
+        import warnings
+
+        warnings.warn(
+            "float32 SOR without x64: the mixed-precision refinement is "
+            "disabled and the residual cannot reach the reference stopping "
+            "threshold on grids >= ~64^2 (docs/numerics.md). Enable jax x64 "
+            "(the CLI/bench do) or use dtype='float64'.",
+            stacklevel=2,
+        )
     return _solve_pressure_direct(p, rhs, params, method=method, **hooks)
 
 

@@ -282,8 +282,10 @@ def make_sharded_step_fn(params: Params, mesh: Mesh,
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=32)
 def make_sharded_solve(params: Params, mesh: Mesh, pressure_method: str = "rb_sor"):
-    """Build the jitted shard_mapped full-solve callable."""
+    """Build the jitted shard_mapped full-solve callable (cached: repeated
+    solve_sharded calls must not re-jit)."""
     spec = P(*MESH_AXES)
     fn = functools.partial(
         _local_solve, params=params, pressure_method=pressure_method

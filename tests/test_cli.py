@@ -98,3 +98,34 @@ def test_cli_history_and_logging(tmp_path, capsys):
     step, t, dt, iters, res = lines[1].split(",")
     assert int(step) == 1 and float(dt) > 0 and float(res) >= 0
     assert "sor_iters=" in capsys.readouterr().err
+
+
+def test_cli_max_steps_resume_cycle(tmp_path, capsys):
+    """--max-steps exits rc=3 with a checkpoint; repeated resumed runs
+    complete the integration (the resilient_solve.py contract)."""
+    cfg = tmp_path / "c.in"
+    _write_config(cfg, T=0.3)
+    ck = tmp_path / "ck.npz"
+
+    rc = cli.main([str(cfg), "--max-steps", "1",
+                   "--checkpoint-every", "1", "--checkpoint-path", str(ck)])
+    assert rc == 3 and ck.exists()
+    capsys.readouterr()
+
+    for _ in range(20):
+        rc = cli.main([str(cfg), "--max-steps", "1", "--resume", str(ck),
+                       "--checkpoint-every", "1", "--checkpoint-path", str(ck)])
+        capsys.readouterr()
+        if rc == 0:
+            break
+    assert rc == 0
+
+    # chunked result == one-shot result
+    rc = cli.main([str(cfg)])
+    out_full = capsys.readouterr().out
+    rc2 = cli.main([str(cfg), "--resume", str(ck)])
+    out_res = capsys.readouterr().out
+    u_full = float(out_full.splitlines()[0].split()[1])
+    u_res = float(out_res.splitlines()[0].split()[1])
+    import numpy as np
+    np.testing.assert_allclose(u_res, u_full, atol=1e-4)
