@@ -178,9 +178,12 @@ long nsp_sor(const nsp_params *prm, double *p, const double *rhs, double *res) {
     return -(long)prm->max_it;
 }
 
-/* One full time step in place; returns dt via *dt_out and SOR sweeps. */
+/* One full time step in place; returns dt via *dt_out and SOR sweeps;
+ * accumulates SOR-only seconds into *sor_secs (reference stderr protocol,
+ * main.c:122-125 brackets only the SOR call). */
 long nsp_step(const nsp_params *prm, double *u, double *v, double *p,
-              double *F, double *G, double *rhs, double t, double *dt_out) {
+              double *F, double *G, double *rhs, double t, double *dt_out,
+              double *sor_secs) {
     int i_max = prm->i_max, j_max = prm->j_max;
     size_t stride = (size_t)j_max + 2;
     double dx = prm->a / i_max, dy = prm->b / j_max;
@@ -205,7 +208,9 @@ long nsp_step(const nsp_params *prm, double *u, double *v, double *p,
             rhs[IDX(i, j)] = ((F[IDX(i, j)] - F[IDX(i - 1, j)]) / dx +
                               (G[IDX(i, j)] - G[IDX(i, j - 1)]) / dy) / dt;
 
+    clock_t sor_t0 = clock();
     long sweeps = nsp_sor(prm, p, rhs, NULL);
+    if (sor_secs) *sor_secs += (double)(clock() - sor_t0) / CLOCKS_PER_SEC;
 
     for (int i = 1; i <= i_max; i++)
         for (int j = 1; j <= j_max; j++) {
@@ -236,9 +241,7 @@ int nsp_solve(const nsp_params *prm, double *u, double *v, double *p,
     double sor_seconds = 0.0;
     while (t < prm->T) {
         double dt;
-        clock_t t0 = clock();
-        long sweeps = nsp_step(prm, u, v, p, F, G, rhs, t, &dt);
-        sor_seconds += (double)(clock() - t0) / CLOCKS_PER_SEC;
+        long sweeps = nsp_step(prm, u, v, p, F, G, rhs, t, &dt, &sor_seconds);
         if (sweeps < 0) { failures++; sweeps = -sweeps; }
         total += sweeps;
         t += dt;

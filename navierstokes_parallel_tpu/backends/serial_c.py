@@ -138,11 +138,13 @@ def solve(params: Params,
     )
 
 
-def sor(params: Params, p: np.ndarray, rhs: np.ndarray) -> int:
-    """Native lexicographic SOR on a prepared system (mutates p); returns
-    sweeps used (negative if max_it was exceeded)."""
+def sor(params: Params, p: np.ndarray,
+        rhs: np.ndarray) -> Tuple[int, np.ndarray]:
+    """Native lexicographic SOR on a prepared system.  Returns
+    (sweeps, solved_p); sweeps is negative if max_it was exceeded.  The
+    caller's array is never mutated — a float64 copy is always taken."""
     lib = _load()
-    p = np.ascontiguousarray(p, dtype=np.float64)
+    p = np.array(p, dtype=np.float64, order="C", copy=True)
     rhs = np.ascontiguousarray(rhs, dtype=np.float64)
     sweeps = lib.nsp_sor(ctypes.byref(_c_params(params)), _as_ptr(p),
                          _as_ptr(rhs), None)

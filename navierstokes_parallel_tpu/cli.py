@@ -119,6 +119,12 @@ def main(argv=None) -> int:
 
     start = time.perf_counter()
     if args.backend == "sharded":
+        if host_loop:
+            print("error: --backend sharded runs fully on device and does "
+                  "not support --output-dir/--checkpoint-every/"
+                  "--history-file/--log-every/--max-steps yet",
+                  file=sys.stderr)
+            return 1
         from .parallel import sharded
         method = pressure_method if pressure_method in ("rb_sor", "jacobi", "mg") else "rb_sor"
         state, stats = sharded.solve_sharded(params, state,
@@ -173,25 +179,31 @@ def _run_host_loop(params: Params, state: State, args, pressure_method):
     total_iters = 0
     failures = 0
     last_norm = 0.0
-    n_out = 0
-    hist_fh = open(args.history_file, "w") if args.history_file else None
-    if hist_fh:
+    # Frame index and output cadence follow the ABSOLUTE step count carried
+    # in state.n, so --resume continues the numbering instead of clobbering
+    # frames written before a restart.
+    hist_mode = "a" if (args.history_file and args.resume) else "w"
+    hist_fh = open(args.history_file, hist_mode) if args.history_file else None
+    if hist_fh and hist_mode == "w":
         hist_fh.write("step,t,dt,sor_iterations,res_norm\n")
+    n_print = max(params.n_print, 1)
     while float(state.t) < params.T:
         if args.max_steps and steps >= args.max_steps:
             break
-        if args.output_dir and steps % max(params.n_print, 1) == 0:
+        n_abs = int(state.n)
+        if args.output_dir and n_abs % n_print == 0:
             nsio.output(np.asarray(state.u), np.asarray(state.v),
                         np.asarray(state.p), float(state.t), params.a,
-                        params.b, f"{args.output_dir}/{n_out}", verbose=False)
-            n_out += 1
+                        params.b, f"{args.output_dir}/{n_abs // n_print}",
+                        verbose=False)
         state, diag = step_fn(state)
         steps += 1
         total_iters += int(diag.sor_iterations)
         failures += 0 if bool(diag.sor_converged) else 1
         last_norm = float(diag.sor_res_norm)
         if hist_fh:
-            hist_fh.write(f"{steps},{float(state.t):.8f},{float(diag.dt):.8f},"
+            hist_fh.write(f"{int(state.n)},{float(state.t):.8f},"
+                          f"{float(diag.dt):.8f},"
                           f"{int(diag.sor_iterations)},{last_norm:.6e}\n")
         if args.log_every and steps % args.log_every == 0:
             print(f"step={steps} t={float(state.t):.5f} dt={float(diag.dt):.5f}"

@@ -34,9 +34,11 @@ from ...config import Params
 
 def set_default_tile(tile_size: int) -> None:
     """CLI hook: the analogue of the reference's CUDA block-size argument
-    (main.cu:987-1000) — sets the strip height of the tiled kernel."""
+    (main.cu:987-1000) — sets the strip height of the tiled kernel (only
+    used when PREFER_TILED_DMA routes >VMEM grids through it).  Rounded up
+    to the 8-sublane alignment the DMA slices require."""
     global TILE_ROWS
-    TILE_ROWS = int(tile_size)
+    TILE_ROWS = max(8, -(-int(tile_size) // 8) * 8)
 
 
 def _roll(x, shift, axis):
@@ -101,9 +103,6 @@ def _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
 def _make_warm_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
     """Like _make_kernel but sweeps from a provided initial field (used as
     the multigrid smoother, which must not restart from zero)."""
-    base = _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll)
-    # Rebuild with an extra d0 input: reuse the same half-sweep machinery by
-    # reconstructing the closure pieces here.
     ni, nj = shape
     coef = omega / (2.0 * (dx2_inv + dy2_inv))
     roll = _roll if use_pltpu_roll else jnp.roll
@@ -346,76 +345,6 @@ def fits_in_vmem(params: Params, budget_bytes: int = 48 * 1024 * 1024) -> bool:
     arrays up to 1024^2 (verified empirically); 2048^2 does not compile and
     routes to the tiled kernel."""
     return vmem_bytes_required(params) <= budget_bytes
-
-
-# On real TPU hardware the strip-tiled DMA kernel is the right >VMEM path.
-# Through the axon tunnel used for development, in-kernel DMAs run at only
-# ~10 GB/s while XLA-generated memory ops reach full HBM bandwidth
-# (~760 GB/s measured), so by default oversized grids take the XLA roll
-# formulation below instead.  Flip this on a directly-attached TPU.
-PREFER_TILED_DMA = False
-
-
-def _roll_sweeps_xla(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
-    """XLA fallback for grids larger than VMEM: the same roll + self-coef
-    red-black formulation as the kernels, expressed as fused XLA ops (full
-    HBM bandwidth, ~15 array passes per sweep)."""
-    ni, nj = params.shape
-    f32 = jnp.float32
-    dx2_inv = jnp.asarray(1.0 / (params.dx * params.dx), f32)
-    dy2_inv = jnp.asarray(1.0 / (params.dy * params.dy), f32)
-    omega = jnp.asarray(params.omega, f32)
-    coef = omega / (2.0 * (dx2_inv + dy2_inv))
-
-    ii = lax.broadcasted_iota(jnp.int32, (ni, nj), 0)
-    jj = lax.broadcasted_iota(jnp.int32, (ni, nj), 1)
-    interior = (ii >= 1) & (ii <= ni - 2) & (jj >= 1) & (jj <= nj - 2)
-    par = (ii + jj) % 2
-    red = interior & (par == 0)
-    black = interior & (par == 1)
-    self_coef = (
-        ((ii == 1).astype(f32) + (ii == ni - 2).astype(f32)) * dx2_inv
-        + ((jj == 1).astype(f32) + (jj == nj - 2).astype(f32)) * dy2_inv
-    )
-    rhs = rhs_neg.astype(f32)
-
-    def half(d, mask):
-        nb = (
-            (jnp.roll(d, 1, 0) + jnp.roll(d, -1, 0)) * dx2_inv
-            + (jnp.roll(d, 1, 1) + jnp.roll(d, -1, 1)) * dy2_inv
-            + d * self_coef
-        )
-        return jnp.where(mask, (1.0 - omega) * d + coef * (nb - rhs), d)
-
-    def sweep(_, d):
-        return half(half(d, red), black)
-
-    return lax.fori_loop(0, jnp.asarray(n_sweeps, jnp.int32), sweep,
-                         jnp.zeros((ni, nj), f32))
-
-
-def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
-    """Drop-in replacement for the refinement solver's inner stage: n_sweeps
-    f32 red-black sweeps on A delta = rhs_neg from delta = 0.  Whole-grid-in-
-    VMEM kernel when it fits; otherwise the strip-tiled DMA kernel (real
-    hardware) or the XLA roll formulation (tunneled dev platform)."""
-    if not fits_in_vmem(params):
-        if PREFER_TILED_DMA:
-            return inner_sweeps_tiled(rhs_neg, n_sweeps, params)
-        return _roll_sweeps_xla(rhs_neg, n_sweeps, params)
-    if USE_COMPRESSED and params.shape[1] % 2 == 0:
-        return inner_sweeps_compressed(rhs_neg, n_sweeps, params)
-    interpret = jax.default_backend() != "tpu"
-    ns = jnp.asarray(n_sweeps, jnp.int32).reshape(1)
-    return _sweeps_call(
-        ns,
-        rhs_neg.astype(jnp.float32),
-        shape=params.shape,
-        omega=float(params.omega),
-        dx2_inv=float(1.0 / (params.dx * params.dx)),
-        dy2_inv=float(1.0 / (params.dy * params.dy)),
-        interpret=interpret,
-    )
 
 
 def inner_sweeps_tiled(rhs_neg: jax.Array, n_sweeps, params: Params,

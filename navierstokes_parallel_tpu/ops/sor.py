@@ -148,6 +148,11 @@ def solve_pressure(
     identical to plain SOR — refinement only stops floating-point error from
     accumulating in the large-magnitude iterate.
     """
+    if method == "jacobi" and params.omega > 1.0:
+        # Damped Jacobi diverges for omega > 1 (spectral radius
+        # |1 - omega + omega*mu| with mu in (-1, 1)); clamp rather than let
+        # every shipped omega=1.7 config blow up.
+        params = params.replace(omega=0.8)
     if method == "cg":
         # Conjugate-gradient inner (restarted every K iterations by the
         # refinement outer).  The Neumann Laplacian is symmetric negative
@@ -257,7 +262,10 @@ def _solve_pressure_direct(p, rhs, params, *, method, ghost_fn=ghost_fill,
 
     init = (p, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
     p, it, res_norm = lax.while_loop(cond, body, init)
-    return SORResult(p=p, iterations=it, res_norm=res_norm,
+    # Final ghost/halo refresh: the last half-sweep leaves the ring one
+    # update stale, and the sharded projection reads neighbor halos (the
+    # single-chip projection never reads ghosts, so this is free there).
+    return SORResult(p=ghost_fn(p), iterations=it, res_norm=res_norm,
                      converged=res_norm <= threshold)
 
 

@@ -68,10 +68,24 @@ def read_field(path: str) -> Tuple[float, float, float, np.ndarray]:
     return t, a, b, np.array(rows).T
 
 
+def tolerance_errors(a, b):
+    """The reference notebook's comparator metric on arrays: elementwise
+    relative error where |x| > 1, absolute error otherwise
+    (colab-runner.ipynb compare_outputs_with_tolerance).  Returns the error
+    array; compare its max against the tolerance (1e-4 in the contract).
+    This is the single implementation — the parity script and the test
+    suite both use it."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    big = (np.abs(a) > 1.0) | (np.abs(b) > 1.0)
+    denom = np.maximum(np.abs(a), np.abs(b))
+    rel = np.abs(a - b) / np.where(denom == 0, 1.0, denom)
+    return np.where(big, rel, np.abs(a - b))
+
+
 def compare_outputs_with_tolerance(path_a: str, path_b: str,
                                    tol: float = 1e-4) -> bool:
-    """The notebook's parity contract (colab-runner.ipynb): token-by-token
-    float compare, relative tolerance for |x| > 1, absolute otherwise."""
+    """File-based parity check in the notebook's contract."""
     with open(path_a) as fa, open(path_b) as fb:
         lines_a, lines_b = fa.readlines(), fb.readlines()
     if len(lines_a) != len(lines_b):
@@ -80,11 +94,8 @@ def compare_outputs_with_tolerance(path_a: str, path_b: str,
         ta, tb = la.split(), lb.split()
         if len(ta) != len(tb):
             return False
-        for xa_s, xb_s in zip(ta, tb):
-            xa, xb = float(xa_s), float(xb_s)
-            if abs(xa) > 1.0 or abs(xb) > 1.0:
-                if abs(xa - xb) / max(abs(xa), abs(xb)) > tol:
-                    return False
-            elif abs(xa - xb) > tol:
-                return False
+        if ta and np.max(
+            tolerance_errors([float(x) for x in ta], [float(x) for x in tb])
+        ) > tol:
+            return False
     return True

@@ -25,14 +25,10 @@ import numpy as np
 
 
 def _tol_ok(a, b, tol=1e-4):
-    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
-    big = (np.abs(a) > 1.0) | (np.abs(b) > 1.0)
-    denom = np.maximum(np.abs(a), np.abs(b))
-    rel = np.where(big, np.abs(a - b) / np.where(denom == 0, 1.0, denom), 0.0)
-    ab = np.where(big, 0.0, np.abs(a - b))
-    return bool(np.all(rel <= tol) and np.all(ab <= tol)), float(
-        max(rel.max(), ab.max())
-    )
+    from navierstokes_parallel_tpu.utils.io import tolerance_errors
+
+    err = tolerance_errors(a, b)
+    return bool(np.max(err) <= tol), float(np.max(err))
 
 
 def main(argv=None):
@@ -68,6 +64,8 @@ def main(argv=None):
 
         for backend in args.backends.split(","):
             if backend == "sharded":
+                state, stats = solve_sharded(params)  # warmup/compile
+                device_fence(state)
                 t0 = time.perf_counter()
                 state, stats = solve_sharded(params)
                 device_fence(state)

@@ -42,12 +42,8 @@ def small_params() -> Params:
 
 def assert_close_reference_contract(a, b, tol=1e-4):
     """The notebook comparator's contract: relative tolerance where |x| > 1,
-    absolute otherwise (colab-runner.ipynb compare_outputs_with_tolerance)."""
-    a = np.asarray(a)
-    b = np.asarray(b)
-    big = (np.abs(a) > 1.0) | (np.abs(b) > 1.0)
-    denom = np.maximum(np.abs(a), np.abs(b))
-    rel_err = np.where(big, np.abs(a - b) / np.where(denom == 0, 1, denom), 0.0)
-    abs_err = np.where(big, 0.0, np.abs(a - b))
-    assert np.all(rel_err <= tol), f"max rel err {rel_err.max()} > {tol}"
-    assert np.all(abs_err <= tol), f"max abs err {abs_err.max()} > {tol}"
+    absolute otherwise (single implementation in utils/io.py)."""
+    from navierstokes_parallel_tpu.utils.io import tolerance_errors
+
+    err = tolerance_errors(a, b)
+    assert np.max(err) <= tol, f"max contract err {np.max(err)} > {tol}"
