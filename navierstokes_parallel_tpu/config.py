@@ -95,7 +95,7 @@ class Params:
     # Mixed-precision SOR: re-baseline the f64 master pressure (and check
     # convergence) every K f32 sweeps; 0 disables refinement (see ops/sor.py).
     # Only used when dtype == float32 and jax x64 is enabled.
-    sor_refine_every: int = 32
+    sor_refine_every: int = 64
 
     def __post_init__(self):
         if self.problem not in (1, 2):
