@@ -46,6 +46,20 @@ def enable_nan_debugging(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
 
 
+def divergence_norm(u, v, params) -> float:
+    """L2 norm of the discrete velocity divergence over the interior.
+
+    The projection step exists to drive this to ~0 (incompressibility);
+    its residual is bounded by the pressure solve's stopping tolerance
+    times dt — a cheap end-to-end physics invariant."""
+    u = np.asarray(u)
+    v = np.asarray(v)
+    div = (u[1:-1, 1:-1] - u[:-2, 1:-1]) / params.dx + (
+        v[1:-1, 1:-1] - v[1:-1, :-2]
+    ) / params.dy
+    return float(np.sqrt(np.sum(div**2) / (params.i_max * params.j_max)))
+
+
 def cfl_report(u, v, params) -> dict:
     """Diagnostic: current CFL numbers (how close to the stability limit)."""
     u_max = float(jnp.max(jnp.abs(u[1:-1, 1:-1])))

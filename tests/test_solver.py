@@ -107,3 +107,21 @@ def test_segmented_solve_matches_monolithic(small_params):
     assert int(st2.total_sor_iterations) == int(st1.total_sor_iterations)
     np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u), atol=1e-14)
     np.testing.assert_allclose(np.asarray(s2.p), np.asarray(s1.p), atol=1e-12)
+
+
+def test_projection_enforces_incompressibility(small_params):
+    """After each step, div(u, v) must be near zero — bounded by the SOR
+    tolerance times 1/dt (the projection's entire purpose)."""
+    from navierstokes_parallel_tpu.utils.checks import divergence_norm
+
+    prm = small_params
+    state, stats = solve(prm)
+    div = divergence_norm(state.u, state.v, prm)
+    # SOR residual <= eps*(||p||+1.5); divergence of the projected field is
+    # dt * residual-of-the-Poisson-solve in this scheme.
+    assert div < 10 * prm.epsilon * 2.0, f"divergence {div} too large"
+
+    # mg path enforces it at least as well
+    state2, _ = solve(prm.replace(dtype="float32"), pressure_method="mg")
+    div2 = divergence_norm(state2.u, state2.v, prm)
+    assert div2 < 10 * prm.epsilon * 2.0
