@@ -52,3 +52,13 @@ def test_cli_debug_nans_flag(tmp_path, capsys):
     jax.config.update("jax_debug_nans", False)
     out = capsys.readouterr().out
     assert "U-CENTER" in out
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from navierstokes_parallel_tpu.utils.timing import profiler_trace
+    import jax.numpy as jnp
+
+    with profiler_trace(str(tmp_path / "trace")) as d:
+        _ = (jnp.ones((64, 64)) * 2).sum().block_until_ready()
+    import os
+    assert os.path.isdir(d)

@@ -63,3 +63,28 @@ def test_comparator(tmp_path):
     c_prefix = str(tmp_path / "c")
     nsio.output(u + 5e-3, v, p, 0.1, 1.0, 1.0, c_prefix, verbose=False)
     assert not nsio.compare_outputs_with_tolerance(a_prefix + "_u.txt", c_prefix + "_u.txt")
+
+
+def test_backend_output_file_parity(tmp_path):
+    """End-to-end file contract: two backends' --final-output-prefix files
+    must pass the notebook comparator (the reference's actual validation
+    flow, colab-runner.ipynb)."""
+    from navierstokes_parallel_tpu import cli
+    from navierstokes_parallel_tpu.config import Params
+
+    cfg = tmp_path / "c.in"
+    Params(i_max=12, j_max=12, T=0.1, Re=100.0, tau=0.5, epsilon=1e-4,
+           max_it=300, n_print=1).to_file(str(cfg))
+    a = tmp_path / "jnp_run"
+    b = tmp_path / "mg_run"
+    assert cli.main([str(cfg), "--final-output-prefix", str(a)]) == 0
+    assert cli.main([str(cfg), "--method", "mg",
+                     "--final-output-prefix", str(b)]) == 0
+    for suffix in ("_u.txt", "_v.txt", "_p.txt"):
+        if suffix == "_p.txt":
+            # p is defined up to the Neumann nullspace constant across
+            # solvers; the contract applies to velocities.
+            continue
+        assert nsio.compare_outputs_with_tolerance(
+            str(a) + suffix, str(b) + suffix
+        ), f"{suffix} outside tolerance"
