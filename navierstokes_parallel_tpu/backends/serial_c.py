@@ -66,6 +66,12 @@ class SerialResult(NamedTuple):
 def build(force: bool = False) -> str:
     """Compile the native backend if needed; returns the library path."""
     src = os.path.join(_REPO_ROOT, "csrc", "nsp_serial.c")
+    if not os.path.exists(src):
+        raise FileNotFoundError(
+            f"native backend source not found at {src}: the serial C "
+            "backend requires a source checkout (csrc/ ships in the sdist "
+            "but not in wheels)"
+        )
     if force or not os.path.exists(_LIB_PATH) or (
         os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
     ):

@@ -21,6 +21,7 @@ the plotting/animation tooling has frames to consume, and `--checkpoint-every`
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -182,7 +183,9 @@ def _run_host_loop(params: Params, state: State, args, pressure_method):
     # Frame index and output cadence follow the ABSOLUTE step count carried
     # in state.n, so --resume continues the numbering instead of clobbering
     # frames written before a restart.
-    hist_mode = "a" if (args.history_file and args.resume) else "w"
+    hist_exists = bool(args.history_file) and os.path.exists(args.history_file) \
+        and os.path.getsize(args.history_file) > 0
+    hist_mode = "a" if (args.resume and hist_exists) else "w"
     hist_fh = open(args.history_file, hist_mode) if args.history_file else None
     if hist_fh and hist_mode == "w":
         hist_fh.write("step,t,dt,sor_iterations,res_norm\n")

@@ -120,11 +120,7 @@ def _smooth(p, rhs, lvl: _Level, n_sweeps: int, omega: float = 1.0):
 
 def ghost_zero(p):
     """Zero the ghost ring (the roll+self-coef Laplacian expects it)."""
-    ni, nj = p.shape
-    import numpy as np
-    mask = np.zeros((ni, nj), bool)
-    mask[1:-1, 1:-1] = True
-    return jnp.where(mask, p, 0.0)
+    return jnp.zeros_like(p).at[1:-1, 1:-1].set(p[1:-1, 1:-1])
 
 
 def _lap(p, lvl: _Level):

@@ -49,8 +49,11 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, jnp.asarray(shift % x.shape[axis], jnp.int32), axis)
 
 
-def _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
-    """Build the kernel body with all solver constants baked in."""
+def _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll,
+                 warm_start=False):
+    """Build the kernel body with all solver constants baked in.  With
+    warm_start the kernel takes an extra d0 input and sweeps from it
+    instead of zeros (the multigrid smoother)."""
     ni, nj = shape  # padded (i_max+2, j_max+2)
     coef = omega / (2.0 * (dx2_inv + dy2_inv))
     roll = _roll if use_pltpu_roll else jnp.roll
@@ -86,7 +89,8 @@ def _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
         d_new = (1.0 - omega) * d + coef * (nb - rhs)
         return jnp.where(mask, d_new, d)
 
-    def kernel(ns_ref, rhs_ref, out_ref):
+    def kernel(ns_ref, rhs_ref, *rest):
+        d0_ref, out_ref = (rest if warm_start else (None, rest[0]))
         rhs = rhs_ref[:]
         red, black, self_coef = make_masks()
 
@@ -95,46 +99,8 @@ def _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
             d = half_sweep(d, rhs, black, self_coef)
             return d
 
-        out_ref[:] = lax.fori_loop(0, ns_ref[0], sweep, jnp.zeros_like(rhs))
-
-    return kernel
-
-
-def _make_warm_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
-    """Like _make_kernel but sweeps from a provided initial field (used as
-    the multigrid smoother, which must not restart from zero)."""
-    ni, nj = shape
-    coef = omega / (2.0 * (dx2_inv + dy2_inv))
-    roll = _roll if use_pltpu_roll else jnp.roll
-
-    def make_masks():
-        ii = lax.broadcasted_iota(jnp.int32, shape, 0)
-        jj = lax.broadcasted_iota(jnp.int32, shape, 1)
-        interior = (ii >= 1) & (ii <= ni - 2) & (jj >= 1) & (jj <= nj - 2)
-        par = (ii + jj) & 1
-        f32 = jnp.float32
-        self_coef = (
-            ((ii == 1).astype(f32) + (ii == ni - 2).astype(f32)) * dx2_inv
-            + ((jj == 1).astype(f32) + (jj == nj - 2).astype(f32)) * dy2_inv
-        )
-        return interior & (par == 0), interior & (par == 1), self_coef
-
-    def kernel(ns_ref, rhs_ref, d0_ref, out_ref):
-        rhs = rhs_ref[:]
-        red, black, self_coef = make_masks()
-
-        def half(d, mask):
-            nb = (
-                (roll(d, 1, 0) + roll(d, -1, 0)) * dx2_inv
-                + (roll(d, 1, 1) + roll(d, -1, 1)) * dy2_inv
-                + d * self_coef
-            )
-            return jnp.where(mask, (1.0 - omega) * d + coef * (nb - rhs), d)
-
-        def sweep(_, d):
-            return half(half(d, red), black)
-
-        out_ref[:] = lax.fori_loop(0, ns_ref[0], sweep, d0_ref[:])
+        init = d0_ref[:] if warm_start else jnp.zeros_like(rhs)
+        out_ref[:] = lax.fori_loop(0, ns_ref[0], sweep, init)
 
     return kernel
 
@@ -143,10 +109,13 @@ def _make_warm_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll):
                                              "dy2_inv", "interpret"))
 def _warm_sweeps_call(n_sweeps, rhs, d0, *, shape, omega, dx2_inv, dy2_inv,
                       interpret):
-    kernel = _make_warm_kernel(shape, omega, dx2_inv, dy2_inv,
-                               use_pltpu_roll=not interpret)
-    # the warm variant carries an extra resident input (d0) -> bigger stack
-    limit = max(24, 16 * (shape[0] * -(-shape[1] // 128) * 128 * 4 >> 20)) << 20
+    kernel = _make_kernel(shape, omega, dx2_inv, dy2_inv,
+                          use_pltpu_roll=not interpret, warm_start=True)
+    # the warm variant carries an extra resident input (d0) -> bigger stack;
+    # exact bytes (a floor-to-MiB here once under-granted what the mg level
+    # gate admitted, failing compilation on e.g. 896^2)
+    per_array = shape[0] * -(-shape[1] // 128) * 128 * 4
+    limit = max(24 << 20, 16 * per_array)
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
@@ -181,8 +150,8 @@ def _sweeps_call(n_sweeps, rhs_neg, *, shape, omega, dx2_inv, dy2_inv,
     kernel = _make_kernel(shape, omega, dx2_inv, dy2_inv,
                           use_pltpu_roll=not interpret)
     # v5e has far more physical VMEM than the 16 MB scoped default; size the
-    # limit to the working set (delta + rhs + roll temps).
-    limit = max(16, 12 * (shape[0] * -(-shape[1] // 128) * 128 * 4 >> 20)) << 20
+    # limit to the working set (delta + rhs + roll temps), in exact bytes.
+    limit = max(16 << 20, 12 * shape[0] * -(-shape[1] // 128) * 128 * 4)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),

@@ -151,7 +151,13 @@ def solve_pressure(
     if method == "jacobi" and params.omega > 1.0:
         # Damped Jacobi diverges for omega > 1 (spectral radius
         # |1 - omega + omega*mu| with mu in (-1, 1)); clamp rather than let
-        # every shipped omega=1.7 config blow up.
+        # every shipped omega=1.7 config blow up — and say so.
+        import warnings
+
+        warnings.warn(
+            f"method='jacobi' diverges for omega={params.omega} > 1; "
+            "clamping to 0.8 (damped Jacobi)", stacklevel=2,
+        )
         params = params.replace(omega=0.8)
     if method == "cg":
         # Conjugate-gradient inner (restarted every K iterations by the
@@ -162,8 +168,10 @@ def solve_pressure(
             raise ValueError("cg is single-chip only (got shard hooks)")
         if not jax.config.jax_enable_x64:
             raise ValueError("cg requires x64 for the f64 master")
-        return _solve_pressure_refined(p, rhs, params, method="rb_sor",
-                                       inner="cg")
+        # K=0 ('refinement off') would make n_inner=0 and spin forever.
+        return _solve_pressure_refined(
+            p, rhs, params.replace(sor_refine_every=max(1, params.sor_refine_every)),
+            method="rb_sor", inner="cg")
     if method == "mg":
         # Geometric multigrid V-cycles as the refinement inner stage
         # (ops/mg.py): one cycle per f64 defect check; `iterations` counts
@@ -186,8 +194,9 @@ def solve_pressure(
             raise ValueError("pallas_sor is single-chip only (got shard hooks)")
         if not jax.config.jax_enable_x64:
             raise ValueError("pallas_sor requires x64 for the f64 master")
-        return _solve_pressure_refined(p, rhs, params, method="rb_sor",
-                                       inner="pallas")
+        return _solve_pressure_refined(
+            p, rhs, params.replace(sor_refine_every=max(1, params.sor_refine_every)),
+            method="rb_sor", inner="pallas")
     if p.dtype == jnp.float32 and params.sor_refine_every > 0:
         if jax.config.jax_enable_x64:
             return _solve_pressure_refined(p, rhs, params, method=method,
