@@ -127,7 +127,12 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         from .parallel import sharded
-        method = pressure_method if pressure_method in ("rb_sor", "jacobi", "mg") else "rb_sor"
+        method = pressure_method
+        if method not in ("rb_sor", "jacobi", "mg"):
+            print(f"warning: --backend sharded does not support pressure "
+                  f"method {method!r} (single-chip only); using rb_sor",
+                  file=sys.stderr)
+            method = "rb_sor"
         state, stats = sharded.solve_sharded(params, state,
                                              pressure_method=method)
     elif host_loop:

@@ -76,8 +76,9 @@ def apply_cavity_bcs(u, v, lid_u) -> Tuple[jax.Array, jax.Array]:
 
     `lid_u` may be a traced scalar (the oscillating-lid problem passes
     sin(f*t), reference main.c:104).  Side order matches the reference driver
-    (main.c:95-104); the four sides write disjoint entries so the order is
-    actually immaterial.
+    (main.c:95-104) and is LOAD-BEARING: the writes are disjoint, but TOP's
+    ghost update reads u[i_max, j_max] which RIGHT writes (to 0), so RIGHT
+    must precede TOP exactly as in the reference.
     """
     u, v = set_noslip(u, v, Side.LEFT)
     u, v = set_noslip(u, v, Side.RIGHT)

@@ -36,9 +36,13 @@ def set_default_tile(tile_size: int) -> None:
     """CLI hook: the analogue of the reference's CUDA block-size argument
     (main.cu:987-1000) — sets the strip height of the tiled kernel (only
     used when PREFER_TILED_DMA routes >VMEM grids through it).  Rounded up
-    to the 8-sublane alignment the DMA slices require."""
+    to the 8-sublane alignment the DMA slices require.  Validated like the
+    reference validates its block size (main.cu:987-1000)."""
+    tile_size = int(tile_size)
+    if not 1 <= tile_size <= 4096:
+        raise ValueError(f"tile size must be in [1, 4096], got {tile_size}")
     global TILE_ROWS
-    TILE_ROWS = max(8, -(-int(tile_size) // 8) * 8)
+    TILE_ROWS = max(8, -(-tile_size // 8) * 8)
 
 
 def _roll(x, shift, axis):

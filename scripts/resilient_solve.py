@@ -18,6 +18,17 @@ import sys
 import time
 
 
+def _checkpoint_progress(path):
+    """(step n, time t) recorded in the checkpoint, or None if unreadable."""
+    try:
+        import numpy as np
+
+        with np.load(path) as ck:
+            return int(ck["n"]), float(ck["t"])
+    except Exception:
+        return None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
@@ -30,6 +41,7 @@ def main(argv=None):
 
     attempt = 0
     t0 = time.time()
+    last_progress = None  # (mtime, size) of the checkpoint after each chunk
     while True:
         cmd = [
             sys.executable, "-m", "navierstokes_parallel_tpu", args.config,
@@ -47,7 +59,22 @@ def main(argv=None):
                   f"({attempt} recoveries)")
             return 0
         if proc.returncode == 3:
-            continue  # clean incomplete chunk; keep going
+            # Clean incomplete chunk — but only keep going if it actually
+            # advanced the checkpoint (a chunk that repeatedly exits 3
+            # without moving `n`/`t` — unwritable checkpoint path, dt
+            # underflow — must not spin forever).
+            progress = _checkpoint_progress(args.checkpoint)
+            if progress is not None and progress != last_progress:
+                last_progress = progress
+                continue
+            attempt += 1
+            print(f"[resilient_solve] chunk made no progress "
+                  f"(checkpoint at {progress}); retry {attempt}/"
+                  f"{args.max_retries}", file=sys.stderr)
+            if attempt > args.max_retries:
+                print("[resilient_solve] giving up", file=sys.stderr)
+                return 1
+            continue
         attempt += 1
         print(f"[resilient_solve] process died (rc={proc.returncode}); "
               f"recovery {attempt}/{args.max_retries} from {args.checkpoint}",

@@ -129,3 +129,23 @@ def test_cli_max_steps_resume_cycle(tmp_path, capsys):
     u_res = float(out_res.splitlines()[0].split()[1])
     import numpy as np
     np.testing.assert_allclose(u_res, u_full, atol=1e-4)
+
+
+def test_resilient_checkpoint_progress(tmp_path):
+    """rc==3 chunks that do not advance the checkpoint must count as retries
+    (ADVICE r1): _checkpoint_progress is the probe that detects stalls."""
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import resilient_solve
+
+    assert resilient_solve._checkpoint_progress(str(tmp_path / "nope.npz")) is None
+    import numpy as np
+    from navierstokes_parallel_tpu.grid import State
+    from navierstokes_parallel_tpu.utils.checkpoint import save_checkpoint
+
+    z = np.zeros((4, 4))
+    st = State(u=z, v=z, p=z, t=np.float64(0.25), n=np.int32(7))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, st)
+    assert resilient_solve._checkpoint_progress(path) == (7, 0.25)
