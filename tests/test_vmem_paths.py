@@ -1,0 +1,132 @@
+"""CI coverage for the >VMEM production paths (round-1 verdict weakness #3).
+
+At 2048^2+ the whole-grid VMEM kernel cannot compile and `inner_sweeps`
+routes to either the strip-tiled DMA kernel (`inner_sweeps_tiled`) or the XLA
+roll formulation (`_roll_sweeps_xla`); the multigrid smoother separately uses
+`warm_sweeps`.  None of these had tests.  Each route must agree with the
+plain jnp red-black inner stage (ghost-fill formulation, ops/sor.py) — the
+semantics the CUDA tile+halo kernels implement (main.cu:411-484)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokes_parallel_tpu.config import Params
+from navierstokes_parallel_tpu.ops import sor
+from navierstokes_parallel_tpu.ops.pallas import sor_kernel
+
+
+@pytest.fixture
+def params64():
+    return Params(problem=1, i_max=64, j_max=64, a=1.0, b=1.0, T=0.01,
+                  Re=100.0, tau=0.5, omega=1.7, epsilon=1e-4, max_it=500,
+                  dtype="float32")
+
+
+def _reference_inner(rhs_neg, n_sweeps, params):
+    """The jnp ghost-fill red-black inner stage (the oracle formulation)."""
+    f32 = jnp.float32
+    dx2_inv = jnp.asarray(1.0 / (params.dx * params.dx), f32)
+    dy2_inv = jnp.asarray(1.0 / (params.dy * params.dy), f32)
+    omega = jnp.asarray(params.omega, f32)
+    shape_int = (params.i_max, params.j_max)
+    red = sor._checkerboard(shape_int, 0)
+    black = sor._checkerboard(shape_int, 1)
+    d = jnp.zeros(params.shape, f32)
+    rhs_int = rhs_neg[1:-1, 1:-1].astype(f32)
+    for _ in range(n_sweeps):
+        d = sor.rb_sor_iteration(d, rhs_int, omega, dx2_inv, dy2_inv,
+                                 red, black)
+    return d
+
+
+@pytest.fixture
+def rhs64(params64):
+    rng = np.random.default_rng(7)
+    rhs = np.zeros(params64.shape, np.float32)
+    rhs[1:-1, 1:-1] = rng.standard_normal(
+        (params64.i_max, params64.j_max)).astype(np.float32)
+    return jnp.asarray(rhs)
+
+
+def test_roll_sweeps_xla_matches_jnp(params64, rhs64):
+    got = sor_kernel._roll_sweeps_xla(rhs64, 6, params64)
+    want = _reference_inner(rhs64, 6, params64)
+    np.testing.assert_allclose(np.asarray(got)[1:-1, 1:-1],
+                               np.asarray(want)[1:-1, 1:-1],
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_tiled_kernel_matches_jnp_single_chunk(params64, rhs64):
+    """One K-sweep chunk, multiple strips (tile_rows=32 -> 3 strips): the 2K
+    halo must make the written rows exact despite strip independence."""
+    got = sor_kernel.inner_sweeps_tiled(rhs64, 8, params64, tile_rows=32)
+    want = _reference_inner(rhs64, 8, params64)
+    np.testing.assert_allclose(np.asarray(got)[1:-1, 1:-1],
+                               np.asarray(want)[1:-1, 1:-1],
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_tiled_kernel_matches_jnp_multi_chunk(params64, rhs64):
+    """n_sweeps > K exercises the chunk loop (re-sync through HBM) plus the
+    short final chunk (20 = 8 + 8 + 4)."""
+    got = sor_kernel.inner_sweeps_tiled(rhs64, 20, params64, tile_rows=32)
+    want = _reference_inner(rhs64, 20, params64)
+    np.testing.assert_allclose(np.asarray(got)[1:-1, 1:-1],
+                               np.asarray(want)[1:-1, 1:-1],
+                               rtol=5e-6, atol=5e-6)
+
+
+def test_warm_sweeps_matches_mg_smoother(params64, rhs64):
+    """warm_sweeps (the MG smoother fast path, omega=1, warm start) vs the
+    masked roll jnp smoother it replaces on TPU (mg._smooth's else-branch)."""
+    from navierstokes_parallel_tpu.ops import mg
+
+    lvl = mg.build_levels(params64)[0]
+    rng = np.random.default_rng(3)
+    p0 = np.zeros(params64.shape, np.float32)
+    p0[1:-1, 1:-1] = rng.standard_normal(
+        (params64.i_max, params64.j_max)).astype(np.float32)
+    p0 = jnp.asarray(p0)
+
+    got = sor_kernel.warm_sweeps(p0, rhs64, 4, 1.0, lvl.dx2_inv, lvl.dy2_inv)
+
+    red, black, self_coef = mg._masks(lvl.shape, lvl.dx2_inv, lvl.dy2_inv)
+    coef = 1.0 / (2.0 * (lvl.dx2_inv + lvl.dy2_inv))
+
+    def half(p, mask):
+        nb = mg._neighbor_sum(p, lvl, self_coef)
+        return jnp.where(mask, coef * (nb - rhs64.astype(jnp.float32)), p)
+
+    want = p0
+    for _ in range(4):
+        want = half(half(want, red), black)
+    np.testing.assert_allclose(np.asarray(got)[1:-1, 1:-1],
+                               np.asarray(want)[1:-1, 1:-1],
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_inner_sweeps_routes_by_budget(params64, rhs64, monkeypatch):
+    """Force the >VMEM routes through the public entry point and check both
+    agree with the reference inner stage."""
+    want = np.asarray(_reference_inner(rhs64, 8, params64))[1:-1, 1:-1]
+
+    monkeypatch.setattr(sor_kernel, "fits_in_vmem", lambda p: False)
+    monkeypatch.setattr(sor_kernel, "PREFER_TILED_DMA", False)
+    got_xla = sor_kernel.inner_sweeps(rhs64, 8, params64)
+    np.testing.assert_allclose(np.asarray(got_xla)[1:-1, 1:-1], want,
+                               rtol=2e-6, atol=2e-6)
+
+    monkeypatch.setattr(sor_kernel, "PREFER_TILED_DMA", True)
+    got_tiled = sor_kernel.inner_sweeps(rhs64, 8, params64)
+    np.testing.assert_allclose(np.asarray(got_tiled)[1:-1, 1:-1], want,
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_fits_in_vmem_budget():
+    p_small = Params(problem=1, i_max=64, j_max=64, T=0.01, Re=100.0,
+                     epsilon=1e-4, max_it=10)
+    p_big = p_small.replace(i_max=2048, j_max=2048)
+    assert sor_kernel.fits_in_vmem(p_small)
+    assert not sor_kernel.fits_in_vmem(p_big)
+    assert not sor_kernel.fits_in_vmem(p_small, budget_bytes=1)
