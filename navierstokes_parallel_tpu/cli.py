@@ -120,12 +120,6 @@ def main(argv=None) -> int:
 
     start = time.perf_counter()
     if args.backend == "sharded":
-        if host_loop:
-            print("error: --backend sharded runs fully on device and does "
-                  "not support --output-dir/--checkpoint-every/"
-                  "--history-file/--log-every/--max-steps yet",
-                  file=sys.stderr)
-            return 1
         from .parallel import sharded
         method = pressure_method
         if method not in ("rb_sor", "jacobi", "mg"):
@@ -133,10 +127,20 @@ def main(argv=None) -> int:
                   f"method {method!r} (single-chip only); using rb_sor",
                   file=sys.stderr)
             method = "rb_sor"
-        state, stats = sharded.solve_sharded(params, state,
-                                             pressure_method=method)
+        try:
+            if host_loop:
+                stepper = sharded.ShardedStepper(params, state,
+                                                 pressure_method=method)
+                state, stats = _run_host_loop(params, stepper, args)
+            else:
+                state, stats = sharded.solve_sharded(params, state,
+                                                     pressure_method=method)
+        except ValueError as e:  # e.g. mg on a non-divisible grid
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     elif host_loop:
-        state, stats = _run_host_loop(params, state, args, pressure_method)
+        stepper = _SingleChipStepper(params, state, pressure_method)
+        state, stats = _run_host_loop(params, stepper, args)
     else:
         state, stats = solve(params, state, pressure_method=pressure_method)
     jax.block_until_ready(state.u)
@@ -175,12 +179,37 @@ def main(argv=None) -> int:
     return 0
 
 
-def _run_host_loop(params: Params, state: State, args, pressure_method):
+class _SingleChipStepper:
+    """Host-loop adapter for the single-chip backends (jitted step closure);
+    the sharded twin is parallel/sharded.py::ShardedStepper."""
+
+    def __init__(self, params: Params, state: State, pressure_method: str):
+        self._fn = make_step_fn(params, pressure_method)
+        self._state = state
+
+    @property
+    def t(self) -> float:
+        return float(self._state.t)
+
+    @property
+    def n(self) -> int:
+        return int(self._state.n)
+
+    def step(self):
+        self._state, diag = self._fn(self._state)
+        return diag
+
+    def state(self) -> State:
+        return self._state
+
+
+def _run_host_loop(params: Params, stepper, args):
     """Host-driven loop for output/checkpoint side effects (the working
-    version of the reference's commented-out n_print path, main.c:138-143)."""
+    version of the reference's commented-out n_print path, main.c:138-143).
+    Works over any stepper (single-chip or sharded): fields are only
+    gathered off-device when an output frame or checkpoint is written."""
     from .solver import SolveStats
 
-    step_fn = make_step_fn(params, pressure_method)
     steps = 0
     total_iters = 0
     failures = 0
@@ -195,30 +224,31 @@ def _run_host_loop(params: Params, state: State, args, pressure_method):
     if hist_fh and hist_mode == "w":
         hist_fh.write("step,t,dt,sor_iterations,res_norm\n")
     n_print = max(params.n_print, 1)
-    while float(state.t) < params.T:
+    while stepper.t < params.T:
         if args.max_steps and steps >= args.max_steps:
             break
-        n_abs = int(state.n)
+        n_abs = stepper.n
         if args.output_dir and n_abs % n_print == 0:
-            nsio.output(np.asarray(state.u), np.asarray(state.v),
-                        np.asarray(state.p), float(state.t), params.a,
+            st = stepper.state()
+            nsio.output(np.asarray(st.u), np.asarray(st.v),
+                        np.asarray(st.p), float(st.t), params.a,
                         params.b, f"{args.output_dir}/{n_abs // n_print}",
                         verbose=False)
-        state, diag = step_fn(state)
+        diag = stepper.step()
         steps += 1
         total_iters += int(diag.sor_iterations)
         failures += 0 if bool(diag.sor_converged) else 1
         last_norm = float(diag.sor_res_norm)
         if hist_fh:
-            hist_fh.write(f"{int(state.n)},{float(state.t):.8f},"
+            hist_fh.write(f"{stepper.n},{stepper.t:.8f},"
                           f"{float(diag.dt):.8f},"
                           f"{int(diag.sor_iterations)},{last_norm:.6e}\n")
         if args.log_every and steps % args.log_every == 0:
-            print(f"step={steps} t={float(state.t):.5f} dt={float(diag.dt):.5f}"
+            print(f"step={steps} t={stepper.t:.5f} dt={float(diag.dt):.5f}"
                   f" sor_iters={int(diag.sor_iterations)} res={last_norm:.3e}",
                   file=sys.stderr)
         if args.checkpoint_every and steps % args.checkpoint_every == 0:
-            save_checkpoint(args.checkpoint_path, state)
+            save_checkpoint(args.checkpoint_path, stepper.state())
     if hist_fh:
         hist_fh.close()
     stats = SolveStats(
@@ -227,7 +257,7 @@ def _run_host_loop(params: Params, state: State, args, pressure_method):
         sor_failures=np.int32(failures),
         last_res_norm=np.asarray(last_norm),
     )
-    return state, stats
+    return stepper.state(), stats
 
 
 if __name__ == "__main__":

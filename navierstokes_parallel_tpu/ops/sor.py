@@ -237,9 +237,13 @@ def _default_l2(params):
 
 
 def _solve_pressure_direct(p, rhs, params, *, method, ghost_fn=ghost_fill,
-                           l2_fn=None, parity=0):
+                           l2_fn=None, parity=0, valid_mask=None):
     """Single-precision-domain solve with the residual check every sweep
-    (exact serial semantics, integration.c:136-169)."""
+    (exact serial semantics, integration.c:136-169).
+
+    `valid_mask` (interior-shaped bool, optional) restricts updates, the
+    residual, and the norms to TRUE interior cells — used by padded sharded
+    blocks whose trailing pad cells must stay inert (parallel/sharded.py)."""
     dtype = p.dtype
     dx2_inv = jnp.asarray(1.0 / (params.dx * params.dx), dtype)
     dy2_inv = jnp.asarray(1.0 / (params.dy * params.dy), dtype)
@@ -250,8 +254,15 @@ def _solve_pressure_direct(p, rhs, params, *, method, ghost_fn=ghost_fill,
     local_shape = (p.shape[0] - 2, p.shape[1] - 2)
     red_mask = _checkerboard(local_shape, 0, parity)
     black_mask = _checkerboard(local_shape, 1, parity)
+    if valid_mask is not None:
+        red_mask = red_mask & valid_mask
+        black_mask = black_mask & valid_mask
 
-    norm_p0 = l2_fn(p[1:-1, 1:-1])
+    def masked(arr_int):
+        return arr_int if valid_mask is None else jnp.where(
+            valid_mask, arr_int, jnp.zeros_like(arr_int))
+
+    norm_p0 = l2_fn(masked(p[1:-1, 1:-1]))
     threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
 
     iteration = _make_iteration(
@@ -266,7 +277,7 @@ def _solve_pressure_direct(p, rhs, params, *, method, ghost_fn=ghost_fill,
     def body(carry):
         p, it, _ = carry
         p = iteration(p)
-        res_norm = l2_fn(residual(p, rhs_int, dx2_inv, dy2_inv))
+        res_norm = l2_fn(masked(residual(p, rhs_int, dx2_inv, dy2_inv)))
         return p, it + 1, res_norm
 
     init = (p, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
@@ -279,7 +290,8 @@ def _solve_pressure_direct(p, rhs, params, *, method, ghost_fn=ghost_fill,
 
 
 def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
-                            l2_fn=None, parity=0, inner="jnp", inner_fn=None):
+                            l2_fn=None, parity=0, inner="jnp", inner_fn=None,
+                            valid_mask=None):
     """Mixed-precision iterative refinement around f32 SOR sweeps.
 
     Outer loop (f64, once per K sweeps): defect r = A p - RHS, L2 norm,
@@ -302,11 +314,18 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
     local_shape = (p.shape[0] - 2, p.shape[1] - 2)
     red_mask = _checkerboard(local_shape, 0, parity)
     black_mask = _checkerboard(local_shape, 1, parity)
+    if valid_mask is not None:
+        red_mask = red_mask & valid_mask
+        black_mask = black_mask & valid_mask
+
+    def masked(arr_int):
+        return arr_int if valid_mask is None else jnp.where(
+            valid_mask, arr_int, jnp.zeros_like(arr_int))
 
     p64 = p.astype(f64)
     rhs_int64 = rhs[1:-1, 1:-1].astype(f64)
 
-    norm_p0 = l2_fn(p64[1:-1, 1:-1])
+    norm_p0 = l2_fn(masked(p64[1:-1, 1:-1]))
     threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
 
     if inner_fn is not None:
@@ -379,11 +398,11 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
         n_inner = jnp.minimum(K, params.max_it - it)
         delta = inner_sweeps(-r64.astype(f32), n_inner)
         p64 = p64.at[1:-1, 1:-1].add(delta[1:-1, 1:-1].astype(f64))
-        r64 = residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64)
+        r64 = masked(residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64))
         res_norm = l2_fn(r64)
         return p64, r64, it + n_inner, res_norm
 
-    r64_0 = residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64)
+    r64_0 = masked(residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64))
     init = (p64, r64_0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, f64))
     p64, _, it, res_norm = lax.while_loop(cond, body, init)
     p_out = ghost_fn(p64).astype(p.dtype)

@@ -84,6 +84,50 @@ def close_pressure_halo(p: jax.Array, edges) -> jax.Array:
 
 def neumann_or_exchange(p: jax.Array) -> jax.Array:
     """The sharded ghost_fn for the SOR solver: ppermute interior halos,
-    Neumann-close physical ones."""
+    Neumann-close physical ones.  Assumes the physical boundary coincides
+    with the block edges (evenly-divisible grids); for padded blocks use
+    `make_masked_ghost_fn`."""
     edges = edge_masks()
     return close_pressure_halo(exchange_halo(p), edges)
+
+
+def padded_global_indices(shape, x_axis: str = "x", y_axis: str = "y"):
+    """(gi, gj) global PADDED-layout indices for every cell of a padded local
+    block (halo ring included): gi = shard_origin_x + local_index, so gi == 0
+    is the global left ghost column and gi == i_max + 1 the right ghost —
+    which, when the interior is padded to divisibility, may lie strictly
+    inside a block rather than on its halo ring."""
+    li, lj = shape[0] - 2, shape[1] - 2
+    ox = lax.axis_index(x_axis) * li
+    oy = lax.axis_index(y_axis) * lj
+    gi = lax.broadcasted_iota(jnp.int32, shape, 0) + ox
+    gj = lax.broadcasted_iota(jnp.int32, shape, 1) + oy
+    return gi, gj
+
+
+def make_masked_ghost_fn(i_max: int, j_max: int):
+    """ghost_fn for (possibly padded) sharded blocks: ppermute halo exchange,
+    then the homogeneous-Neumann closure (integration.c:138-146) written as
+    global-index-masked roll copies — correct wherever the TRUE physical
+    boundary falls, block edge or block interior.  Junk cells beyond the
+    ghost ring (gi > i_max+1 / gj > j_max+1, present only when the grid is
+    padded to divisibility) are zeroed so reductions and sweeps stay clean.
+
+    Masked writes are applied at halo positions too, which keeps every
+    shard's halo copy of a ghost cell consistent with its owner without a
+    second exchange (the roll source is valid at all positions that any
+    in-bounds cell ever reads)."""
+
+    def ghost(p: jax.Array) -> jax.Array:
+        p = exchange_halo(p)
+        gi, gj = padded_global_indices(p.shape)
+        in_j = (gj >= 1) & (gj <= j_max)
+        in_i = (gi >= 1) & (gi <= i_max)
+        p = jnp.where((gi == 0) & in_j, jnp.roll(p, -1, 0), p)
+        p = jnp.where((gi == i_max + 1) & in_j, jnp.roll(p, 1, 0), p)
+        p = jnp.where(in_i & (gj == 0), jnp.roll(p, -1, 1), p)
+        p = jnp.where(in_i & (gj == j_max + 1), jnp.roll(p, 1, 1), p)
+        return jnp.where((gi > i_max + 1) | (gj > j_max + 1),
+                         jnp.zeros_like(p), p)
+
+    return ghost

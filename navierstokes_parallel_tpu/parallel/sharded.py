@@ -13,13 +13,21 @@ momentum, the nested SOR while_loop with its psum'd convergence norm — runs
 inside one shard_mapped `lax.while_loop`: zero host round-trips, and every
 collective rides ICI.
 
+Pad-to-divisible sharding: ANY interior size runs — including the
+reference's default 257^2 (parameters.txt:3-4).  Each axis is padded to the
+next multiple of the mesh extent; every boundary condition, update mask, and
+reduction is keyed on *global* indices against the TRUE i_max/j_max, so pad
+cells stay inert, the physical ghost ring lives wherever those indices say
+(block interior or halo ring), and results are bit-independent of the pad.
+
 Semantics notes:
   * The checkerboard parity is made globally consistent by offsetting each
     shard's mask with its global origin (ops/sor.py `_checkerboard`).
-  * Ghost entries that the stencils never read (e.g. far corner ghosts) may
-    differ from the reference's byte-level ghost contents; all *read*
-    entries match.  `solve_sharded` reconstructs reference-style ghosts on
-    the gathered result for output-file parity.
+  * Output-file ghost parity: `solve_sharded` gathers the blocks WITH their
+    halo/ghost contents and reassembles the reference-layout padded array,
+    so the ghost ring in `_u.txt`-style files carries the exact values the
+    single-chip path leaves there (pre-projection BC ghosts) — not a
+    post-hoc regeneration.
   * The reference's max_mat seeds its signed max with the u[0][0] ghost
     corner (io.c:124) which is provably always zero for the supported
     problems; the sharded reduction seeds with 0 accordingly.
@@ -32,6 +40,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -39,18 +48,14 @@ from ..config import Params
 from ..grid import State
 from ..ops import sor
 from ..ops import stencils as st
-from ..solver import SolveStats
+from ..solver import SolveStats, StepDiagnostics
 from . import halo
-from .topology import MESH_AXES, grid_sharding, make_grid_mesh
+from .topology import MESH_AXES, grid_sharding, local_block_dims, make_grid_mesh
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
-
-
-def _pad1(x):
-    return jnp.pad(x, 1)
 
 
 def _global_indices(shape, li, lj):
@@ -62,50 +67,49 @@ def _global_indices(shape, li, lj):
     return gi, gj
 
 
-def _refresh_velocity_halos(u, v, lid_u, edges, params: Params):
-    """Wall-value writes + halo exchange + BC ghost closures for u, v.
+def _valid_mask_or_none(params: Params, li, lj):
+    """Interior-shaped bool mask of TRUE (non-pad) cells; None if no pad."""
+    gi, gj = _global_indices((li, lj), li, lj)
+    if li * jax.lax.axis_size("x") == params.i_max and \
+            lj * jax.lax.axis_size("y") == params.j_max:
+        return None, gi, gj
+    return (gi <= params.i_max) & (gj <= params.j_max), gi, gj
 
-    Mirrors the serial BC semantics (boundaries.c:7-39) on local blocks;
-    order y-exchange -> y-closures -> x-exchange -> x-closures so halo
-    corners carry the correct diagonal values for the donor-cell stencils.
-    Ghost entries the stencils never read are not guaranteed to match the
-    reference byte-for-byte (see module docstring).
-    """
-    # Wall values stored in the interior: right wall u, lid-plane v.
-    u = u.at[-2, 1:-1].set(jnp.where(edges["right"], 0.0, u[-2, 1:-1]))
-    v = v.at[1:-1, -2].set(jnp.where(edges["top"], 0.0, v[1:-1, -2]))
 
-    # y exchange (full rows), then y closures.
-    u = u.at[:, 0].set(halo._shift_up(u[:, -2], "y"))
-    u = u.at[:, -1].set(halo._shift_down(u[:, 1], "y"))
-    v = v.at[:, 0].set(halo._shift_up(v[:, -2], "y"))
-    v = v.at[:, -1].set(halo._shift_down(v[:, 1], "y"))
+def _apply_bcs_sharded(u, v, lid_u, params: Params):
+    """Serial-semantics velocity BCs (boundaries.c:7-39 / ops/boundary.py)
+    on padded local blocks, written as global-index-masked roll updates so
+    they land wherever the TRUE wall/ghost line falls (block edge for
+    divisible grids, block interior under pad-to-divisible sharding).
 
-    # BOTTOM: v wall edge lives in the ghost row; u tangential reflection.
-    v = v.at[1:-1, 0].set(jnp.where(edges["bottom"], 0.0, v[1:-1, 0]))
-    u = u.at[1:-1, 0].set(
-        jnp.where(edges["bottom"], -u[1:-1, 1], u[1:-1, 0])
-    )
-    # TOP: u tangential reflection against the moving lid (main.c:99/104).
-    u = u.at[1:-1, -1].set(
-        jnp.where(edges["top"], 2.0 * lid_u - u[1:-1, -2], u[1:-1, -1])
-    )
+    Side order is the reference driver's LEFT, RIGHT, BOTTOM, TOP
+    (main.c:95-104) and is load-bearing: BOTTOM/TOP read u values that
+    RIGHT writes, and RIGHT's v-ghost read must precede TOP's v-wall write.
 
-    # x exchange (full columns, including fresh y-halo entries -> corners).
-    u = u.at[0, :].set(halo._shift_up(u[-2, :], "x"))
-    u = u.at[-1, :].set(halo._shift_down(u[1, :], "x"))
-    v = v.at[0, :].set(halo._shift_up(v[-2, :], "x"))
-    v = v.at[-1, :].set(halo._shift_down(v[1, :], "x"))
+    Every masked write is also applied at matching HALO positions, which
+    keeps each shard's halo copy of a BC-written cell consistent with its
+    owner — no second exchange is needed (the roll sources are valid at all
+    positions any in-bounds cell reads; the only wrap-around corruption
+    lands in all-void pad shards)."""
+    I, J = params.i_max, params.j_max
+    u = halo.exchange_halo(u)
+    v = halo.exchange_halo(v)
+    gi, gj = halo.padded_global_indices(u.shape)
+    in_j = (gj >= 1) & (gj <= J)
+    in_i = (gi >= 1) & (gi <= I)
 
-    # LEFT: u wall edge lives in the ghost column; v tangential reflection.
-    u = u.at[0, :].set(jnp.where(edges["left"], 0.0, u[0, :]))
-    v = v.at[0, 1:-1].set(
-        jnp.where(edges["left"], -v[1, 1:-1], v[0, 1:-1])
-    )
-    # RIGHT: v tangential reflection into the ghost column.
-    v = v.at[-1, 1:-1].set(
-        jnp.where(edges["right"], -v[-2, 1:-1], v[-1, 1:-1])
-    )
+    # LEFT: u wall edge on gi==0; v tangential ghost reflection.
+    u = jnp.where((gi == 0) & in_j, jnp.zeros_like(u), u)
+    v = jnp.where((gi == 0) & in_j, -jnp.roll(v, -1, 0), v)
+    # RIGHT: u wall edge on gi==i_max; v ghost at gi==i_max+1.
+    u = jnp.where((gi == I) & in_j, jnp.zeros_like(u), u)
+    v = jnp.where((gi == I + 1) & in_j, -jnp.roll(v, 1, 0), v)
+    # BOTTOM: v wall edge on gj==0 (ghost row); u tangential reflection.
+    v = jnp.where(in_i & (gj == 0), jnp.zeros_like(v), v)
+    u = jnp.where(in_i & (gj == 0), -jnp.roll(u, -1, 1), u)
+    # TOP: v wall edge on gj==j_max; u reflected against the moving lid.
+    v = jnp.where(in_i & (gj == J), jnp.zeros_like(v), v)
+    u = jnp.where(in_i & (gj == J + 1), 2.0 * lid_u - jnp.roll(u, 1, 1), u)
     return u, v
 
 
@@ -131,7 +135,9 @@ def _local_fg(u, v, dt, gamma, params: Params, gi, gj):
     G = jnp.zeros_like(v).at[1:-1, 1:-1].set(g_int)
 
     # F needs a valid west halo for the RHS divergence (F[0]=u[0]=0 on the
-    # left wall, neighbor F otherwise); G needs a valid south halo.
+    # left wall, neighbor F otherwise); G needs a valid south halo.  The
+    # physical west/south boundary always sits on shard (0, *)/(*, 0)'s halo
+    # ring (padding is high-side only), so the edge-based fill stays exact.
     F = F.at[0, :].set(halo._shift_up(F[-2, :], "x"))
     G = G.at[:, 0].set(halo._shift_up(G[:, -2], "y"))
     edges = halo.edge_masks()
@@ -140,16 +146,22 @@ def _local_fg(u, v, dt, gamma, params: Params, gi, gj):
     return F, G
 
 
-def _sharded_step(u, v, p, t, params: Params, li, lj, pressure_method):
+def _sharded_step(u, v, p, t, params: Params, pressure_method):
     """One full time step on local padded blocks (reference main.c:86-146)."""
-    f64 = u.dtype
-    edges = halo.edge_masks()
-    gi, gj = _global_indices((li, lj), li, lj)
+    li, lj = u.shape[0] - 2, u.shape[1] - 2
     dx, dy = params.dx, params.dy
+    valid, gi, gj = _valid_mask_or_none(params, li, lj)
 
-    # Adaptive dt: signed global maxima via pmax (io.c:122 quirk: seed 0).
-    u_max = jnp.maximum(0.0, lax.pmax(jnp.max(u[1:-1, 1:-1]), MESH_AXES))
-    v_max = jnp.maximum(0.0, lax.pmax(jnp.max(v[1:-1, 1:-1]), MESH_AXES))
+    def mask_pad(arr_int):
+        return arr_int if valid is None else jnp.where(
+            valid, arr_int, jnp.zeros_like(arr_int))
+
+    # Adaptive dt: signed global maxima via pmax (io.c:122 quirk: seed 0);
+    # pad cells are excluded (the single-chip max never sees them).
+    u_max = jnp.maximum(0.0, lax.pmax(jnp.max(mask_pad(u[1:-1, 1:-1])),
+                                      MESH_AXES))
+    v_max = jnp.maximum(0.0, lax.pmax(jnp.max(mask_pad(v[1:-1, 1:-1])),
+                                      MESH_AXES))
     visc = params.Re / 2.0 / (1.0 / (dx * dx) + 1.0 / (dy * dy))
     dt = params.tau * jnp.minimum(
         visc, jnp.minimum(dx / jnp.abs(u_max), dy / jnp.abs(v_max))
@@ -160,22 +172,25 @@ def _sharded_step(u, v, p, t, params: Params, li, lj, pressure_method):
         lid_u = jnp.asarray(1.0, t.dtype)
     else:
         lid_u = jnp.sin(params.f * t)
-    u, v = _refresh_velocity_halos(u, v, lid_u, edges, params)
+    u, v = _apply_bcs_sharded(u, v, lid_u, params)
 
     F, G = _local_fg(u, v, dt, gamma, params, gi, gj)
-    rhs = jnp.zeros_like(p).at[1:-1, 1:-1].set(
+    rhs_int = mask_pad(
         (
             (F[1:-1, 1:-1] - F[:-2, 1:-1]) / dx
             + (G[1:-1, 1:-1] - G[1:-1, :-2]) / dy
         )
         / dt
     )
+    rhs = jnp.zeros_like(p).at[1:-1, 1:-1].set(rhs_int)
 
-    # Pressure solve with sharded hooks: ppermute ghost_fn, psum'd L2 norm,
-    # globally-consistent checkerboard parity.
+    # Pressure solve with sharded hooks: ppermute+masked-Neumann ghost_fn,
+    # psum'd L2 norm, globally-consistent checkerboard parity, pad-cell
+    # validity mask.
     ox = lax.axis_index("x") * li
     oy = lax.axis_index("y") * lj
     n_cells = params.i_max * params.j_max
+    ghost_fn = halo.make_masked_ghost_fn(params.i_max, params.j_max)
 
     def l2_fn(arr):
         return jnp.sqrt(lax.psum(jnp.sum(arr * arr), MESH_AXES) / n_cells)
@@ -183,13 +198,14 @@ def _sharded_step(u, v, p, t, params: Params, li, lj, pressure_method):
     if pressure_method == "mg":
         # Sharded multigrid: V-cycles on local blocks (local restriction/
         # prolongation, ppermute-halo smoothing) inside the same f64
-        # refinement outer with psum'd defect norms.
+        # refinement outer with psum'd defect norms.  Divisible grids only
+        # (coarsening does not commute with high-side padding).
         from ..ops import mg as mgmod
 
         result = sor._solve_pressure_refined(
             p, rhs, params.replace(sor_refine_every=1),
             method="rb_sor",
-            ghost_fn=halo.neumann_or_exchange,
+            ghost_fn=ghost_fn,
             l2_fn=l2_fn,
             parity=(ox + oy) % 2,
             inner_fn=mgmod.make_sharded_inner(params, li, lj),
@@ -198,9 +214,10 @@ def _sharded_step(u, v, p, t, params: Params, li, lj, pressure_method):
         result = sor.solve_pressure(
             p, rhs, params,
             method=pressure_method,
-            ghost_fn=halo.neumann_or_exchange,
+            ghost_fn=ghost_fn,
             l2_fn=l2_fn,
             parity=(ox + oy) % 2,
+            valid_mask=valid,
         )
     p = result.p
 
@@ -208,21 +225,18 @@ def _sharded_step(u, v, p, t, params: Params, li, lj, pressure_method):
     u_new = F[1:-1, 1:-1] - dt * (p[2:, 1:-1] - p[1:-1, 1:-1]) / dx
     v_new = G[1:-1, 1:-1] - dt * (p[1:-1, 2:] - p[1:-1, 1:-1]) / dy
     u = u.at[1:-1, 1:-1].set(
-        jnp.where(gi <= params.i_max - 1, u_new, u[1:-1, 1:-1])
+        jnp.where((gi <= params.i_max - 1) & (gj <= params.j_max),
+                  u_new, u[1:-1, 1:-1])
     )
     v = v.at[1:-1, 1:-1].set(
-        jnp.where(gj <= params.j_max - 1, v_new, v[1:-1, 1:-1])
+        jnp.where((gj <= params.j_max - 1) & (gi <= params.i_max),
+                  v_new, v[1:-1, 1:-1])
     )
     return u, v, p, dt, result
 
 
-def _local_solve(u_int, v_int, p_int, t0, params: Params, pressure_method: str):
-    """Full `while t < T` on local blocks; runs inside shard_map."""
-    li, lj = u_int.shape
-    u = _pad1(u_int)
-    v = _pad1(v_int)
-    p = _pad1(p_int)
-
+def _local_solve(u, v, p, t0, params: Params, pressure_method: str):
+    """Full `while t < T` on local padded blocks; runs inside shard_map."""
     T = jnp.asarray(params.T, t0.dtype)
     zero = jnp.zeros((), jnp.int32)
 
@@ -232,9 +246,8 @@ def _local_solve(u_int, v_int, p_int, t0, params: Params, pressure_method: str):
 
     def body(carry):
         u, v, p, t, stats = carry
-        u, v, p, dt, result = _sharded_step(
-            u, v, p, t, params, li, lj, pressure_method
-        )
+        u, v, p, dt, result = _sharded_step(u, v, p, t, params,
+                                            pressure_method)
         stats = SolveStats(
             steps=stats.steps + 1,
             total_sor_iterations=stats.total_sor_iterations + result.iterations,
@@ -249,34 +262,91 @@ def _local_solve(u_int, v_int, p_int, t0, params: Params, pressure_method: str):
         last_res_norm=jnp.zeros((), t0.dtype),
     )
     u, v, p, t, stats = lax.while_loop(cond, body, (u, v, p, t0, stats0))
-    return u[1:-1, 1:-1], v[1:-1, 1:-1], p[1:-1, 1:-1], t, stats
+    return u, v, p, t, stats
+
+
+# ---------------------------------------------------------------------------
+# Host-side block layout: each shard's (li+2, lj+2) padded block is carried
+# as one tile of a (px*(li+2), py*(lj+2)) concatenation, sharded P("x","y").
+# Keeping the halo ring IN the device layout is what preserves output-file
+# ghost parity: the blocks' halos hold the exact pre-projection BC ghost
+# values the single-chip path leaves in the padded state.
+# ---------------------------------------------------------------------------
+
+
+def _scatter_blocks(arr, px: int, py: int, li: int, lj: int):
+    """Reference-layout (i_max+2, j_max+2) array -> block-concatenated
+    (px*(li+2), py*(lj+2)) layout (overlapping halo copies included)."""
+    arr = np.asarray(arr)
+    g = np.zeros((px * li + 2, py * lj + 2), arr.dtype)
+    g[: arr.shape[0], : arr.shape[1]] = arr
+    rows = []
+    for ax in range(px):
+        cols = [g[ax * li: ax * li + li + 2, ay * lj: ay * lj + lj + 2]
+                for ay in range(py)]
+        rows.append(np.concatenate(cols, axis=1))
+    return np.concatenate(rows, axis=0)
+
+
+def _gather_blocks(blocks, px: int, py: int, li: int, lj: int, shape):
+    """Inverse of `_scatter_blocks`: reassemble the reference-layout padded
+    array — interiors from in-block cells, the global ghost ring from the
+    edge shards' halo rings — then drop pad rows/columns."""
+    b = np.asarray(blocks).reshape(px, li + 2, py, lj + 2)
+    out = np.zeros((px * li + 2, py * lj + 2), b.dtype)
+    for ax in range(px):
+        for ay in range(py):
+            out[ax * li + 1: (ax + 1) * li + 1,
+                ay * lj + 1: (ay + 1) * lj + 1] = b[ax, 1:-1, ay, 1:-1]
+    for ay in range(py):
+        out[0, ay * lj + 1: (ay + 1) * lj + 1] = b[0, 0, ay, 1:-1]
+        out[-1, ay * lj + 1: (ay + 1) * lj + 1] = b[px - 1, -1, ay, 1:-1]
+    for ax in range(px):
+        out[ax * li + 1: (ax + 1) * li + 1, 0] = b[ax, 1:-1, 0, 0]
+        out[ax * li + 1: (ax + 1) * li + 1, -1] = b[ax, 1:-1, py - 1, -1]
+    out[0, 0] = b[0, 0, 0, 0]
+    out[0, -1] = b[0, 0, py - 1, -1]
+    out[-1, 0] = b[px - 1, -1, 0, 0]
+    out[-1, -1] = b[px - 1, -1, py - 1, -1]
+    return out[: shape[0], : shape[1]]
+
+
+def _check_method(params: Params, mesh: Mesh, pressure_method: str):
+    px, py = mesh.devices.shape
+    li, lj = local_block_dims((px, py), params.i_max, params.j_max)
+    padded = (px * li != params.i_max) or (py * lj != params.j_max)
+    if pressure_method == "mg" and padded:
+        raise ValueError(
+            f"sharded multigrid requires an evenly-divisible grid; "
+            f"{params.i_max}x{params.j_max} over a {px}x{py} mesh pads to "
+            f"{px * li}x{py * lj} — use pressure_method='rb_sor'"
+        )
+    return px, py, li, lj
 
 
 def make_sharded_step_fn(params: Params, mesh: Mesh,
                          pressure_method: str = "rb_sor"):
-    """Jitted shard_mapped single time step over interior blocks.
+    """Jitted shard_mapped single time step over block-concatenated padded
+    arrays (see `_scatter_blocks` layout).
 
-    Used by the host-driven sharded loop (periodic output / checkpointing)
-    and by the multi-chip compile dry run (__graft_entry__.dryrun_multichip).
-    """
+    Returns fn(u_blocks, v_blocks, p_blocks, t) ->
+    (u_blocks, v_blocks, p_blocks, t+dt, dt, sor_iters, res_norm, converged).
+    Used by the host-driven sharded loop (ShardedStepper: periodic output /
+    checkpointing) and by the multi-chip compile dry run."""
+    _check_method(params, mesh, pressure_method)
     spec = P(*MESH_AXES)
 
-    def local_step(u_int, v_int, p_int, t):
-        li, lj = u_int.shape
-        u, v, p = _pad1(u_int), _pad1(v_int), _pad1(p_int)
-        u, v, p, dt, result = _sharded_step(
-            u, v, p, t, params, li, lj, pressure_method
-        )
-        return (
-            u[1:-1, 1:-1], v[1:-1, 1:-1], p[1:-1, 1:-1], t + dt,
-            result.iterations, result.res_norm,
-        )
+    def local_step(u, v, p, t):
+        u, v, p, dt, result = _sharded_step(u, v, p, t, params,
+                                            pressure_method)
+        return (u, v, p, t + dt, dt, result.iterations, result.res_norm,
+                result.converged)
 
     mapped = shard_map(
         local_step,
         mesh=mesh,
         in_specs=(spec, spec, spec, P()),
-        out_specs=(spec, spec, spec, P(), P(), P()),
+        out_specs=(spec, spec, spec, P(), P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -286,6 +356,7 @@ def make_sharded_step_fn(params: Params, mesh: Mesh,
 def make_sharded_solve(params: Params, mesh: Mesh, pressure_method: str = "rb_sor"):
     """Build the jitted shard_mapped full-solve callable (cached: repeated
     solve_sharded calls must not re-jit)."""
+    _check_method(params, mesh, pressure_method)
     spec = P(*MESH_AXES)
     fn = functools.partial(
         _local_solve, params=params, pressure_method=pressure_method
@@ -300,6 +371,62 @@ def make_sharded_solve(params: Params, mesh: Mesh, pressure_method: str = "rb_so
     return jax.jit(mapped)
 
 
+class ShardedStepper:
+    """Host-loop adapter for the sharded backend: holds device-resident
+    padded blocks, advances one time step per `.step()`, and gathers a
+    reference-layout `State` (WITH ghost parity) on demand — enabling
+    periodic output, per-step history, and checkpoint/resume (elastic
+    recovery) for multi-chip runs.  The analogue of the reference's
+    commented-out n_print path (main.c:138-143), multi-chip edition."""
+
+    def __init__(self, params: Params, state: State,
+                 mesh: Optional[Mesh] = None,
+                 pressure_method: str = "rb_sor"):
+        if mesh is None:
+            mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
+        self.params = params
+        self.mesh = mesh
+        self.px, self.py, self.li, self.lj = _check_method(
+            params, mesh, pressure_method)
+        self._sharding = grid_sharding(mesh)
+        self._step_fn = make_sharded_step_fn(params, mesh, pressure_method)
+        dims = (self.px, self.py, self.li, self.lj)
+        self._u = jax.device_put(_scatter_blocks(state.u, *dims),
+                                 self._sharding)
+        self._v = jax.device_put(_scatter_blocks(state.v, *dims),
+                                 self._sharding)
+        self._p = jax.device_put(_scatter_blocks(state.p, *dims),
+                                 self._sharding)
+        self._t = jnp.asarray(state.t)
+        self._n = int(state.n)
+
+    @property
+    def t(self) -> float:
+        return float(self._t)
+
+    @property
+    def n(self) -> int:
+        return self._n
+
+    def step(self) -> StepDiagnostics:
+        (self._u, self._v, self._p, self._t, dt, iters, res_norm,
+         converged) = self._step_fn(self._u, self._v, self._p, self._t)
+        self._n += 1
+        return StepDiagnostics(dt=dt, sor_iterations=iters,
+                               sor_res_norm=res_norm, sor_converged=converged)
+
+    def state(self) -> State:
+        dims = (self.px, self.py, self.li, self.lj)
+        shape = self.params.shape
+        return State(
+            u=jnp.asarray(_gather_blocks(self._u, *dims, shape)),
+            v=jnp.asarray(_gather_blocks(self._v, *dims, shape)),
+            p=jnp.asarray(_gather_blocks(self._p, *dims, shape)),
+            t=self._t,
+            n=jnp.asarray(self._n, jnp.int32),
+        )
+
+
 def solve_sharded(
     params: Params,
     state: Optional[State] = None,
@@ -308,32 +435,30 @@ def solve_sharded(
     pressure_method: str = "rb_sor",
 ) -> Tuple[State, SolveStats]:
     """Sharded drop-in for solver.solve(): scatter -> on-device solve ->
-    gather, returning a reference-layout padded State."""
+    gather, returning a reference-layout padded State with ghost parity."""
     from ..grid import allocate_state
-    from ..ops import boundary
 
     if state is None:
         state = allocate_state(params)
     if mesh is None:
         mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
 
+    px, py, li, lj = _check_method(params, mesh, pressure_method)
     sharding = grid_sharding(mesh)
-    u_int = jax.device_put(state.u[1:-1, 1:-1], sharding)
-    v_int = jax.device_put(state.v[1:-1, 1:-1], sharding)
-    p_int = jax.device_put(state.p[1:-1, 1:-1], sharding)
+    dims = (px, py, li, lj)
+    u = jax.device_put(_scatter_blocks(state.u, *dims), sharding)
+    v = jax.device_put(_scatter_blocks(state.v, *dims), sharding)
+    p = jax.device_put(_scatter_blocks(state.p, *dims), sharding)
 
     solve_fn = make_sharded_solve(params, mesh, pressure_method)
-    u_int, v_int, p_int, t, stats = solve_fn(u_int, v_int, p_int, state.t)
+    u, v, p, t, stats = solve_fn(u, v, p, state.t)
 
-    # Reassemble the padded reference layout; regenerate ghost entries (BC +
-    # Neumann fill).  Interior matches the on-device result exactly; ghosts
-    # are cosmetic (write-only in the reference's output files).
     shape = params.shape
-    u = jnp.zeros(shape, state.u.dtype).at[1:-1, 1:-1].set(u_int)
-    v = jnp.zeros(shape, state.v.dtype).at[1:-1, 1:-1].set(v_int)
-    p = jnp.zeros(shape, state.p.dtype).at[1:-1, 1:-1].set(p_int)
-    p = sor.ghost_fill(p)
-    lid = boundary.lid_velocity(params.problem, params.f, t)
-    u, v = boundary.apply_cavity_bcs(u, v, lid)
-    new_state = State(u=u, v=v, p=p, t=t, n=state.n + stats.steps)
+    new_state = State(
+        u=jnp.asarray(_gather_blocks(u, *dims, shape)),
+        v=jnp.asarray(_gather_blocks(v, *dims, shape)),
+        p=jnp.asarray(_gather_blocks(p, *dims, shape)),
+        t=t,
+        n=state.n + stats.steps,
+    )
     return new_state, stats

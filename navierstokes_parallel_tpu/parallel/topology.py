@@ -34,7 +34,9 @@ def choose_mesh_shape(
     n_devices: int, i_max: int, j_max: int
 ) -> Tuple[int, int]:
     """Pick (px, py) with px*py == n_devices that evenly divides the interior
-    grid, preferring a near-square decomposition (minimum halo perimeter)."""
+    grid, preferring a near-square decomposition (minimum halo perimeter).
+    Raises when no factorization divides evenly — callers that can handle
+    padded blocks should use `choose_mesh_shape_padded` instead."""
     for px, py in _factor_pairs(n_devices):
         if i_max % px == 0 and j_max % py == 0:
             return px, py
@@ -42,6 +44,33 @@ def choose_mesh_shape(
         f"cannot shard a {i_max}x{j_max} interior over {n_devices} devices: "
         f"no factorization divides the grid evenly"
     )
+
+
+def choose_mesh_shape_padded(
+    n_devices: int, i_max: int, j_max: int
+) -> Tuple[int, int]:
+    """Pick (px, py) with px*py == n_devices minimizing the PADDED interior
+    area ceil(i/px)*px * ceil(j/py)*py, tie-broken nearest-square.  Always
+    succeeds: any grid — including the reference's default 257^2
+    (parameters.txt:3-4) — shards via pad-to-divisible blocks whose pad
+    cells are masked out of every update and reduction (see sharded.py)."""
+    best = None
+    for px, py in _factor_pairs(n_devices):
+        ip = -(-i_max // px) * px
+        jp = -(-j_max // py) * py
+        cost = (ip * jp, abs(px - py))
+        if best is None or cost < best[0]:
+            best = (cost, (px, py))
+    return best[1]
+
+
+def local_block_dims(
+    mesh_shape: Tuple[int, int], i_max: int, j_max: int
+) -> Tuple[int, int]:
+    """Per-shard interior block dims (li, lj) = ceil(i_max/px), ceil(j_max/py);
+    the global interior is padded to (px*li, py*lj)."""
+    px, py = mesh_shape
+    return -(-i_max // px), -(-j_max // py)
 
 
 def make_grid_mesh(
@@ -56,7 +85,7 @@ def make_grid_mesh(
     if n_devices is None:
         n_devices = len(devices)
     devices = list(devices)[:n_devices]
-    px, py = choose_mesh_shape(n_devices, i_max, j_max)
+    px, py = choose_mesh_shape_padded(n_devices, i_max, j_max)
     dev_array = np.asarray(devices).reshape(px, py)
     return Mesh(dev_array, MESH_AXES)
 

@@ -139,3 +139,105 @@ def test_sharded_multigrid_oracle_contract():
         np.asarray(sh.u, dtype=np.float64)[1:-1, 1:-1],
         res_o.u[1:-1, 1:-1], tol=1e-4,
     )
+
+
+def test_mesh_factorization_padded():
+    """Any grid shards: the padded chooser minimizes pad area, near-square."""
+    assert topology.choose_mesh_shape_padded(8, 16, 16) in ((4, 2), (2, 4))
+    # 7x7 over 8: a 1D mesh pads less (7x8=56 cells) than 2x4 (8x8=64).
+    assert topology.choose_mesh_shape_padded(8, 7, 7) in ((1, 8), (8, 1))
+    assert topology.local_block_dims((2, 4), 17, 17) == (9, 5)
+    # 257^2 — the reference's own default workload (parameters.txt:3-4).
+    px, py = topology.choose_mesh_shape_padded(8, 257, 257)
+    li, lj = topology.local_block_dims((px, py), 257, 257)
+    assert px * li >= 257 and py * lj >= 257
+
+
+def test_sharded_ghost_output_parity_divisible():
+    """FULL padded-array parity (ghost ring included) vs single-chip: the
+    output files write the ghost rows, so they must carry the exact
+    pre-projection BC ghost values, not a post-hoc regeneration (round-1
+    advisor finding, medium)."""
+    prm = _params()
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    single_state, _ = solve(prm)
+    sh_state, _ = solve_sharded(prm, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_state.u),
+                               np.asarray(single_state.u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_state.v),
+                               np.asarray(single_state.v), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_state.p),
+                               np.asarray(single_state.p), atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [17, 30])
+def test_sharded_padded_grid_matches_single_chip(n):
+    """Non-divisible grids run via pad-to-divisible blocks with masked
+    updates; results (incl. ghosts) must match the single-chip solve."""
+    prm = _params(i_max=n, j_max=n, T=0.03)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    single_state, single_stats = solve(prm)
+    sh_state, sh_stats = solve_sharded(prm, mesh=mesh)
+    assert int(sh_stats.steps) == int(single_stats.steps)
+    np.testing.assert_allclose(np.asarray(sh_state.u),
+                               np.asarray(single_state.u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_state.v),
+                               np.asarray(single_state.v), atol=1e-5)
+
+
+def test_sharded_padded_oracle_contract():
+    from navierstokes_parallel_tpu import oracle
+
+    prm = _params(i_max=17, j_max=17, T=0.03)
+    res_o = oracle.oracle_solve(prm)
+    sh_state, sh_stats = solve_sharded(
+        prm, mesh=topology.make_grid_mesh(8, 17, 17))
+    assert int(sh_stats.steps) == res_o.steps
+    assert_close_reference_contract(
+        np.asarray(sh_state.u[1:-1, 1:-1]), res_o.u[1:-1, 1:-1], tol=1e-4)
+    assert_close_reference_contract(
+        np.asarray(sh_state.v[1:-1, 1:-1]), res_o.v[1:-1, 1:-1], tol=1e-4)
+
+
+def test_sharded_padded_float32_refined():
+    """Mixed precision + validity masking together (pad cells must not leak
+    into the psum'd defect norms)."""
+    prm = _params(dtype="float32", max_it=2000, i_max=17, j_max=17, T=0.02)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    sh_state, sh_stats = solve_sharded(prm, mesh=mesh)
+    assert int(sh_stats.sor_failures) == 0
+    single_state, _ = solve(prm)
+    assert_close_reference_contract(
+        np.asarray(sh_state.u[1:-1, 1:-1], dtype=np.float64),
+        np.asarray(single_state.u[1:-1, 1:-1], dtype=np.float64), tol=1e-4)
+
+
+def test_sharded_stepper_matches_solve():
+    """The host-loop stepper (per-step dispatch + gather) must reproduce the
+    fully-on-device sharded solve."""
+    from navierstokes_parallel_tpu.grid import allocate_state
+    from navierstokes_parallel_tpu.parallel.sharded import ShardedStepper
+
+    prm = _params(T=0.03)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    full_state, full_stats = solve_sharded(prm, mesh=mesh)
+
+    stepper = ShardedStepper(prm, allocate_state(prm), mesh=mesh)
+    iters = 0
+    while stepper.t < prm.T:
+        diag = stepper.step()
+        iters += int(diag.sor_iterations)
+    st = stepper.state()
+    assert stepper.n == int(full_stats.steps)
+    assert iters == int(full_stats.total_sor_iterations)
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(full_state.u),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.p), np.asarray(full_state.p),
+                               atol=1e-12)
+
+
+def test_sharded_mg_rejects_padded_grid():
+    prm = _params(i_max=17, j_max=17)
+    mesh = topology.make_grid_mesh(8, 17, 17)
+    with pytest.raises(ValueError, match="evenly-divisible"):
+        solve_sharded(prm, mesh=mesh, pressure_method="mg")
