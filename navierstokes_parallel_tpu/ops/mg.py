@@ -98,8 +98,10 @@ def _level_fits_vmem(shape) -> bool:
     return 16 * ni * (-(-nj // 128) * 128) * 4 <= 72 * 1024 * 1024
 
 
-def _smooth(p, rhs, lvl: _Level, n_sweeps: int, omega: float = 1.0):
-    if jax.default_backend() == "tpu" and _level_fits_vmem(lvl.shape):
+def _smooth(p, rhs, lvl: _Level, n_sweeps: int, omega: float = 1.0,
+            allow_kernel: bool = True):
+    if allow_kernel and jax.default_backend() == "tpu" \
+            and _level_fits_vmem(lvl.shape):
         from .pallas import sor_kernel
         return sor_kernel.warm_sweeps(p, rhs, n_sweeps, omega,
                                       lvl.dx2_inv, lvl.dy2_inv)
@@ -166,21 +168,26 @@ def _prolong(e_coarse, fine_shape):
 
 
 def v_cycle(p, rhs, levels: List[_Level], depth: int = 0,
-            nu1: int = 2, nu2: int = 2, coarse_sweeps: int = 32):
-    """One V(nu1, nu2) cycle on A p = rhs at `depth`; returns improved p."""
+            nu1: int = 2, nu2: int = 2, coarse_sweeps: int = 32,
+            allow_kernel: bool = True):
+    """One V(nu1, nu2) cycle on A p = rhs at `depth`; returns improved p.
+    `allow_kernel=False` forces the jnp smoother (used when the cycle runs
+    on replicated data inside shard_map, where per-shard Pallas dispatch is
+    not wanted)."""
     lvl = levels[depth]
     if depth == len(levels) - 1:
-        return _smooth(p, rhs, lvl, coarse_sweeps)
+        return _smooth(p, rhs, lvl, coarse_sweeps, allow_kernel=allow_kernel)
 
-    p = _smooth(p, rhs, lvl, nu1)
+    p = _smooth(p, rhs, lvl, nu1, allow_kernel=allow_kernel)
     r = rhs - _lap(p, lvl)
     # Zero the residual's ghost ring so restriction sees interior only.
     coarse = levels[depth + 1]
     r_c = _restrict(r, coarse.shape)
     e_c = jnp.zeros(coarse.shape, p.dtype)
-    e_c = v_cycle(e_c, r_c, levels, depth + 1, nu1, nu2, coarse_sweeps)
+    e_c = v_cycle(e_c, r_c, levels, depth + 1, nu1, nu2, coarse_sweeps,
+                  allow_kernel=allow_kernel)
     p = p + _prolong(e_c, lvl.shape)
-    return _smooth(p, rhs, lvl, nu2)
+    return _smooth(p, rhs, lvl, nu2, allow_kernel=allow_kernel)
 
 
 def inner_v_cycle(rhs_neg: jax.Array, n_cycles, params: Params) -> jax.Array:
@@ -294,11 +301,52 @@ def _lap_sharded(p, level):
     ) * p
 
 
+def _coarse_solve_replicated(p, rhs, level, nu1, nu2, coarse_sweeps):
+    """Coarsest-sharded-level solve WITHOUT a per-shard cell floor: all-gather
+    the (tiny) coarse level onto every shard, continue the V-cycle recursion
+    on the replicated global array down to the usual <=8^2 coarse grid, and
+    slice the local block back out.
+
+    The gather is cheap — by the time the per-shard block hits the local
+    floor the whole level is a few KB — and it removes the round-1 weakness
+    where sharded MG's coarse-grid correction degraded with device count
+    (the coarse solve used to be a fixed number of halo-exchanged sweeps on
+    whatever local size remained)."""
+    shape, g_dims, dx2_inv, dy2_inv = level
+    li, lj = shape[0] - 2, shape[1] - 2
+    gi_n, gj_n = g_dims
+
+    def gather_global(arr):
+        tile = arr[1:-1, 1:-1]
+        if gi_n > li:
+            tile = lax.all_gather(tile, "x", axis=0, tiled=True)
+        if gj_n > lj:
+            tile = lax.all_gather(tile, "y", axis=1, tiled=True)
+        return jnp.zeros((gi_n + 2, gj_n + 2), arr.dtype).at[1:-1, 1:-1].set(
+            tile)
+
+    p_g = gather_global(p)
+    rhs_g = gather_global(rhs)
+
+    glevels = [_Level((gi_n + 2, gj_n + 2), dx2_inv, dy2_inv)]
+    ni, nj, d2x, d2y = gi_n, gj_n, dx2_inv, dy2_inv
+    while ni % 2 == 0 and nj % 2 == 0 and ni // 2 >= 8 and nj // 2 >= 8:
+        ni //= 2; nj //= 2; d2x /= 4.0; d2y /= 4.0
+        glevels.append(_Level((ni + 2, nj + 2), d2x, d2y))
+
+    e_g = v_cycle(p_g, rhs_g, glevels, nu1=nu1, nu2=nu2,
+                  coarse_sweeps=coarse_sweeps, allow_kernel=False)
+
+    ox = lax.axis_index("x") * li
+    oy = lax.axis_index("y") * lj
+    return lax.dynamic_slice(e_g, (ox, oy), (li + 2, lj + 2))
+
+
 def v_cycle_sharded(p, rhs, levels, depth: int = 0, nu1: int = 2,
-                    nu2: int = 2, coarse_sweeps: int = 64):
+                    nu2: int = 2, coarse_sweeps: int = 32):
     lvl = levels[depth]
     if depth == len(levels) - 1:
-        return _smooth_sharded(p, rhs, lvl, coarse_sweeps)
+        return _coarse_solve_replicated(p, rhs, lvl, nu1, nu2, coarse_sweeps)
     p = _smooth_sharded(p, rhs, lvl, nu1)
     r = rhs - _lap_sharded(p, lvl)
     r_c = _restrict(r, levels[depth + 1][0])

@@ -241,3 +241,20 @@ def test_sharded_mg_rejects_padded_grid():
     mesh = topology.make_grid_mesh(8, 17, 17)
     with pytest.raises(ValueError, match="evenly-divisible"):
         solve_sharded(prm, mesh=mesh, pressure_method="mg")
+
+
+def test_sharded_mg_cycle_count_parity():
+    """The gathered replicated coarse solve removes the per-shard coarsening
+    floor: sharded MG's V-cycle count must match single-chip MG (same cycle
+    structure), not degrade with device count (round-1 verdict item 6)."""
+    prm = _params(i_max=64, j_max=64, dtype="float32", T=0.02, max_it=200)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    sh, shs = solve_sharded(prm, mesh=mesh, pressure_method="mg")
+    st, ss = solve(prm, pressure_method="mg")
+    assert int(shs.steps) == int(ss.steps)
+    assert int(shs.sor_failures) == 0
+    # identical cycle structure -> identical (within fp-noise +-1/step) count
+    assert abs(int(shs.total_sor_iterations) - int(ss.total_sor_iterations)) \
+        <= int(ss.steps)
+    np.testing.assert_allclose(
+        np.asarray(sh.u)[1:-1, 1:-1], np.asarray(st.u)[1:-1, 1:-1], atol=1e-5)
