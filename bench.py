@@ -110,6 +110,20 @@ def main(argv=None):
     steps = int(stats.steps)
     mlups = total_iters * params.i_max * params.j_max / best / 1e6
 
+    # HBM roofline accounting (BASELINE.md north star: >= 80% of the HBM
+    # roofline MLUPS at 128^2).  Roofline = measured streaming bandwidth /
+    # 12 bytes per cell-sweep (read delta + rhs, write delta); the
+    # VMEM-resident kernel can exceed 100% because it touches HBM only
+    # twice per K sweeps.
+    from navierstokes_parallel_tpu.utils.timing import (
+        hbm_bandwidth_probe,
+        sweep_roofline_mlups,
+    )
+
+    bw = hbm_bandwidth_probe()
+    roofline = sweep_roofline_mlups(bw)
+    roofline_pct = 100.0 * mlups / roofline
+
     baseline = CUDA_BASELINE_S.get(n)
     result = {
         "metric": f"cavity{n}_re1000_solver_seconds",
@@ -121,7 +135,9 @@ def main(argv=None):
     print(
         f"steps={steps} sor_iterations={total_iters} "
         f"sor_failures={int(stats.sor_failures)} "
-        f"mlups={mlups:.1f} device={jax.devices()[0].device_kind} "
+        f"mlups={mlups:.1f} hbm_gbps={bw / 1e9:.0f} "
+        f"roofline_mlups={roofline:.0f} roofline_pct={roofline_pct:.1f} "
+        f"device={jax.devices()[0].device_kind} "
         f"serial_baseline={SERIAL_BASELINE_S.get(n)}s "
         f"cuda_baseline={baseline}s",
         file=sys.stderr,

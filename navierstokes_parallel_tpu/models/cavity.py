@@ -46,6 +46,14 @@ GHIA_U: Dict[int, np.ndarray] = {
         0.05702, -0.06080, -0.10648, -0.27805, -0.38289, -0.29730,
         -0.22220, -0.20196, -0.18109, 0.00000,
     ]),
+    # Ghia Table I, Re = 10000 (the reference's default-config Reynolds
+    # number, parameters.txt:8; its plot_ghia.py:27-31 carries these same
+    # published values, commented out).
+    10000: np.array([
+        1.00000, 0.47221, 0.47783, 0.48070, 0.47804, 0.34635, 0.20673,
+        0.08344, 0.03111, -0.07540, -0.23186, -0.32709, -0.38000,
+        -0.41657, -0.42537, -0.42735, 0.00000,
+    ]),
 }
 
 # v(x) at y = 0.5 (Table II).
@@ -59,6 +67,12 @@ GHIA_V: Dict[int, np.ndarray] = {
         0.00000, -0.21388, -0.27669, -0.33714, -0.39188, -0.51550,
         -0.42665, -0.31966, 0.02526, 0.32235, 0.33075, 0.37095,
         0.32627, 0.30353, 0.29012, 0.27485, 0.00000,
+    ]),
+    # Ghia Table II, Re = 10000.
+    10000: np.array([
+        0.00000, -0.54302, -0.52987, -0.49099, -0.45863, -0.41496,
+        -0.36737, -0.30719, 0.00831, 0.27224, 0.28003, 0.35070,
+        0.41487, 0.43124, 0.43733, 0.43983, 0.00000,
     ]),
 }
 

@@ -272,16 +272,127 @@ def _make_tiled_kernel(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
     return kernel
 
 
+def _make_tiled_kernel_db(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
+                          omega, dx2_inv, dy2_inv, use_pltpu_roll):
+    """Double-buffered strip kernel: strip s+1's HBM->VMEM loads are issued
+    BEFORE strip s's sweeps run, and each strip's store drains while later
+    strips compute (waited two strips behind, when its buffer is reused) —
+    DMA and VPU work overlap instead of serializing as in the single-
+    buffered variant.  Strips of one chunk all read the pre-chunk snapshot
+    (2K-deep halos keep the written rows exact), so the prefetch has no
+    read-after-write hazard by construction.  The strip loop is unrolled at
+    trace time (n_strips is static), which also avoids dynamic buffer-slot
+    indexing that Mosaic lowers poorly."""
+    import numpy as np
+
+    _, W = ext_shape
+    B, H = tile_rows, halo
+    coef = omega / (2.0 * (dx2_inv + dy2_inv))
+    roll = _roll if use_pltpu_roll else jnp.roll
+    f32 = jnp.float32
+
+    def kernel(ns_ref, d_hbm, rhs_hbm, out_hbm):
+        def body(d_t0, d_t1, r_t0, r_t1, o_t0, o_t1,
+                 sd0, sd1, sr0, sr1, so0, so1):
+            d_bufs, r_bufs, o_bufs = (d_t0, d_t1), (r_t0, r_t1), (o_t0, o_t1)
+            sd, sr, so = (sd0, sd1), (sr0, sr1), (so0, so1)
+
+            jj = lax.broadcasted_iota(jnp.int32, (B + 2 * H, W), 1)
+            tt = lax.broadcasted_iota(jnp.int32, (B + 2 * H, W), 0)
+            j_int = (jj >= 1) & (jj <= j_max)
+            j_edge = ((jj == 1).astype(f32) + (jj == j_max).astype(f32)) \
+                * dy2_inv
+
+            def loads(s, slot):
+                row0 = np.int32(s * B)
+                ld = pltpu.make_async_copy(
+                    d_hbm.at[pl.ds(row0, B + 2 * H)], d_bufs[slot], sd[slot])
+                lr = pltpu.make_async_copy(
+                    rhs_hbm.at[pl.ds(row0, B + 2 * H)], r_bufs[slot], sr[slot])
+                return ld, lr
+
+            def store(s, slot):
+                return pltpu.make_async_copy(
+                    o_bufs[slot], out_hbm.at[pl.ds(np.int32(s * B), B)],
+                    so[slot])
+
+            ld, lr = loads(0, 0)
+            ld.start()
+            lr.start()
+            for s in range(n_strips):
+                slot = s % 2
+                ld, lr = loads(s, slot)  # same descriptors; wait for arrival
+                ld.wait()
+                lr.wait()
+                if s + 1 < n_strips:
+                    ld_n, lr_n = loads(s + 1, 1 - slot)
+                    ld_n.start()
+                    lr_n.start()
+
+                ii = tt + np.int32(s * B - H)
+                interior = (ii >= 1) & (ii <= i_max) & j_int
+                par = (ii + jj) & 1
+                red = interior & (par == 0)
+                black = interior & (par == 1)
+                self_coef = (
+                    ((ii == 1).astype(f32) + (ii == i_max).astype(f32))
+                    * dx2_inv + j_edge
+                )
+                rhs = r_bufs[slot][:]
+
+                def half(d, mask):
+                    nb = (
+                        (roll(d, 1, 0) + roll(d, -1, 0)) * dx2_inv
+                        + (roll(d, 1, 1) + roll(d, -1, 1)) * dy2_inv
+                        + d * self_coef
+                    )
+                    return jnp.where(
+                        mask, (1.0 - omega) * d + coef * (nb - rhs), d)
+
+                def sweep(_, d):
+                    return half(half(d, red), black)
+
+                d = lax.fori_loop(0, ns_ref[0], sweep, d_bufs[slot][:])
+                if s >= 2:
+                    store(s - 2, slot).wait()  # buffer reuse fence
+                o_bufs[slot][:] = d[H: H + B, :]
+                store(s, slot).start()
+            for s in (n_strips - 2, n_strips - 1):
+                if s >= 0:
+                    store(s, s % 2).wait()
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((B + 2 * H, W), f32), pltpu.VMEM((B + 2 * H, W), f32),
+            pltpu.VMEM((B + 2 * H, W), f32), pltpu.VMEM((B + 2 * H, W), f32),
+            pltpu.VMEM((B, W), f32), pltpu.VMEM((B, W), f32),
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=(
     "ext_shape", "tile_rows", "halo", "i_max", "j_max",
-    "omega", "dx2_inv", "dy2_inv", "interpret"))
+    "omega", "dx2_inv", "dy2_inv", "interpret", "double_buffer"))
 def _tiled_chunk_call(ns, d_ext, rhs_ext, *, ext_shape, tile_rows, halo,
-                      i_max, j_max, omega, dx2_inv, dy2_inv, interpret):
+                      i_max, j_max, omega, dx2_inv, dy2_inv, interpret,
+                      double_buffer=True):
     R, W = ext_shape  # R = S * tile_rows + 2 * halo
     S = (R - 2 * halo) // tile_rows
-    kernel = _make_tiled_kernel(ext_shape, tile_rows, halo, S,
-                                i_max, j_max, omega, dx2_inv, dy2_inv,
-                                use_pltpu_roll=not interpret)
+    make = _make_tiled_kernel_db if double_buffer else _make_tiled_kernel
+    kernel = make(ext_shape, tile_rows, halo, S,
+                  i_max, j_max, omega, dx2_inv, dy2_inv,
+                  use_pltpu_roll=not interpret)
+    B, H = tile_rows, halo
+    n_bufs = (4 * (B + 2 * H) + 2 * B) if double_buffer \
+        else (2 * (B + 2 * H) + B)
+    scratch_mib = (n_bufs * W * 4 >> 20) + 1
+    # XLA may place the (R-2H, W) result buffer on the VMEM stack alongside
+    # the strip scratch; budget for both (observed OOM at 2048^2 otherwise).
+    result_mib = ((R - 2 * halo) * W * 4 >> 20) + 1
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
@@ -294,9 +405,8 @@ def _tiled_chunk_call(ns, d_ext, rhs_ext, *, ext_shape, tile_rows, halo,
             out_shape=jax.ShapeDtypeStruct((R - 2 * halo, W), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
-                # The result buffer may be placed in VMEM by XLA; leave room
-                # for it plus the strip scratch.
-                vmem_limit_bytes=min(110, max(24, (R * W * 4 >> 20) + 16)) << 20,
+                vmem_limit_bytes=min(
+                    110, max(24, scratch_mib + result_mib + 8)) << 20,
             ),
             interpret=interpret,
         )(ns, d_ext, rhs_ext)
@@ -322,7 +432,8 @@ def fits_in_vmem(params: Params, budget_bytes: int = 48 * 1024 * 1024) -> bool:
 
 def inner_sweeps_tiled(rhs_neg: jax.Array, n_sweeps, params: Params,
                        tile_rows: int = None,
-                       sweeps_per_chunk: int = SWEEPS_PER_CHUNK) -> jax.Array:
+                       sweeps_per_chunk: int = SWEEPS_PER_CHUNK,
+                       double_buffer: bool = True) -> jax.Array:
     """K-sweep-chunked strip-tiled inner stage for large grids."""
     interpret = jax.default_backend() != "tpu"
     ni, nj = params.shape
@@ -345,6 +456,7 @@ def inner_sweeps_tiled(rhs_neg: jax.Array, n_sweeps, params: Params,
         i_max=params.i_max, j_max=params.j_max, omega=float(params.omega),
         dx2_inv=float(1.0 / (params.dx * params.dx)),
         dy2_inv=float(1.0 / (params.dy * params.dy)), interpret=interpret,
+        double_buffer=double_buffer,
     )
 
     n_sweeps = jnp.asarray(n_sweeps, jnp.int32)
@@ -359,12 +471,84 @@ def inner_sweeps_tiled(rhs_neg: jax.Array, n_sweeps, params: Params,
     return d_core[:ni, :nj]
 
 
-# On real TPU hardware the strip-tiled DMA kernel is the right >VMEM path.
-# Through the axon tunnel used for development, in-kernel DMAs run at only
-# ~10 GB/s while XLA-generated memory ops reach full HBM bandwidth
-# (~760 GB/s measured), so by default oversized grids take the XLA roll
-# formulation below instead.  Flip this on a directly-attached TPU.
-PREFER_TILED_DMA = False
+# >VMEM route selection.  The strip-tiled DMA kernel touches HBM ~3 passes
+# per K sweeps vs the XLA roll formulation's many passes per sweep, but its
+# in-kernel DMA throughput has varied wildly across tunnel sessions (round 1
+# measured it 70x slower than XLA memory ops; this round the double-buffered
+# kernel measures 3x FASTER than the XLA path at 2048^2: 62 vs 183 us/sweep).
+# None = measure, don't guess: on the first >VMEM call for a given shape the
+# two routes are raced head-to-head (jitted, latency-differenced timings)
+# and the winner is cached.  Set True/False to force a route (tests do).
+PREFER_TILED_DMA = None
+
+_ROUTE_CACHE = {}
+
+
+def _pick_large_grid_route(params: Params) -> str:
+    """'tiled' or 'xla' for grids that do not fit VMEM whole."""
+    if PREFER_TILED_DMA is not None:
+        return "tiled" if PREFER_TILED_DMA else "xla"
+    key = params.shape
+    if key in _ROUTE_CACHE:
+        return _ROUTE_CACHE[key]
+    if jax.default_backend() != "tpu":
+        # Interpret-mode DMA is emulation; nothing to measure.
+        _ROUTE_CACHE[key] = "xla"
+        return "xla"
+    import sys
+    import time as _time
+
+    # Race AOT-COMPILED candidates with latency-differenced timings:
+    #  * AOT (.lower().compile() on shape specs + direct Compiled calls on
+    #    concrete numpy inputs) because the race usually fires while the
+    #    caller is being TRACED — eager jnp ops would stage into that trace
+    #    and ensure_compile_time_eval leaks concreteness into the pallas
+    #    kernel bodies;
+    #  * latency-differenced (time two sweep counts, divide the delta)
+    #    because a single short dispatch is dominated by the tunnel's
+    #    dispatch/fence latency (observed up to ~30 ms), not the work.
+    import numpy as np
+
+    rhs_spec = jax.ShapeDtypeStruct(params.shape, jnp.float32)
+    n_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    # Candidates return one scalar so the fence (device_get — the only sync
+    # that is both reliable through the tunnel and inert under an ambient
+    # trace) transfers 4 bytes, not the field.
+    tiled_c = jax.jit(
+        lambda r, n: inner_sweeps_tiled(r, n, params)[1, 1]
+    ).lower(rhs_spec, n_spec).compile()
+    xla_c = jax.jit(
+        lambda r, n: _roll_sweeps_xla(r, n, params)[1, 1]
+    ).lower(rhs_spec, n_spec).compile()
+
+    rhs = np.zeros(params.shape, np.float32)
+    # Spread the two counts enough that the work delta (~hundreds of sweeps)
+    # clearly exceeds the tunnel's multi-ms dispatch-latency jitter.
+    n1, n2 = (np.int32(8 * SWEEPS_PER_CHUNK),
+              np.int32(80 * SWEEPS_PER_CHUNK))
+
+    def per_sweep(fn):
+        jax.device_get(fn(rhs, n1))  # warm both counts
+        jax.device_get(fn(rhs, n2))
+
+        def timed(n):
+            best = float("inf")
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                jax.device_get(fn(rhs, n))
+                best = min(best, _time.perf_counter() - t0)
+            return best
+
+        return max(1e-9, (timed(n2) - timed(n1)) / float(n2 - n1))
+
+    t_tiled = per_sweep(tiled_c)
+    t_xla = per_sweep(xla_c)
+    route = "tiled" if t_tiled < t_xla else "xla"
+    _ROUTE_CACHE[key] = route
+    print(f"[sor_kernel] >VMEM route for {key}: {route} "
+          f"(tiled {t_tiled * 1e6:.0f} us/sweep vs xla "
+          f"{t_xla * 1e6:.0f} us/sweep)", file=sys.stderr)
+    return route
 
 
 def _roll_sweeps_xla(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
@@ -411,7 +595,7 @@ def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
     VMEM kernel when it fits; otherwise the strip-tiled DMA kernel (real
     hardware) or the XLA roll formulation (tunneled dev platform)."""
     if not fits_in_vmem(params):
-        if PREFER_TILED_DMA:
+        if _pick_large_grid_route(params) == "tiled":
             return inner_sweeps_tiled(rhs_neg, n_sweeps, params)
         return _roll_sweeps_xla(rhs_neg, n_sweeps, params)
     if USE_COMPRESSED and params.shape[1] % 2 == 0:

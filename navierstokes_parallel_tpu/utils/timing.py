@@ -57,6 +57,53 @@ def mlups(total_sweeps: int, i_max: int, j_max: int, seconds: float) -> float:
     return total_sweeps * i_max * j_max / seconds / 1e6
 
 
+# Minimum HBM traffic of one fused red-black sweep on a non-VMEM-resident
+# grid: read delta + rhs, write delta = 3 arrays x 4 bytes per cell.  The
+# VMEM-resident kernels beat this bound by construction (HBM is touched
+# twice per K sweeps), so achieved/roofline > 100% there measures exactly
+# the residency win.
+SWEEP_HBM_BYTES_PER_CELL = 12
+
+
+def hbm_bandwidth_probe(repeats: int = 3, mib: int = 256) -> float:
+    """Measured streaming HBM bandwidth in bytes/s.
+
+    Times `R` fused-free passes of y = y + 1 over a `mib`-MiB array (each
+    loop iteration reads + writes HBM; the fori_loop boundary prevents XLA
+    from collapsing them into one pass) at two different R and differences
+    the timings — which cancels the dispatch/fence latency exactly (the
+    tunnel's D2H fence alone can cost tens of ms, far more than a single
+    pass at full bandwidth)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n_rows = (mib << 20) // (4 * 16384)
+    x = jnp.zeros((n_rows, 16384), jnp.float32)
+    f = jax.jit(lambda a, R: lax.fori_loop(0, R, lambda i, y: y + 1.0, a))
+    device_fence(f(x, 4))  # compile + warm
+
+    def timed(R):
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            y = f(x, R)
+            device_fence(y)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    r1, r2 = 16, 80
+    t1, t2 = timed(r1), timed(r2)
+    if t2 <= t1:  # timing noise swamped the delta; fall back to one-shot
+        return 2.0 * x.size * 4 * r2 / t2
+    return (r2 - r1) * 2.0 * x.size * 4 / (t2 - t1)
+
+
+def sweep_roofline_mlups(bandwidth_bytes_per_s: float) -> float:
+    """HBM-roofline MLUPS for one red-black sweep (BASELINE.md north star:
+    >= 80% of this at 128^2)."""
+    return bandwidth_bytes_per_s / SWEEP_HBM_BYTES_PER_CELL / 1e6
+
+
 @contextlib.contextmanager
 def profiler_trace(log_dir: str = "/tmp/nsp_trace"):
     """Capture a jax.profiler trace around a block (view with TensorBoard

@@ -27,12 +27,19 @@ import numpy as np
 # Generous-but-meaningful accuracy expectations for a first-order-upwind
 # staggered scheme at moderate resolution (donor-cell gamma upwinding is
 # diffusive; these catch sign/structure errors, not discretization order).
-DEFAULT_TOL = {100: 0.03, 1000: 0.08}
+# Re=10000 (the reference's default-config Reynolds number): the physical
+# flow is unsteady at this Re and the Re^-1/2 boundary layers are barely
+# resolved even at 257^2, so donor-cell diffusion flattens the near-wall
+# profile extrema substantially; the tolerance documents what a long-horizon
+# (T >= 50) 257^2 run actually achieves — structure/sign fidelity, not
+# pointwise accuracy (see docs/numerics.md).
+DEFAULT_TOL = {100: 0.03, 1000: 0.08, 10000: 0.30}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--re", type=int, default=100, choices=[100, 1000])
+    ap.add_argument("--re", type=int, default=100,
+                    choices=[100, 1000, 10000])
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--T", type=float, default=20.0)
     ap.add_argument("--tol", type=float, default=None)
@@ -42,7 +49,14 @@ def main(argv=None):
                     help="pressure solver (mg converges every step and is "
                          "~10x faster; auto = parity red-black)")
     ap.add_argument("--tau", type=float, default=0.9)
+    ap.add_argument("--steps-per-dispatch", type=int, default=None,
+                    help="segment the integration into host-bounded "
+                         "dispatches (0 = one monolithic dispatch; default "
+                         "2000 for Re=10000, whose ~14k-step run exceeds "
+                         "the remote TPU worker's single-dispatch limit)")
     args = ap.parse_args(argv)
+    if args.steps_per_dispatch is None:
+        args.steps_per_dispatch = 2000 if args.re >= 10000 else 0
 
     from navierstokes_parallel_tpu.models import cavity
     from navierstokes_parallel_tpu.ops.sor import default_method
@@ -66,18 +80,27 @@ def main(argv=None):
     from navierstokes_parallel_tpu.solver import _solve_on_device
 
     state0 = allocate_state(params)
-    with Timer() as ct:
-        compiled = (
-            jax.jit(_solve_on_device, static_argnums=(0, 2))
-            .lower(params, state0, method)
-            .compile()
-        )
-        ct.stop()
-    print(f"compile: {ct.elapsed:.1f}s", flush=True)
+    if args.steps_per_dispatch:
+        from navierstokes_parallel_tpu.solver import solve_segmented
 
-    with Timer() as timer:
-        state, stats = compiled(state0)
-        timer.stop(fence_on=state)
+        with Timer() as timer:
+            state, stats = solve_segmented(
+                params, state0, pressure_method=method,
+                steps_per_dispatch=args.steps_per_dispatch)
+            timer.stop(fence_on=state)
+    else:
+        with Timer() as ct:
+            compiled = (
+                jax.jit(_solve_on_device, static_argnums=(0, 2))
+                .lower(params, state0, method)
+                .compile()
+            )
+            ct.stop()
+        print(f"compile: {ct.elapsed:.1f}s", flush=True)
+
+        with Timer() as timer:
+            state, stats = compiled(state0)
+            timer.stop(fence_on=state)
 
     errs = cavity.ghia_errors(state.u, state.v, params, args.re)
     print(f"steps={int(stats.steps)} sor_iterations="

@@ -57,20 +57,25 @@ def test_roll_sweeps_xla_matches_jnp(params64, rhs64):
                                rtol=2e-6, atol=2e-6)
 
 
-def test_tiled_kernel_matches_jnp_single_chunk(params64, rhs64):
+@pytest.mark.parametrize("db", [False, True])
+def test_tiled_kernel_matches_jnp_single_chunk(params64, rhs64, db):
     """One K-sweep chunk, multiple strips (tile_rows=32 -> 3 strips): the 2K
-    halo must make the written rows exact despite strip independence."""
-    got = sor_kernel.inner_sweeps_tiled(rhs64, 8, params64, tile_rows=32)
+    halo must make the written rows exact despite strip independence —
+    single- and double-buffered variants."""
+    got = sor_kernel.inner_sweeps_tiled(rhs64, 8, params64, tile_rows=32,
+                                        double_buffer=db)
     want = _reference_inner(rhs64, 8, params64)
     np.testing.assert_allclose(np.asarray(got)[1:-1, 1:-1],
                                np.asarray(want)[1:-1, 1:-1],
                                rtol=2e-6, atol=2e-6)
 
 
-def test_tiled_kernel_matches_jnp_multi_chunk(params64, rhs64):
+@pytest.mark.parametrize("db", [False, True])
+def test_tiled_kernel_matches_jnp_multi_chunk(params64, rhs64, db):
     """n_sweeps > K exercises the chunk loop (re-sync through HBM) plus the
     short final chunk (20 = 8 + 8 + 4)."""
-    got = sor_kernel.inner_sweeps_tiled(rhs64, 20, params64, tile_rows=32)
+    got = sor_kernel.inner_sweeps_tiled(rhs64, 20, params64, tile_rows=32,
+                                        double_buffer=db)
     want = _reference_inner(rhs64, 20, params64)
     np.testing.assert_allclose(np.asarray(got)[1:-1, 1:-1],
                                np.asarray(want)[1:-1, 1:-1],
