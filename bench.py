@@ -68,9 +68,10 @@ def main(argv=None):
         else:
             method = {"jnp": "rb_sor", "pallas": "pallas_sor"}[args.backend]
         print(f"pressure solver: {method}", file=sys.stderr)
-        if params.i_max >= 4096:
-            # Very large grids: segmented dispatches (a single monolithic
-            # multi-minute dispatch can crash the remote TPU worker).
+        if params.i_max >= 4096 or (params.i_max >= 2048 and method != "mg"):
+            # Very large fixed-work grids: segmented dispatches (a single
+            # monolithic multi-minute dispatch crashes the remote TPU
+            # worker; observed at 2048^2 parity and 4096^2).
             from navierstokes_parallel_tpu.solver import solve_segmented
 
             def run():

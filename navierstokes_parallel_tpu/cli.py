@@ -122,7 +122,7 @@ def main(argv=None) -> int:
     if args.backend == "sharded":
         from .parallel import sharded
         method = pressure_method
-        if method not in ("rb_sor", "jacobi", "mg"):
+        if method not in ("rb_sor", "jacobi", "mg", "cg"):
             print(f"warning: --backend sharded does not support pressure "
                   f"method {method!r} (single-chip only); using rb_sor",
                   file=sys.stderr)

@@ -356,6 +356,65 @@ def v_cycle_sharded(p, rhs, levels, depth: int = 0, nu1: int = 2,
     return _smooth_sharded(p, rhs, lvl, nu2)
 
 
+def make_sharded_cg_inner(params: Params, li: int, lj: int):
+    """inner_fn for the refinement loop: n conjugate-gradient iterations on
+    B x = -b (B = -A, SPD for the Neumann Laplacian) over local padded
+    blocks — ppermute-halo Laplacian (`_lap_sharded`), psum'd dot products.
+    Works on padded (non-divisible) grids: every CG vector is masked to the
+    TRUE local interior, so pad cells and the (neighbor-duplicating) halo
+    ring contribute neither to the operator nor to the inner products."""
+    from ..parallel import halo
+    from ..parallel.topology import MESH_AXES
+
+    shape = (li + 2, lj + 2)
+    level = (shape, (params.i_max, params.j_max),
+             1.0 / (params.dx * params.dx), 1.0 / (params.dy * params.dy))
+
+    def inner(rhs_neg, n_iters):
+        f32 = jnp.float32
+        gi, gj = halo.padded_global_indices(shape)
+        aa = lax.broadcasted_iota(jnp.int32, shape, 0)
+        bb = lax.broadcasted_iota(jnp.int32, shape, 1)
+        valid = (
+            (gi >= 1) & (gi <= params.i_max)
+            & (gj >= 1) & (gj <= params.j_max)
+            & (aa >= 1) & (aa <= li) & (bb >= 1) & (bb <= lj)
+        )
+
+        def mask(x):
+            return jnp.where(valid, x, jnp.zeros_like(x))
+
+        def B(x):
+            return mask(-_lap_sharded(x, level))
+
+        def dot(a, c):
+            return lax.psum(jnp.sum(a * c), MESH_AXES)
+
+        b = mask(rhs_neg.astype(f32))
+        x0 = jnp.zeros(shape, f32)
+        r0 = -b
+        rs0 = dot(r0, r0)
+
+        def body(_, carry):
+            x, r, d, rs = carry
+            Bd = B(d)
+            denom = dot(d, Bd)
+            alpha = jnp.where(denom > 0, rs / denom, 0.0)
+            x = x + alpha * d
+            r = r - alpha * Bd
+            rs_new = dot(r, r)
+            beta = jnp.where(rs > 0, rs_new / rs, 0.0)
+            d = r + beta * d
+            return x, r, d, rs_new
+
+        x, _, _, _ = lax.fori_loop(
+            0, jnp.asarray(n_iters, jnp.int32), body, (x0, r0, r0, rs0)
+        )
+        return x
+
+    return inner
+
+
 def make_sharded_inner(params: Params, li: int, lj: int):
     """inner_fn(neg_res32_local_padded, n_cycles) for the refinement loop."""
     levels = build_levels_sharded(params, li, lj)

@@ -210,6 +210,22 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             parity=(ox + oy) % 2,
             inner_fn=mgmod.make_sharded_inner(params, li, lj),
         )
+    elif pressure_method == "cg":
+        # Sharded conjugate gradient: ppermute-halo Laplacian, psum'd dots
+        # (ops/mg.py::make_sharded_cg_inner); restarted every K iterations
+        # by the same refinement outer as the single-chip cg path.
+        from ..ops import mg as mgmod
+
+        result = sor._solve_pressure_refined(
+            p, rhs,
+            params.replace(sor_refine_every=max(1, params.sor_refine_every)),
+            method="rb_sor",
+            ghost_fn=ghost_fn,
+            l2_fn=l2_fn,
+            parity=(ox + oy) % 2,
+            inner_fn=mgmod.make_sharded_cg_inner(params, li, lj),
+            valid_mask=valid,
+        )
     else:
         result = sor.solve_pressure(
             p, rhs, params,

@@ -201,9 +201,13 @@ def test_cli_sharded_output_frames_and_history(tmp_path, capsys):
     assert len(lines) >= 2
 
 
-def test_cli_sharded_unsupported_method_warns(tmp_path, capsys):
+def test_cli_sharded_cg_supported(tmp_path, capsys):
+    """cg is a first-class sharded method now (psum'd dots, halo
+    Laplacian); no downgrade warning."""
     cfg = tmp_path / "c.in"
     _write_config(cfg, T=0.02)
     rc = cli.main([str(cfg), "--backend", "sharded", "--method", "cg"])
     assert rc == 0
-    assert "does not support pressure method" in capsys.readouterr().err
+    err = capsys.readouterr().err
+    assert "does not support pressure method" not in err
+    float(err.strip().splitlines()[-1])  # stderr timing protocol intact
