@@ -304,6 +304,25 @@ def _scatter_blocks(arr, px: int, py: int, li: int, lj: int):
     return np.concatenate(rows, axis=0)
 
 
+def _put_blocks(blocks, sharding: NamedSharding):
+    """Device-place block-concatenated host data.  Uses
+    make_array_from_callback so it works under multi-process
+    `jax.distributed` runs (where this process addresses only its own
+    shards and a plain device_put of global data would fail)."""
+    return jax.make_array_from_callback(
+        blocks.shape, sharding, lambda idx: blocks[idx])
+
+
+def _fetch_blocks(x):
+    """Host-fetch a sharded block array; allgathers across processes when
+    some shards are not locally addressable (multi-process runs)."""
+    if all(d.process_index == jax.process_index() for d in x.sharding.device_set):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _gather_blocks(blocks, px: int, py: int, li: int, lj: int, shape):
     """Inverse of `_scatter_blocks`: reassemble the reference-layout padded
     array — interiors from in-block cells, the global ghost ring from the
@@ -407,12 +426,9 @@ class ShardedStepper:
         self._sharding = grid_sharding(mesh)
         self._step_fn = make_sharded_step_fn(params, mesh, pressure_method)
         dims = (self.px, self.py, self.li, self.lj)
-        self._u = jax.device_put(_scatter_blocks(state.u, *dims),
-                                 self._sharding)
-        self._v = jax.device_put(_scatter_blocks(state.v, *dims),
-                                 self._sharding)
-        self._p = jax.device_put(_scatter_blocks(state.p, *dims),
-                                 self._sharding)
+        self._u = _put_blocks(_scatter_blocks(state.u, *dims), self._sharding)
+        self._v = _put_blocks(_scatter_blocks(state.v, *dims), self._sharding)
+        self._p = _put_blocks(_scatter_blocks(state.p, *dims), self._sharding)
         self._t = jnp.asarray(state.t)
         self._n = int(state.n)
 
@@ -435,9 +451,9 @@ class ShardedStepper:
         dims = (self.px, self.py, self.li, self.lj)
         shape = self.params.shape
         return State(
-            u=jnp.asarray(_gather_blocks(self._u, *dims, shape)),
-            v=jnp.asarray(_gather_blocks(self._v, *dims, shape)),
-            p=jnp.asarray(_gather_blocks(self._p, *dims, shape)),
+            u=jnp.asarray(_gather_blocks(_fetch_blocks(self._u), *dims, shape)),
+            v=jnp.asarray(_gather_blocks(_fetch_blocks(self._v), *dims, shape)),
+            p=jnp.asarray(_gather_blocks(_fetch_blocks(self._p), *dims, shape)),
             t=self._t,
             n=jnp.asarray(self._n, jnp.int32),
         )
@@ -462,18 +478,18 @@ def solve_sharded(
     px, py, li, lj = _check_method(params, mesh, pressure_method)
     sharding = grid_sharding(mesh)
     dims = (px, py, li, lj)
-    u = jax.device_put(_scatter_blocks(state.u, *dims), sharding)
-    v = jax.device_put(_scatter_blocks(state.v, *dims), sharding)
-    p = jax.device_put(_scatter_blocks(state.p, *dims), sharding)
+    u = _put_blocks(_scatter_blocks(state.u, *dims), sharding)
+    v = _put_blocks(_scatter_blocks(state.v, *dims), sharding)
+    p = _put_blocks(_scatter_blocks(state.p, *dims), sharding)
 
     solve_fn = make_sharded_solve(params, mesh, pressure_method)
     u, v, p, t, stats = solve_fn(u, v, p, state.t)
 
     shape = params.shape
     new_state = State(
-        u=jnp.asarray(_gather_blocks(u, *dims, shape)),
-        v=jnp.asarray(_gather_blocks(v, *dims, shape)),
-        p=jnp.asarray(_gather_blocks(p, *dims, shape)),
+        u=jnp.asarray(_gather_blocks(_fetch_blocks(u), *dims, shape)),
+        v=jnp.asarray(_gather_blocks(_fetch_blocks(v), *dims, shape)),
+        p=jnp.asarray(_gather_blocks(_fetch_blocks(p), *dims, shape)),
         t=t,
         n=state.n + stats.steps,
     )
