@@ -46,6 +46,17 @@ def set_default_tile(tile_size: int) -> None:
 
 
 def _roll(x, shift, axis):
+    # STATIC python-int shifts, lowered as concatenated slices: measured
+    # 14-34% faster per sweep than tpu.dynamic_rotate (pltpu.roll) on v5e
+    # (0.77 vs 1.17 us/sweep at 256^2, 13.8 vs 16.0 at 1024^2).  The
+    # round-1 Mosaic compile hang attributed to static shifts was specific
+    # to np.int32-TYPED shifts; bare python ints are fine.  Keep shifts
+    # python ints — do NOT wrap them in np/jnp scalars.
+    assert isinstance(shift, int)
+    return jnp.roll(x, shift, axis)
+
+
+def _dynamic_roll(x, shift, axis):  # kept for reference/fallback
     # pltpu.roll requires a non-negative shift; -1 == size-1 circularly.
     # The int32 cast matters twice over: under x64 a bare int becomes an i64
     # operand which tpu.dynamic_rotate rejects, and a static np.int32 shift
