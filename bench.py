@@ -35,7 +35,7 @@ def main(argv=None):
     ap.add_argument("--config", default="configs/1.in")
     ap.add_argument("--backend", choices=["auto", "jnp", "pallas", "sharded"],
                     default="auto")
-    ap.add_argument("--method", choices=["auto", "rb_sor", "pallas_sor", "mg"],
+    ap.add_argument("--method", choices=["auto", "rb_sor", "pallas_sor", "mg", "fft"],
                     default="auto",
                     help="pressure solver; auto = reference-parity red-black "
                          "(pallas) up to 1024^2, multigrid at 2048^2+ where "

@@ -46,8 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="kernel tile size (reference CUDA block-size analogue)")
     ap.add_argument("--backend", choices=["auto", "jnp", "pallas", "sharded"],
                     default="auto", help="compute path for the pressure solver")
-    ap.add_argument("--method", choices=["rb_sor", "jacobi", "mg", "cg"], default="rb_sor",
-                    help="pressure solver (mg = multigrid V-cycles)")
+    ap.add_argument("--method", choices=["rb_sor", "jacobi", "mg", "cg", "fft"],
+                    default="rb_sor",
+                    help="pressure solver (mg = multigrid V-cycles; fft = "
+                         "direct DCT spectral solve on the MXU)")
     ap.add_argument("--dtype", choices=["float32", "float64"], default=None,
                     help="override dtype (default: config / float32)")
     ap.add_argument("--output-dir", default=None,

@@ -26,7 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import Params
-from .sor_kernel import _roll, fits_in_vmem
+# _dynamic_roll (tpu.dynamic_rotate), NOT the static-slice _roll: this
+# kernel runs once per time step (sweep cost dominates elsewhere) and the
+# static form's slice-concat temporaries overflow its VMEM budget at
+# 512^2+ (observed 20.4M vs 16M limit).
+from .sor_kernel import _dynamic_roll as _roll, fits_in_vmem
 
 
 def _make_kernel(shape, i_max, j_max, dx, dy, Re, g_x, g_y, use_pltpu_roll):

@@ -185,6 +185,19 @@ def solve_pressure(
             p, rhs, params.replace(sor_refine_every=1), method="rb_sor",
             inner="mg",
         )
+    if method == "fft":
+        # Direct DCT-II spectral solve on the MXU (ops/fft.py): one
+        # transform-divide-transform per f64 defect check; `iterations`
+        # counts direct solves (typically 2-3 to meet the contract).
+        # Single-chip only (the transforms are global matmuls).
+        if hooks:
+            raise ValueError("fft is single-chip only (got shard hooks)")
+        if not jax.config.jax_enable_x64:
+            raise ValueError("fft requires x64 for the f64 master")
+        return _solve_pressure_refined(
+            p, rhs, params.replace(sor_refine_every=1), method="rb_sor",
+            inner="fft",
+        )
     if method == "pallas_sor":
         # Pallas VMEM kernel as the refinement inner stage.  Single-chip
         # only: the kernel performs K sweeps without halo exchange, so the
@@ -344,6 +357,12 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
         def inner_sweeps(neg_res32, n_sweeps):
             rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
             return mg.inner_v_cycle(rhs_full, n_sweeps, params)
+    elif inner == "fft":
+        from . import fft as fftmod
+
+        def inner_sweeps(neg_res32, n_sweeps):
+            rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+            return fftmod.inner_direct(rhs_full, n_sweeps, params)
     elif inner == "cg":
         from . import mg as _mg  # reuse the level-0 Laplacian machinery
 
