@@ -33,7 +33,8 @@ SERIAL_BASELINE_S = {256: 48.58, 512: 759.90, 1024: 12134.53, 2048: 198116.11}
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/1.in")
-    ap.add_argument("--backend", choices=["auto", "jnp", "pallas", "sharded"],
+    ap.add_argument("--backend",
+                    choices=["auto", "jnp", "pallas", "sharded", "gspmd"],
                     default="auto")
     ap.add_argument("--method", choices=["auto", "rb_sor", "pallas_sor", "mg", "fft"],
                     default="auto",
@@ -56,6 +57,14 @@ def main(argv=None):
 
         def run():
             return solve_sharded(params, state)
+    elif args.backend == "gspmd":
+        from navierstokes_parallel_tpu.parallel.gspmd import solve_gspmd
+
+        gspmd_method = "rb_sor" if args.method in ("auto", "pallas_sor") \
+            else args.method
+
+        def run():
+            return solve_gspmd(params, state, pressure_method=gspmd_method)
     else:
         if args.method != "auto":
             method = args.method

@@ -44,8 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="15-line parameter file (reference .in format)")
     ap.add_argument("tile_size", nargs="?", type=int, default=None,
                     help="kernel tile size (reference CUDA block-size analogue)")
-    ap.add_argument("--backend", choices=["auto", "jnp", "pallas", "sharded"],
-                    default="auto", help="compute path for the pressure solver")
+    ap.add_argument("--backend",
+                    choices=["auto", "jnp", "pallas", "sharded", "gspmd"],
+                    default="auto",
+                    help="compute path (sharded = manual shard_map+ppermute; "
+                         "gspmd = auto-sharded jit+NamedSharding, any method)")
     ap.add_argument("--method", choices=["rb_sor", "jacobi", "mg", "cg", "fft"],
                     default="rb_sor",
                     help="pressure solver (mg = multigrid V-cycles; fft = "
@@ -138,6 +141,19 @@ def main(argv=None) -> int:
                 state, stats = sharded.solve_sharded(params, state,
                                                      pressure_method=method)
         except ValueError as e:  # e.g. mg on a non-divisible grid
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+    elif args.backend == "gspmd":
+        from .parallel import gspmd
+        try:
+            if host_loop:
+                stepper = gspmd.GspmdStepper(params, state,
+                                             pressure_method=pressure_method)
+                state, stats = _run_host_loop(params, stepper, args)
+            else:
+                state, stats = gspmd.solve_gspmd(
+                    params, state, pressure_method=pressure_method)
+        except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
     elif host_loop:

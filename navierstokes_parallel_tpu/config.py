@@ -96,6 +96,11 @@ class Params:
     # convergence) every K f32 sweeps; 0 disables refinement (see ops/sor.py).
     # Only used when dtype == float32 and jax x64 is enabled.
     sor_refine_every: int = 64
+    # Route every compute stage through plain jnp/XLA instead of the Pallas
+    # kernels.  Set by the GSPMD auto-sharded backend (parallel/gspmd.py):
+    # XLA's SPMD partitioner can shard any jnp op but would have to fully
+    # gather the operands of an opaque Pallas call.
+    disable_pallas: bool = False
 
     def __post_init__(self):
         if self.problem not in (1, 2):

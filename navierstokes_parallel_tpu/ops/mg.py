@@ -195,9 +195,10 @@ def inner_v_cycle(rhs_neg: jax.Array, n_cycles, params: Params) -> jax.Array:
     V-cycles from delta = 0 (n_cycles is traced; typically 1 per outer)."""
     levels = build_levels(params)
     rhs = rhs_neg.astype(jnp.float32)
+    allow_kernel = not params.disable_pallas
 
     def one(_, d):
-        return v_cycle(d, rhs, levels)
+        return v_cycle(d, rhs, levels, allow_kernel=allow_kernel)
 
     # NOTE: for the standard refinement flow n_cycles == 1; the fori_loop
     # keeps the accounting exact if a caller asks for more.  Subsequent

@@ -162,6 +162,7 @@ def usable(params: Params) -> bool:
     """Whether the fused kernel applies: TPU backend, f32, fits in VMEM."""
     return (
         jax.default_backend() == "tpu"
+        and not params.disable_pallas
         and params.jnp_dtype == jnp.float32
         and fits_in_vmem(params)
     )

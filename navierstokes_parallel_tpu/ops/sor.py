@@ -205,6 +205,9 @@ def solve_pressure(
         # half-sweeps).
         if hooks:
             raise ValueError("pallas_sor is single-chip only (got shard hooks)")
+        if params.disable_pallas:
+            raise ValueError("pallas_sor unavailable: params.disable_pallas "
+                             "is set (GSPMD backend) — use rb_sor/mg/cg/fft")
         if not jax.config.jax_enable_x64:
             raise ValueError("pallas_sor requires x64 for the f64 master")
         return _solve_pressure_refined(

@@ -1,0 +1,207 @@
+"""GSPMD auto-sharded backend: `jit` + `NamedSharding`, XLA inserts the
+collectives.
+
+The framework ships two complementary multi-chip paths:
+
+  * `parallel/sharded.py` — the *manual* SPMD path: `shard_map` over local
+    blocks, explicit `lax.ppermute` halo exchange, explicit `psum`/`pmax`
+    reductions.  Maximum control; the direct analogue of the reference's
+    CUDA tile + shared-memory-halo design (main.cu:384-511).
+  * this module — the *compiler* path, the canonical JAX scaling recipe:
+    annotate the state arrays' sharding over a 2D device mesh, `jit` the
+    UNMODIFIED single-chip solver (solver.py), and let XLA's SPMD
+    partitioner insert collective-permutes for the stencil shifts and
+    all-reduces for the norms/maxima.
+
+Because the partitioner shards arbitrary jnp programs, EVERY pressure
+method — rb_sor, jacobi, mg (V-cycles incl. `reduce_window` restriction and
+MXU prolongation matmuls), cg, and the fft/DCT direct solve (distributed
+matmuls) — runs multi-chip here with zero method-specific communication
+code, closing the gap where the manual path supports only rb_sor/mg/cg.
+Grids need not divide the mesh — the state is zero-padded to the next mesh
+multiple only at the jit boundary (`_padded_shape`) and sliced back inside,
+so the reference's default 257^2 workload (parameters.txt:3-4) shards as-is
+with zero changes to the solver math.
+
+The only ops the partitioner cannot shard are the opaque Pallas kernel
+calls (it would gather their operands to one device), so this backend sets
+`Params.disable_pallas`, routing momentum and the SOR inner stage through
+the pure-jnp formulations.  Single-chip-per-method peak therefore belongs
+to the Pallas backends; this path is about *scaling* the same math.
+
+Reference analogue: none (the reference is single-GPU, SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Params
+from ..grid import State, allocate_state
+from ..solver import SolveStats, StepDiagnostics, _solve_on_device, step
+from .topology import MESH_AXES, make_grid_mesh
+
+# Every jnp-expressible pressure method; pallas_sor is excluded by design
+# (see module docstring).
+GSPMD_METHODS = ("rb_sor", "jacobi", "mg", "cg", "fft")
+
+
+def _check_method(pressure_method: str) -> None:
+    if pressure_method not in GSPMD_METHODS:
+        raise ValueError(
+            f"gspmd backend supports pressure methods {GSPMD_METHODS}, "
+            f"got {pressure_method!r} (the Pallas kernels are opaque to the "
+            f"SPMD partitioner)"
+        )
+
+
+def _shardings(mesh: Mesh):
+    grid = NamedSharding(mesh, P(*MESH_AXES))
+    rep = NamedSharding(mesh, P())
+    return grid, rep
+
+
+def _padded_shape(mesh: Mesh, shape) -> tuple:
+    """Top-level jax.Arrays must divide the mesh evenly (uniform shard
+    shapes); the GSPMD partitioner pads *intermediates* itself but not the
+    jit boundary.  So the state crosses the boundary padded to the next
+    per-axis mesh multiple, and the solver body slices the real
+    (i_max+2, j_max+2) view back out — a sharded static slice, free for XLA."""
+    px, py = mesh.devices.shape
+    return (-(-shape[0] // px) * px, -(-shape[1] // py) * py)
+
+
+def place_state(state: State, mesh: Mesh) -> State:
+    """Device-place a State: grid arrays boundary-padded and block-sharded
+    over the mesh, scalars replicated."""
+    grid, rep = _shardings(mesh)
+    pi, pj = _padded_shape(mesh, state.u.shape)
+
+    def put(arr):
+        ni, nj = arr.shape
+        host = jnp.zeros((pi, pj), arr.dtype).at[:ni, :nj].set(arr)
+        return jax.device_put(host, grid)
+
+    return State(
+        u=put(state.u),
+        v=put(state.v),
+        p=put(state.p),
+        t=jax.device_put(state.t, rep),
+        n=jax.device_put(state.n, rep),
+    )
+
+
+def unpad_state(state: State, params: Params) -> State:
+    """Slice the real (i_max+2, j_max+2) arrays back out of a
+    boundary-padded State (still device-resident/sharded)."""
+    ni, nj = params.shape
+    return State(u=state.u[:ni, :nj], v=state.v[:ni, :nj],
+                 p=state.p[:ni, :nj], t=state.t, n=state.n)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_solve(params: Params, mesh: Mesh, pressure_method: str):
+    grid, rep = _shardings(mesh)
+    out_state = State(u=grid, v=grid, p=grid, t=rep, n=rep)
+    out_stats = SolveStats(rep, rep, rep, rep)
+    ni, nj = params.shape
+    pi, pj = _padded_shape(mesh, (ni, nj))
+
+    def fn(padded: State):
+        state = unpad_state(padded, params)
+        out, stats = _solve_on_device(params, state, pressure_method)
+
+        def repad(a):
+            return jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(a)
+
+        return (
+            State(u=repad(out.u), v=repad(out.v), p=repad(out.p),
+                  t=out.t, n=out.n),
+            stats,
+        )
+
+    return jax.jit(fn, out_shardings=(out_state, out_stats))
+
+
+@functools.lru_cache(maxsize=32)
+def _make_step(params: Params, mesh: Mesh, pressure_method: str):
+    grid, rep = _shardings(mesh)
+    out_state = State(u=grid, v=grid, p=grid, t=rep, n=rep)
+    out_diag = StepDiagnostics(rep, rep, rep, rep)
+    ni, nj = params.shape
+    pi, pj = _padded_shape(mesh, (ni, nj))
+
+    def fn(padded: State):
+        state = unpad_state(padded, params)
+        out, diag = step(state, params, pressure_method=pressure_method)
+
+        def repad(a):
+            return jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(a)
+
+        return (
+            State(u=repad(out.u), v=repad(out.v), p=repad(out.p),
+                  t=out.t, n=out.n),
+            diag,
+        )
+
+    return jax.jit(fn, out_shardings=(out_state, out_diag))
+
+
+def solve_gspmd(
+    params: Params,
+    state: Optional[State] = None,
+    mesh: Optional[Mesh] = None,
+    *,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, SolveStats]:
+    """Auto-sharded drop-in for solver.solve(): the whole `while t < T`
+    integration is one jitted on-device while_loop over sharded arrays.
+    The returned State's grid arrays remain sharded (np.asarray gathers)."""
+    _check_method(pressure_method)
+    params = params.replace(disable_pallas=True)
+    if state is None:
+        state = allocate_state(params)
+    if mesh is None:
+        mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
+    placed = place_state(state, mesh)
+    out, stats = _make_solve(params, mesh, pressure_method)(placed)
+    return unpad_state(out, params), stats
+
+
+class GspmdStepper:
+    """Host-loop adapter (periodic output / checkpoint / history) for the
+    GSPMD backend; twin of cli._SingleChipStepper and sharded.ShardedStepper."""
+
+    def __init__(self, params: Params, state: State,
+                 mesh: Optional[Mesh] = None,
+                 pressure_method: str = "rb_sor"):
+        _check_method(pressure_method)
+        params = params.replace(disable_pallas=True)
+        if mesh is None:
+            mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
+        self.params = params
+        self.mesh = mesh
+        self._fn = _make_step(params, mesh, pressure_method)
+        self._state = place_state(state, mesh)
+
+    @property
+    def t(self) -> float:
+        return float(self._state.t)
+
+    @property
+    def n(self) -> int:
+        return int(self._state.n)
+
+    def step(self) -> StepDiagnostics:
+        self._state, diag = self._fn(self._state)
+        return diag
+
+    def state(self) -> State:
+        s = unpad_state(self._state, self.params)
+        return State(u=jnp.asarray(s.u), v=jnp.asarray(s.v),
+                     p=jnp.asarray(s.p), t=s.t, n=s.n)

@@ -1,0 +1,123 @@
+"""GSPMD auto-sharded backend (parallel/gspmd.py): every jnp pressure
+method must run over an 8-device mesh and match the single-chip solver
+within the reference tolerance contract (the notebook comparator's 1e-4;
+SURVEY.md §3.5) — most differences here are pure reduction-order noise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import assert_close_reference_contract
+from navierstokes_parallel_tpu.config import Params
+from navierstokes_parallel_tpu.grid import allocate_state
+from navierstokes_parallel_tpu.parallel import gspmd
+from navierstokes_parallel_tpu.parallel.topology import MESH_AXES, make_grid_mesh
+from navierstokes_parallel_tpu.solver import solve
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _params(n=16, **kw):
+    kw.setdefault("problem", 1)
+    kw.setdefault("i_max", n)
+    kw.setdefault("j_max", n)
+    kw.setdefault("T", 0.05)
+    kw.setdefault("Re", 100.0)
+    kw.setdefault("tau", 0.5)
+    kw.setdefault("epsilon", 1e-4)
+    kw.setdefault("max_it", 500)
+    kw.setdefault("dtype", "float32")
+    return Params(**kw)
+
+
+@pytest.mark.parametrize("method", ["rb_sor", "mg", "cg", "fft"])
+def test_gspmd_matches_single_chip(method):
+    params = _params(16)
+    mesh = make_grid_mesh(8, params.i_max, params.j_max)
+    ref_state, ref_stats = solve(params, pressure_method=method)
+    g_state, g_stats = gspmd.solve_gspmd(params, mesh=mesh,
+                                         pressure_method=method)
+    assert int(g_stats.steps) == int(ref_stats.steps)
+    for name in ("u", "v", "p"):
+        assert_close_reference_contract(
+            np.asarray(getattr(ref_state, name)),
+            np.asarray(getattr(g_state, name)),
+        )
+
+
+def test_gspmd_output_actually_sharded():
+    """The solve must come back block-sharded over the full mesh — i.e. XLA
+    really partitioned the program instead of replicating it."""
+    params = _params(16)
+    mesh = make_grid_mesh(8, params.i_max, params.j_max)
+    placed = gspmd.place_state(allocate_state(params), mesh)
+    out, _ = gspmd._make_solve(
+        params.replace(disable_pallas=True), mesh, "rb_sor")(placed)
+    sh = out.u.sharding
+    assert len(sh.device_set) == 8
+    assert not sh.is_fully_replicated
+    assert sh.spec == jax.sharding.PartitionSpec(*MESH_AXES)
+
+
+def test_gspmd_odd_grid_no_divisibility_requirement():
+    """GSPMD pads shards internally: the reference's default-style odd grid
+    (parameters.txt: 257^2) needs no pad-to-divisible machinery here."""
+    params = _params(17)
+    mesh = make_grid_mesh(8, params.i_max, params.j_max)
+    ref_state, _ = solve(params)
+    g_state, _ = gspmd.solve_gspmd(params, mesh=mesh)
+    for name in ("u", "v", "p"):
+        assert_close_reference_contract(
+            np.asarray(getattr(ref_state, name)),
+            np.asarray(getattr(g_state, name)),
+        )
+
+
+def test_gspmd_rejects_pallas_method():
+    with pytest.raises(ValueError, match="gspmd backend supports"):
+        gspmd.solve_gspmd(_params(16), pressure_method="pallas_sor")
+
+
+def test_gspmd_stepper_host_loop():
+    """GspmdStepper powers periodic output/checkpointing: stepping one step
+    at a time must land exactly where the monolithic solve does."""
+    params = _params(16)
+    mesh = make_grid_mesh(8, params.i_max, params.j_max)
+    ref_state, ref_stats = solve(params)
+    stepper = gspmd.GspmdStepper(params, allocate_state(params), mesh=mesh)
+    iters = 0
+    while stepper.t < params.T:
+        diag = stepper.step()
+        iters += int(diag.sor_iterations)
+    st = stepper.state()
+    assert stepper.n == int(ref_stats.steps)
+    for name in ("u", "v", "p"):
+        assert_close_reference_contract(
+            np.asarray(getattr(ref_state, name)), np.asarray(getattr(st, name))
+        )
+
+
+def test_gspmd_cli_backend(tmp_path):
+    """End-to-end through the CLI protocol (stdout center values)."""
+    import io
+    from contextlib import redirect_stderr, redirect_stdout
+
+    from navierstokes_parallel_tpu import cli
+
+    cfg = tmp_path / "tiny.in"
+    _params(16, T=0.02).to_file(str(cfg))
+    ref_out, g_out = io.StringIO(), io.StringIO()
+    with redirect_stdout(ref_out), redirect_stderr(io.StringIO()):
+        assert cli.main([str(cfg), "--backend", "jnp"]) == 0
+    with redirect_stdout(g_out), redirect_stderr(io.StringIO()):
+        assert cli.main([str(cfg), "--backend", "gspmd"]) == 0
+
+    def centers(text):
+        return [float(line.split(":")[1]) for line in text.splitlines()
+                if line.startswith(("U-CENTER", "V-CENTER"))]
+
+    np.testing.assert_allclose(centers(g_out.getvalue()),
+                               centers(ref_out.getvalue()), atol=1e-4)
