@@ -101,6 +101,13 @@ class Params:
     # XLA's SPMD partitioner can shard any jnp op but would have to fully
     # gather the operands of an opaque Pallas call.
     disable_pallas: bool = False
+    # Storage/compute precision of the SOR inner stage (the f32 correction
+    # sweeps under the f64 refinement master, ops/sor.py).  "bfloat16" halves
+    # the inner stage's VMEM footprint and HBM traffic; the f64 defect
+    # re-baseline every K sweeps bounds the rounding, but the inner
+    # iteration stalls earlier, so measure before using (docs/performance.md
+    # records the measurements).  Applies to the Pallas/XLA inner routes.
+    sor_inner_dtype: str = "float32"
 
     def __post_init__(self):
         if self.problem not in (1, 2):

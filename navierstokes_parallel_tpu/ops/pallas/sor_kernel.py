@@ -65,10 +65,11 @@ def _dynamic_roll(x, shift, axis):  # kept for reference/fallback
 
 
 def _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll,
-                 warm_start=False):
+                 warm_start=False, compute_dtype=jnp.float32):
     """Build the kernel body with all solver constants baked in.  With
     warm_start the kernel takes an extra d0 input and sweeps from it
-    instead of zeros (the multigrid smoother)."""
+    instead of zeros (the multigrid smoother).  `compute_dtype` lets the
+    whole inner stage run in bfloat16 (Params.sor_inner_dtype)."""
     ni, nj = shape  # padded (i_max+2, j_max+2)
     coef = omega / (2.0 * (dx2_inv + dy2_inv))
     roll = _roll if use_pltpu_roll else jnp.roll
@@ -88,10 +89,10 @@ def _make_kernel(shape, omega, dx2_inv, dy2_inv, use_pltpu_roll,
         # reference refills the ghost ring every half-sweep to achieve this,
         # integration.c:138-146 / main.cu:686).  The rolled ghost ring
         # contributes zero, and `self_coef * d` adds the missing neighbor(s).
-        f32 = jnp.float32
+        ct = compute_dtype
         self_coef = (
-            ((ii == 1).astype(f32) + (ii == ni - 2).astype(f32)) * dx2_inv
-            + ((jj == 1).astype(f32) + (jj == nj - 2).astype(f32)) * dy2_inv
+            ((ii == 1).astype(ct) + (ii == ni - 2).astype(ct)) * dx2_inv
+            + ((jj == 1).astype(ct) + (jj == nj - 2).astype(ct)) * dy2_inv
         )
         return red, black, self_coef
 
@@ -159,17 +160,21 @@ def warm_sweeps(p, rhs, n_sweeps, omega, dx2_inv, dy2_inv):
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "omega", "dx2_inv",
-                                             "dy2_inv", "interpret"))
+                                             "dy2_inv", "interpret", "dtype"))
 def _sweeps_call(n_sweeps, rhs_neg, *, shape, omega, dx2_inv, dy2_inv,
-                 interpret):
+                 interpret, dtype="float32"):
+    compute_dtype = jnp.dtype(dtype)
     kernel = _make_kernel(shape, omega, dx2_inv, dy2_inv,
-                          use_pltpu_roll=not interpret)
+                          use_pltpu_roll=not interpret,
+                          compute_dtype=compute_dtype)
     # v5e has far more physical VMEM than the 16 MB scoped default; size the
     # limit to the working set (delta + rhs + roll temps), in exact bytes.
-    limit = max(16 << 20, 12 * shape[0] * -(-shape[1] // 128) * 128 * 4)
+    itemsize = compute_dtype.itemsize
+    limit = max(16 << 20,
+                12 * shape[0] * -(-shape[1] // 128) * 128 * itemsize)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(shape, compute_dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -200,7 +205,8 @@ SWEEPS_PER_CHUNK = 8     # K: halo depth is 2K
 
 
 def _make_tiled_kernel(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
-                       omega, dx2_inv, dy2_inv, use_pltpu_roll):
+                       omega, dx2_inv, dy2_inv, use_pltpu_roll,
+                       transport_dtype=jnp.float32):
     """Single-program kernel looping over row strips: DMA strip (B+2H, W)
     into VMEM, sweep ns times (ns <= halo/2, dynamic), DMA the central B rows
     back out.  Gridless because the axon remote-compile toolchain rejects
@@ -214,6 +220,7 @@ def _make_tiled_kernel(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
     coef = omega / (2.0 * (dx2_inv + dy2_inv))
     roll = _roll if use_pltpu_roll else jnp.roll
     f32 = jnp.float32
+    td = transport_dtype
 
     def kernel(ns_ref, d_hbm, rhs_hbm, out_hbm):
         def body(d_t, rhs_t, o_t, sem_d, sem_r, sem_o):
@@ -246,7 +253,7 @@ def _make_tiled_kernel(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
                     + j_edge
                 )
 
-                rhs = rhs_t[:]
+                rhs = rhs_t[:].astype(f32)
 
                 def half(d, mask):
                     nb = (
@@ -260,8 +267,8 @@ def _make_tiled_kernel(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
                 def sweep(_, d):
                     return half(half(d, red), black)
 
-                d = lax.fori_loop(0, ns_ref[0], sweep, d_t[:])
-                o_t[:] = d[H : H + B, :]
+                d = lax.fori_loop(0, ns_ref[0], sweep, d_t[:].astype(f32))
+                o_t[:] = d[H : H + B, :].astype(td)
                 store = pltpu.make_async_copy(
                     o_t, out_hbm.at[pl.ds(row0, B)], sem_o)
                 store.start()
@@ -272,9 +279,9 @@ def _make_tiled_kernel(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
 
         pl.run_scoped(
             body,
-            pltpu.VMEM((B + 2 * H, W), f32),
-            pltpu.VMEM((B + 2 * H, W), f32),
-            pltpu.VMEM((B, W), f32),
+            pltpu.VMEM((B + 2 * H, W), td),
+            pltpu.VMEM((B + 2 * H, W), td),
+            pltpu.VMEM((B, W), td),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -284,7 +291,8 @@ def _make_tiled_kernel(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
 
 
 def _make_tiled_kernel_db(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
-                          omega, dx2_inv, dy2_inv, use_pltpu_roll):
+                          omega, dx2_inv, dy2_inv, use_pltpu_roll,
+                          transport_dtype=jnp.float32):
     """Double-buffered strip kernel: strip s+1's HBM->VMEM loads are issued
     BEFORE strip s's sweeps run, and each strip's store drains while later
     strips compute (waited two strips behind, when its buffer is reused) —
@@ -293,7 +301,11 @@ def _make_tiled_kernel_db(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
     (2K-deep halos keep the written rows exact), so the prefetch has no
     read-after-write hazard by construction.  The strip loop is unrolled at
     trace time (n_strips is static), which also avoids dynamic buffer-slot
-    indexing that Mosaic lowers poorly."""
+    indexing that Mosaic lowers poorly.
+
+    `transport_dtype=bfloat16` halves the HBM traffic (the route's binding
+    resource): strips travel HBM<->VMEM as bf16 and are up/down-cast around
+    the f32 sweeps — the f64 refinement outer bounds the per-chunk rounding."""
     import numpy as np
 
     _, W = ext_shape
@@ -301,6 +313,7 @@ def _make_tiled_kernel_db(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
     coef = omega / (2.0 * (dx2_inv + dy2_inv))
     roll = _roll if use_pltpu_roll else jnp.roll
     f32 = jnp.float32
+    td = transport_dtype
 
     def kernel(ns_ref, d_hbm, rhs_hbm, out_hbm):
         def body(d_t0, d_t1, r_t0, r_t1, o_t0, o_t1,
@@ -349,7 +362,7 @@ def _make_tiled_kernel_db(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
                     ((ii == 1).astype(f32) + (ii == i_max).astype(f32))
                     * dx2_inv + j_edge
                 )
-                rhs = r_bufs[slot][:]
+                rhs = r_bufs[slot][:].astype(f32)
 
                 def half(d, mask):
                     nb = (
@@ -363,10 +376,11 @@ def _make_tiled_kernel_db(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
                 def sweep(_, d):
                     return half(half(d, red), black)
 
-                d = lax.fori_loop(0, ns_ref[0], sweep, d_bufs[slot][:])
+                d = lax.fori_loop(0, ns_ref[0], sweep,
+                                  d_bufs[slot][:].astype(f32))
                 if s >= 2:
                     store(s - 2, slot).wait()  # buffer reuse fence
-                o_bufs[slot][:] = d[H: H + B, :]
+                o_bufs[slot][:] = d[H: H + B, :].astype(td)
                 store(s, slot).start()
             for s in (n_strips - 2, n_strips - 1):
                 if s >= 0:
@@ -374,9 +388,9 @@ def _make_tiled_kernel_db(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
 
         pl.run_scoped(
             body,
-            pltpu.VMEM((B + 2 * H, W), f32), pltpu.VMEM((B + 2 * H, W), f32),
-            pltpu.VMEM((B + 2 * H, W), f32), pltpu.VMEM((B + 2 * H, W), f32),
-            pltpu.VMEM((B, W), f32), pltpu.VMEM((B, W), f32),
+            pltpu.VMEM((B + 2 * H, W), td), pltpu.VMEM((B + 2 * H, W), td),
+            pltpu.VMEM((B + 2 * H, W), td), pltpu.VMEM((B + 2 * H, W), td),
+            pltpu.VMEM((B, W), td), pltpu.VMEM((B, W), td),
             pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
@@ -387,23 +401,25 @@ def _make_tiled_kernel_db(ext_shape, tile_rows, halo, n_strips, i_max, j_max,
 
 @functools.partial(jax.jit, static_argnames=(
     "ext_shape", "tile_rows", "halo", "i_max", "j_max",
-    "omega", "dx2_inv", "dy2_inv", "interpret", "double_buffer"))
+    "omega", "dx2_inv", "dy2_inv", "interpret", "double_buffer", "transport"))
 def _tiled_chunk_call(ns, d_ext, rhs_ext, *, ext_shape, tile_rows, halo,
                       i_max, j_max, omega, dx2_inv, dy2_inv, interpret,
-                      double_buffer=True):
+                      double_buffer=True, transport="float32"):
     R, W = ext_shape  # R = S * tile_rows + 2 * halo
     S = (R - 2 * halo) // tile_rows
+    td = jnp.dtype(transport)
     make = _make_tiled_kernel_db if double_buffer else _make_tiled_kernel
     kernel = make(ext_shape, tile_rows, halo, S,
                   i_max, j_max, omega, dx2_inv, dy2_inv,
-                  use_pltpu_roll=not interpret)
+                  use_pltpu_roll=not interpret, transport_dtype=td)
     B, H = tile_rows, halo
     n_bufs = (4 * (B + 2 * H) + 2 * B) if double_buffer \
         else (2 * (B + 2 * H) + B)
+    # f32 sweep temporaries dominate the stack even with bf16 transport.
     scratch_mib = (n_bufs * W * 4 >> 20) + 1
     # XLA may place the (R-2H, W) result buffer on the VMEM stack alongside
     # the strip scratch; budget for both (observed OOM at 2048^2 otherwise).
-    result_mib = ((R - 2 * halo) * W * 4 >> 20) + 1
+    result_mib = ((R - 2 * halo) * W * td.itemsize >> 20) + 1
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
@@ -413,7 +429,7 @@ def _tiled_chunk_call(ns, d_ext, rhs_ext, *, ext_shape, tile_rows, halo,
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-            out_shape=jax.ShapeDtypeStruct((R - 2 * halo, W), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((R - 2 * halo, W), td),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=min(
@@ -423,43 +439,49 @@ def _tiled_chunk_call(ns, d_ext, rhs_ext, *, ext_shape, tile_rows, halo,
         )(ns, d_ext, rhs_ext)
 
 
-def vmem_bytes_required(params: Params) -> int:
+def vmem_bytes_required(params: Params, itemsize: int = 4) -> int:
     """Rough VMEM footprint: delta + rhs + one temp, tile-padded."""
     ni, nj = params.shape
 
     def pad(a, m):
         return -(-a // m) * m
 
-    per_array = pad(ni, 8) * pad(nj, 128) * 4
+    per_array = pad(ni, 8) * pad(nj, 128) * itemsize
     return 3 * per_array
 
 
-def fits_in_vmem(params: Params, budget_bytes: int = 48 * 1024 * 1024) -> bool:
+def fits_in_vmem(params: Params, budget_bytes: int = 48 * 1024 * 1024,
+                 itemsize: int = 4) -> bool:
     """Whole-grid kernel viability: v5e VMEM comfortably fits ~8 working
-    arrays up to 1024^2 (verified empirically); 2048^2 does not compile and
-    routes to the tiled kernel."""
-    return vmem_bytes_required(params) <= budget_bytes
+    arrays up to 1024^2 f32 (verified empirically); 2048^2 f32 does not
+    compile and routes to the tiled kernel (bf16 halves the footprint)."""
+    return vmem_bytes_required(params, itemsize) <= budget_bytes
 
 
 def inner_sweeps_tiled(rhs_neg: jax.Array, n_sweeps, params: Params,
                        tile_rows: int = None,
                        sweeps_per_chunk: int = SWEEPS_PER_CHUNK,
                        double_buffer: bool = True) -> jax.Array:
-    """K-sweep-chunked strip-tiled inner stage for large grids."""
+    """K-sweep-chunked strip-tiled inner stage for large grids.  With
+    Params.sor_inner_dtype = bfloat16 the strips travel HBM<->VMEM in bf16
+    (half the traffic of the HBM-bound route); sweeps stay f32 in VMEM."""
     interpret = jax.default_backend() != "tpu"
+    td = jnp.dtype(params.sor_inner_dtype)
     ni, nj = params.shape
     B, K = tile_rows or TILE_ROWS, sweeps_per_chunk
     H = 2 * K
     S = -(-ni // B)
     R = S * B
-    # HBM->VMEM DMA slices must be 128-lane / 8-sublane aligned; pad the
-    # width (junk columns are masked out of every update and never read by
-    # valid cells).
+    # HBM->VMEM DMA slices must be 128-lane / 8-sublane (16 for bf16: packed
+    # (16, 128) tiles) aligned; pad the width (junk columns are masked out of
+    # every update and never read by valid cells).
     W = -(-nj // 128) * 128
-    assert (B + 2 * H) % 8 == 0, "tile_rows + 4*sweeps_per_chunk must be 8-aligned"
+    align = 8 * (4 // td.itemsize)
+    assert (B + 2 * H) % align == 0 and B % align == 0, (
+        f"tile_rows and tile_rows + 4*sweeps_per_chunk must be "
+        f"{align}-aligned for {td} DMA slices")
 
-    rhs_core = jnp.zeros((R, W), jnp.float32).at[:ni, :nj].set(
-        rhs_neg.astype(jnp.float32))
+    rhs_core = jnp.zeros((R, W), td).at[:ni, :nj].set(rhs_neg.astype(td))
     rhs_ext = jnp.pad(rhs_core, ((H, H), (0, 0)))
 
     kwargs = dict(
@@ -467,7 +489,7 @@ def inner_sweeps_tiled(rhs_neg: jax.Array, n_sweeps, params: Params,
         i_max=params.i_max, j_max=params.j_max, omega=float(params.omega),
         dx2_inv=float(1.0 / (params.dx * params.dx)),
         dy2_inv=float(1.0 / (params.dy * params.dy)), interpret=interpret,
-        double_buffer=double_buffer,
+        double_buffer=double_buffer, transport=params.sor_inner_dtype,
     )
 
     n_sweeps = jnp.asarray(n_sweeps, jnp.int32)
@@ -478,7 +500,7 @@ def inner_sweeps_tiled(rhs_neg: jax.Array, n_sweeps, params: Params,
         d_ext = jnp.pad(d_core, ((H, H), (0, 0)))
         return _tiled_chunk_call(ns, d_ext, rhs_ext, **kwargs)
 
-    d_core = lax.fori_loop(0, n_chunks, chunk, jnp.zeros((R, W), jnp.float32))
+    d_core = lax.fori_loop(0, n_chunks, chunk, jnp.zeros((R, W), td))
     return d_core[:ni, :nj]
 
 
@@ -499,7 +521,7 @@ def _pick_large_grid_route(params: Params) -> str:
     """'tiled' or 'xla' for grids that do not fit VMEM whole."""
     if PREFER_TILED_DMA is not None:
         return "tiled" if PREFER_TILED_DMA else "xla"
-    key = params.shape
+    key = (params.shape, params.sor_inner_dtype)
     if key in _ROUTE_CACHE:
         return _ROUTE_CACHE[key]
     if jax.default_backend() != "tpu":
@@ -565,9 +587,10 @@ def _pick_large_grid_route(params: Params) -> str:
 def _roll_sweeps_xla(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
     """XLA fallback for grids larger than VMEM: the same roll + self-coef
     red-black formulation as the kernels, expressed as fused XLA ops (full
-    HBM bandwidth, ~15 array passes per sweep)."""
+    HBM bandwidth, ~15 array passes per sweep).  Honors
+    Params.sor_inner_dtype (bf16 halves the traffic of every pass)."""
     ni, nj = params.shape
-    f32 = jnp.float32
+    f32 = jnp.dtype(params.sor_inner_dtype)
     dx2_inv = jnp.asarray(1.0 / (params.dx * params.dx), f32)
     dy2_inv = jnp.asarray(1.0 / (params.dy * params.dy), f32)
     omega = jnp.asarray(params.omega, f32)
@@ -602,10 +625,13 @@ def _roll_sweeps_xla(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
 
 def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
     """Drop-in replacement for the refinement solver's inner stage: n_sweeps
-    f32 red-black sweeps on A delta = rhs_neg from delta = 0.  Whole-grid-in-
-    VMEM kernel when it fits; otherwise the strip-tiled DMA kernel (real
-    hardware) or the XLA roll formulation (tunneled dev platform)."""
-    if not fits_in_vmem(params):
+    inner-dtype red-black sweeps on A delta = rhs_neg from delta = 0.
+    Whole-grid-in-VMEM kernel when it fits; otherwise the strip-tiled DMA
+    kernel (real hardware) or the XLA roll formulation (tunneled dev
+    platform).  Params.sor_inner_dtype selects f32 (default) or bf16 sweeps;
+    the bf16 footprint is half, so bf16 also widens the whole-grid window."""
+    inner_dtype = jnp.dtype(params.sor_inner_dtype)
+    if not fits_in_vmem(params, itemsize=inner_dtype.itemsize):
         if _pick_large_grid_route(params) == "tiled":
             return inner_sweeps_tiled(rhs_neg, n_sweeps, params)
         return _roll_sweeps_xla(rhs_neg, n_sweeps, params)
@@ -615,12 +641,13 @@ def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
     ns = jnp.asarray(n_sweeps, jnp.int32).reshape(1)
     return _sweeps_call(
         ns,
-        rhs_neg.astype(jnp.float32),
+        rhs_neg.astype(inner_dtype),
         shape=params.shape,
         omega=float(params.omega),
         dx2_inv=float(1.0 / (params.dx * params.dx)),
         dy2_inv=float(1.0 / (params.dy * params.dy)),
         interpret=interpret,
+        dtype=params.sor_inner_dtype,
     )
 
 

@@ -116,7 +116,7 @@ def test_inner_sweeps_routes_by_budget(params64, rhs64, monkeypatch):
     agree with the reference inner stage."""
     want = np.asarray(_reference_inner(rhs64, 8, params64))[1:-1, 1:-1]
 
-    monkeypatch.setattr(sor_kernel, "fits_in_vmem", lambda p: False)
+    monkeypatch.setattr(sor_kernel, "fits_in_vmem", lambda p, **kw: False)
     monkeypatch.setattr(sor_kernel, "PREFER_TILED_DMA", False)
     got_xla = sor_kernel.inner_sweeps(rhs64, 8, params64)
     np.testing.assert_allclose(np.asarray(got_xla)[1:-1, 1:-1], want,
@@ -135,3 +135,47 @@ def test_fits_in_vmem_budget():
     assert sor_kernel.fits_in_vmem(p_small)
     assert not sor_kernel.fits_in_vmem(p_big)
     assert not sor_kernel.fits_in_vmem(p_small, budget_bytes=1)
+
+
+# ---------------------------------------------------------------------------
+# bfloat16 inner sweeps (Params.sor_inner_dtype) — MEASURED NEGATIVE RESULT
+# on v5e (docs/performance.md): bf16 compute in the whole-grid kernel is
+# ~40% SLOWER per sweep than f32 (pack/unpack overhead, no 2x VPU win) and
+# fails to compile at 1024^2; bf16 transport in the tiled DMA kernel is a
+# wash because the double-buffered DMA is already fully hidden behind the
+# VPU-bound sweeps.  The knob stays (with these tests) as the documented
+# record; default remains float32.
+# ---------------------------------------------------------------------------
+
+
+def test_bf16_whole_grid_kernel_tracks_f32(params64, rhs64):
+    """bf16 compute sweeps agree with f32 to bf16 rounding (~1e-2 rel)."""
+    pbf = params64.replace(sor_inner_dtype="bfloat16")
+    got = sor_kernel.inner_sweeps(rhs64, 6, pbf)
+    assert got.dtype == jnp.bfloat16
+    want = np.asarray(_reference_inner(rhs64, 6, params64))[1:-1, 1:-1]
+    scale = np.max(np.abs(want))
+    err = np.max(np.abs(np.asarray(got, np.float32)[1:-1, 1:-1] - want))
+    assert err <= 0.15 * scale
+
+
+def test_bf16_transport_tiled_kernel_tracks_f32(params64, rhs64):
+    """bf16 HBM transport (f32 compute) only rounds at chunk boundaries, so
+    it tracks f32 much tighter than full bf16 compute."""
+    pbf = params64.replace(sor_inner_dtype="bfloat16")
+    got = sor_kernel.inner_sweeps_tiled(rhs64, 8, pbf, tile_rows=32,
+                                        sweeps_per_chunk=4)
+    want = np.asarray(_reference_inner(rhs64, 8, params64))[1:-1, 1:-1]
+    scale = np.max(np.abs(want))
+    err = np.max(np.abs(np.asarray(got, np.float32)[1:-1, 1:-1] - want))
+    assert err <= 0.03 * scale
+
+
+def test_bf16_refined_solve_still_meets_contract(params64, rhs64):
+    """The f64 refinement outer bounds bf16 inner rounding: the solve must
+    still satisfy the reference stopping rule, just in more sweeps."""
+    pbf = params64.replace(sor_inner_dtype="bfloat16", max_it=5000,
+                           sor_refine_every=16)
+    p0 = jnp.zeros(params64.shape, jnp.float32)
+    res = sor.solve_pressure(p0, rhs64 * 1e-3, pbf, method="pallas_sor")
+    assert bool(res.converged)
