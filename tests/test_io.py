@@ -88,3 +88,40 @@ def test_backend_output_file_parity(tmp_path):
         assert nsio.compare_outputs_with_tolerance(
             str(a) + suffix, str(b) + suffix
         ), f"{suffix} outside tolerance"
+
+
+def test_native_writer_byte_parity(tmp_path):
+    """The native fast writer (csrc/nsp_io.c) must be byte-identical to the
+    Python formatter — including near-tie values (exact product within an
+    ulp of k + 0.5) and EXACT dyadic ties like 0.078125 = 5/64, where
+    "%.5f" rounds half to even.  Skipped when the C toolchain is absent
+    (wheel installs fall back to the Python writer)."""
+    import ctypes
+
+    lib = nsio._native_io()
+    if not lib:
+        pytest.skip("native IO library unavailable")
+
+    rng = np.random.default_rng(11)
+    base = (np.arange(-2000, 2000) + 0.5) / 1e5
+    vals = np.concatenate([
+        rng.standard_normal(20000) * np.logspace(-8, 9, 20000),
+        base, base + 1e-13, base - 1e-13,
+        np.arange(1, 200) / 64.0, -np.arange(1, 200) / 64.0,  # exact ties
+        rng.uniform(-1e10, 1e10, 5000),
+        np.array([0.0, -0.0, -1e-7, 1e-7, np.inf, -np.inf, np.nan,
+                  1e10, -1e10, 9.999999e9, 123456789.123456]),
+    ])
+    n = int(np.ceil(np.sqrt(vals.size)))
+    arr = np.zeros((n, n))
+    arr.flat[:vals.size] = vals
+
+    py_path, c_path = tmp_path / "py.txt", tmp_path / "c.txt"
+    nsio._write_grid_py(str(py_path), arr, 0.123456, 1.0, 2.0, n, n - 2)
+    rc = lib.nsp_write_grid(
+        str(c_path).encode(),
+        np.ascontiguousarray(arr).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double)),
+        n, n, n, n - 2, 0.123456, 1.0, 2.0)
+    assert rc == 0
+    assert py_path.read_bytes() == c_path.read_bytes()
