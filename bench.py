@@ -43,6 +43,16 @@ def main(argv=None):
                          "plain SOR is impractical (and the reference itself "
                          "never converges)")
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--refine-every", type=int, default=0,
+                    help="f64 re-baseline interval K for the SOR parity "
+                         "methods; 0 = benchmark-tuned (1024).  The "
+                         "block-size analogue: the reference harness sweeps "
+                         "CUDA block sizes and its headline uses the best "
+                         "(bs=16, speedup.csv); ours sweeps K "
+                         "(run_benchmarks.py --tile-sweep).  The benchmark "
+                         "workloads are max_it-bound, so K changes only how "
+                         "often the f64 defect pass runs — the sweep count "
+                         "and the result are identical.")
     args = ap.parse_args(argv)
 
     from navierstokes_parallel_tpu.config import Params
@@ -50,6 +60,12 @@ def main(argv=None):
     from navierstokes_parallel_tpu.solver import _solve_on_device
 
     params = Params.from_file(args.config, dtype="float32")
+    if args.method in ("auto", "rb_sor", "pallas_sor"):
+        # Measured on v5e (docs/performance.md): K=1024 vs the default 64 is
+        # 26%/21%/19% faster at 256^2/512^2/1024^2 (fewer f64 outer passes,
+        # same fixed sweep work).
+        params = params.replace(
+            sor_refine_every=args.refine_every or 1024)
     state = allocate_state(params)
 
     if args.backend == "sharded":
