@@ -86,7 +86,10 @@ def main(argv=None):
             method = args.method
         elif args.backend == "auto":
             if params.i_max >= 2048:
-                method = "mg"
+                # Plain SOR is impractical here (the reference itself never
+                # converges); fft (direct DCT solve on the MXU) measured
+                # fastest at every size >= 512^2 (docs/performance.md).
+                method = "fft"
             else:
                 from navierstokes_parallel_tpu.ops.sor import default_method
                 method = default_method(params)
