@@ -39,9 +39,10 @@ def main(argv=None):
     ap.add_argument("--method", choices=["auto", "rb_sor", "pallas_sor", "mg", "fft"],
                     default="auto",
                     help="pressure solver; auto = reference-parity red-black "
-                         "(pallas) up to 1024^2, multigrid at 2048^2+ where "
-                         "plain SOR is impractical (and the reference itself "
-                         "never converges)")
+                         "(pallas) up to 1024^2, the direct DCT spectral "
+                         "solve (fft) at 2048^2+ where plain SOR is "
+                         "impractical (and the reference itself never "
+                         "converges)")
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--refine-every", type=int, default=0,
                     help="f64 re-baseline interval K for the SOR parity "
@@ -78,6 +79,10 @@ def main(argv=None):
 
         gspmd_method = "rb_sor" if args.method in ("auto", "pallas_sor") \
             else args.method
+        if args.method == "pallas_sor":
+            print("warning: gspmd backend cannot run pallas_sor (opaque to "
+                  "the SPMD partitioner); using rb_sor", file=sys.stderr)
+        print(f"pressure solver: {gspmd_method} (gspmd)", file=sys.stderr)
 
         def run():
             return solve_gspmd(params, state, pressure_method=gspmd_method)

@@ -25,10 +25,21 @@
 #include <stdlib.h>
 #include <string.h>
 
-/* Format v as "%.5f" into out (>= 32 bytes); returns chars written. */
+/* Max "%.5f" width: DBL_MAX has 309 integer digits + sign + '.' + 5 + NUL.
+ * Every buffer slot is sized to this so the snprintf fallback can never
+ * overrun; the return is clamped anyway in case of future format drift. */
+#define FMT5_MAX 320
+
+/* Format v as "%.5f" into out (>= FMT5_MAX bytes); returns chars written. */
 static size_t fmt5(char *out, double v) {
-    if (!(v == v) || v >= 1e10 || v <= -1e10)
-        return (size_t)snprintf(out, 32, "%.5f", v);
+    if (!(v == v) || v >= 1e10 || v <= -1e10) {
+        int r = snprintf(out, FMT5_MAX, "%.5f", v);
+        if (r < 0)
+            r = 0;
+        else if (r >= FMT5_MAX)
+            r = FMT5_MAX - 1;
+        return (size_t)r;
+    }
 
     double p = v * 1e5;
     long long n = llround(p);
@@ -83,7 +94,7 @@ int nsp_write_grid(const char *path, const double *arr, int ni, int nj,
     FILE *f = fopen(path, "w");
     if (!f)
         return 1;
-    char *buf = (char *)malloc((size_t)n_cols * 32 + 8);
+    char *buf = (char *)malloc(((size_t)n_cols + 1) * (FMT5_MAX + 1) + 8);
     if (!buf) {
         fclose(f);
         return 2;
@@ -108,5 +119,10 @@ int nsp_write_grid(const char *path, const double *arr, int ni, int nj,
         }
     }
     free(buf);
-    return fclose(f) ? 3 : 0;
+    /* A mid-file fwrite can fail (e.g. ENOSPC) while the final fclose flush
+     * succeeds; ferror catches it so truncated files never return 0. */
+    int bad = ferror(f);
+    if (fclose(f) || bad)
+        return 3;
+    return 0;
 }

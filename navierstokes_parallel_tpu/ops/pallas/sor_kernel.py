@@ -628,10 +628,13 @@ def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
     inner-dtype red-black sweeps on A delta = rhs_neg from delta = 0.
     Whole-grid-in-VMEM kernel when it fits; otherwise the strip-tiled DMA
     kernel (real hardware) or the XLA roll formulation (tunneled dev
-    platform).  Params.sor_inner_dtype selects f32 (default) or bf16 sweeps;
-    the bf16 footprint is half, so bf16 also widens the whole-grid window."""
+    platform).  Params.sor_inner_dtype selects f32 (default) or bf16 sweeps.
+    The route gate deliberately uses the f32 footprint for both dtypes: the
+    bf16 whole-grid kernel fails to COMPILE at 1024^2+ on v5e (Mosaic), so
+    halving the budget must not widen the whole-grid window past sizes that
+    are known to build."""
     inner_dtype = jnp.dtype(params.sor_inner_dtype)
-    if not fits_in_vmem(params, itemsize=inner_dtype.itemsize):
+    if not fits_in_vmem(params):
         if _pick_large_grid_route(params) == "tiled":
             return inner_sweeps_tiled(rhs_neg, n_sweeps, params)
         return _roll_sweeps_xla(rhs_neg, n_sweeps, params)

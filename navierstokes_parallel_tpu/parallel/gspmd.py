@@ -104,17 +104,16 @@ def unpad_state(state: State, params: Params) -> State:
                  p=state.p[:ni, :nj], t=state.t, n=state.n)
 
 
-@functools.lru_cache(maxsize=32)
-def _make_solve(params: Params, mesh: Mesh, pressure_method: str):
+def _make_padded_jit(params: Params, mesh: Mesh, inner, aux_shardings):
+    """Jit `inner(state) -> (State, aux)` over boundary-padded sharded
+    arrays: unpad at entry, repad at exit, pin the output shardings."""
     grid, rep = _shardings(mesh)
     out_state = State(u=grid, v=grid, p=grid, t=rep, n=rep)
-    out_stats = SolveStats(rep, rep, rep, rep)
     ni, nj = params.shape
     pi, pj = _padded_shape(mesh, (ni, nj))
 
     def fn(padded: State):
-        state = unpad_state(padded, params)
-        out, stats = _solve_on_device(params, state, pressure_method)
+        out, aux = inner(unpad_state(padded, params))
 
         def repad(a):
             return jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(a)
@@ -122,34 +121,30 @@ def _make_solve(params: Params, mesh: Mesh, pressure_method: str):
         return (
             State(u=repad(out.u), v=repad(out.v), p=repad(out.p),
                   t=out.t, n=out.n),
-            stats,
+            aux,
         )
 
-    return jax.jit(fn, out_shardings=(out_state, out_stats))
+    return jax.jit(fn, out_shardings=(out_state, aux_shardings))
+
+
+@functools.lru_cache(maxsize=32)
+def _make_solve(params: Params, mesh: Mesh, pressure_method: str):
+    rep = _shardings(mesh)[1]
+    return _make_padded_jit(
+        params, mesh,
+        lambda state: _solve_on_device(params, state, pressure_method),
+        SolveStats(rep, rep, rep, rep),
+    )
 
 
 @functools.lru_cache(maxsize=32)
 def _make_step(params: Params, mesh: Mesh, pressure_method: str):
-    grid, rep = _shardings(mesh)
-    out_state = State(u=grid, v=grid, p=grid, t=rep, n=rep)
-    out_diag = StepDiagnostics(rep, rep, rep, rep)
-    ni, nj = params.shape
-    pi, pj = _padded_shape(mesh, (ni, nj))
-
-    def fn(padded: State):
-        state = unpad_state(padded, params)
-        out, diag = step(state, params, pressure_method=pressure_method)
-
-        def repad(a):
-            return jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(a)
-
-        return (
-            State(u=repad(out.u), v=repad(out.v), p=repad(out.p),
-                  t=out.t, n=out.n),
-            diag,
-        )
-
-    return jax.jit(fn, out_shardings=(out_state, out_diag))
+    rep = _shardings(mesh)[1]
+    return _make_padded_jit(
+        params, mesh,
+        lambda state: step(state, params, pressure_method=pressure_method),
+        StepDiagnostics(rep, rep, rep, rep),
+    )
 
 
 def solve_gspmd(

@@ -15,20 +15,26 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Tuple
 
 import numpy as np
 
 _NATIVE_IO = None  # lazily loaded libnsp_io.so handle; False = unavailable
+_NATIVE_IO_LOCK = threading.Lock()
 
 
 def _native_io():
     """ctypes handle to the native writer (csrc/nsp_io.c), built on demand
     like the serial C backend; False when the toolchain/source is absent
-    (wheel installs) — callers fall back to the Python formatter."""
+    (wheel installs) — callers fall back to the Python formatter.  The lock
+    matters: output() calls this from three pool threads, and two concurrent
+    `make`s racing on the same .so would hand CDLL a half-written ELF."""
     global _NATIVE_IO
-    if _NATIVE_IO is None:
+    with _NATIVE_IO_LOCK:
+        if _NATIVE_IO is not None:
+            return _NATIVE_IO
         try:
             root = os.path.abspath(
                 os.path.join(os.path.dirname(__file__), "..", ".."))
@@ -52,7 +58,7 @@ def _native_io():
             _NATIVE_IO = lib
         except Exception:
             _NATIVE_IO = False
-    return _NATIVE_IO
+        return _NATIVE_IO
 
 
 def _write_grid_py(path: str, arr: np.ndarray, t: float, a: float, b: float,
@@ -124,8 +130,10 @@ def read_field(path: str) -> Tuple[float, float, float, np.ndarray]:
         rows = []
         for line in fh:
             if not line.isspace():
-                # C-locale float parsing in numpy: ~20x the Python loop.
-                rows.append(np.fromstring(line, dtype=np.float64, sep=" "))
+                # C-speed parsing that still RAISES on a corrupt token
+                # (np.fromstring(sep=...) is deprecated and silently
+                # truncates the row at the first garbage value).
+                rows.append(np.array(line.split(), dtype=np.float64))
     # File rows are j-slices with i varying along the row -> transpose.
     return t, a, b, np.array(rows).T
 
