@@ -129,7 +129,8 @@ def main(argv=None) -> int:
         method = pressure_method
         if method not in ("rb_sor", "jacobi", "mg", "cg"):
             print(f"warning: --backend sharded does not support pressure "
-                  f"method {method!r} (single-chip only); using rb_sor",
+                  f"method {method!r}; using rb_sor (hint: --backend gspmd "
+                  f"runs every jnp method multi-chip, including {method!r})",
                   file=sys.stderr)
             method = "rb_sor"
         try:

@@ -7,7 +7,7 @@ workloads, applies the reference's tolerance comparator (relative for
 and reports CORRECT/INCORRECT plus the speedup — computed only on CORRECT
 runs, exactly like the notebook.
 
-    python scripts/parity_check.py --configs configs/1.in --backends jnp,pallas
+    python scripts/parity_check.py --configs configs/1.in --backends jnp,pallas,gspmd
 """
 
 import argparse
@@ -35,7 +35,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="configs/1.in")
     ap.add_argument("--backends", default="jnp",
-                    help="comma list: jnp,pallas,sharded")
+                    help="comma list: jnp,pallas,sharded,gspmd")
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--max-t", type=float, default=None,
                     help="override T (serial side gets slow on big configs)")
@@ -68,6 +68,15 @@ def main(argv=None):
                 device_fence(state)
                 t0 = time.perf_counter()
                 state, stats = solve_sharded(params)
+                device_fence(state)
+                t_b = time.perf_counter() - t0
+            elif backend == "gspmd":
+                from navierstokes_parallel_tpu.parallel.gspmd import solve_gspmd
+
+                state, stats = solve_gspmd(params)  # warmup/compile
+                device_fence(state)
+                t0 = time.perf_counter()
+                state, stats = solve_gspmd(params)
                 device_fence(state)
                 t_b = time.perf_counter() - t0
             else:

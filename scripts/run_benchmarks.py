@@ -45,7 +45,10 @@ def time_serial(config_path: str, runs: int):
     return statistics.mean(times), statistics.stdev(times) if runs > 1 else 0.0
 
 
-def time_tpu(config_path: str, runs: int, refine_every=None):
+def time_tpu(config_path: str, runs: int, refine_every=1024):
+    """refine_every defaults to the benchmark-tuned K=1024 (same as
+    bench.py; the block-size analogue — the reference's harness also runs
+    its best block size for the headline, speedup.csv bs=16)."""
     import jax
 
     jax.config.update("jax_enable_x64", True)
