@@ -121,3 +121,45 @@ def test_gspmd_cli_backend(tmp_path):
 
     np.testing.assert_allclose(centers(g_out.getvalue()),
                                centers(ref_out.getvalue()), atol=1e-4)
+
+
+def test_gspmd_cli_checkpoint_resume(tmp_path):
+    """Elastic-recovery twin for the gspmd backend: a --max-steps chunked
+    run with checkpoints resumes to the same end state as one straight run
+    (the single-chip and shard_map backends have the same test)."""
+    import io
+    from contextlib import redirect_stderr, redirect_stdout
+
+    from navierstokes_parallel_tpu import cli
+
+    cfg = tmp_path / "tiny.in"
+    # tau=0.2 -> dt ~ 0.01, so T=0.1 is ~10 steps: the 3-step chunks below
+    # must hit the incomplete-exit (rc 3) path several times before T.
+    _params(16, T=0.1, tau=0.2).to_file(str(cfg))
+    ck = tmp_path / "ck.npz"
+
+    straight = io.StringIO()
+    with redirect_stdout(straight), redirect_stderr(io.StringIO()):
+        assert cli.main([str(cfg), "--backend", "gspmd"]) == 0
+
+    chunked = io.StringIO()
+    with redirect_stdout(io.StringIO()), redirect_stderr(io.StringIO()):
+        rc = cli.main([str(cfg), "--backend", "gspmd", "--max-steps", "3",
+                       "--checkpoint-every", "1",
+                       "--checkpoint-path", str(ck)])
+    assert rc == 3 and ck.exists()
+    while rc == 3:
+        chunked = io.StringIO()
+        with redirect_stdout(chunked), redirect_stderr(io.StringIO()):
+            rc = cli.main([str(cfg), "--backend", "gspmd", "--max-steps", "3",
+                           "--checkpoint-every", "1",
+                           "--checkpoint-path", str(ck),
+                           "--resume", str(ck)])
+    assert rc == 0
+
+    def centers(text):
+        return [float(line.split(":")[1]) for line in text.splitlines()
+                if line.startswith(("U-CENTER", "V-CENTER"))]
+
+    np.testing.assert_allclose(centers(chunked.getvalue()),
+                               centers(straight.getvalue()), atol=1e-6)

@@ -284,3 +284,24 @@ def test_sharded_cg_padded_grid():
     assert int(shs.sor_failures) == 0
     np.testing.assert_allclose(
         np.asarray(sh.u)[1:-1, 1:-1], np.asarray(st.u)[1:-1, 1:-1], atol=1e-5)
+
+
+def test_sharded_4096_shape_one_step():
+    """The BASELINE north star names 'a 4096^2 cavity sharded over a v5e
+    slice'.  Real multi-chip hardware is unavailable in CI, so this drives
+    the full-size sharded step at the REAL 4096^2 shape on the 8-virtual-
+    device mesh: compiles, executes one step, and stays finite.  (max_it
+    is capped — this exercises shape/layout/collective paths, not
+    convergence, which the small-grid tests pin.)"""
+    from navierstokes_parallel_tpu.grid import allocate_state
+    from navierstokes_parallel_tpu.parallel.sharded import ShardedStepper
+
+    prm = _params(i_max=4096, j_max=4096, T=1.0, Re=1000.0, max_it=3,
+                  dtype="float32", sor_refine_every=2)
+    stepper = ShardedStepper(prm, allocate_state(prm))
+    diag = stepper.step()
+    assert float(diag.dt) > 0.0
+    st = stepper.state()
+    assert st.u.shape == (4098, 4098)
+    assert np.isfinite(np.asarray(st.u)).all()
+    assert np.isfinite(np.asarray(st.p)).all()
