@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "direct DCT spectral solve on the MXU)")
     ap.add_argument("--dtype", choices=["float32", "float64"], default=None,
                     help="override dtype (default: config / float32)")
+    ap.add_argument("--refine-every", type=int, default=None,
+                    help="f64 re-baseline / convergence-check interval K for "
+                         "the SOR methods (default 64; benchmarks use 1024 — "
+                         "docs/performance.md)")
     ap.add_argument("--output-dir", default=None,
                     help="write <n>_{u,v,p}.txt frames every n_print steps")
     ap.add_argument("--final-output-prefix", default=None,
@@ -88,6 +92,8 @@ def main(argv=None) -> int:
     overrides = {}
     if args.dtype:
         overrides["dtype"] = args.dtype
+    if args.refine_every:
+        overrides["sor_refine_every"] = args.refine_every
     try:
         params = Params.from_file(args.param_file, **overrides)
     except (OSError, ValueError) as e:

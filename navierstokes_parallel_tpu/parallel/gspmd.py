@@ -39,6 +39,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Params
@@ -76,24 +77,57 @@ def _padded_shape(mesh: Mesh, shape) -> tuple:
     return (-(-shape[0] // px) * px, -(-shape[1] // py) * py)
 
 
+def _put(host, sharding: NamedSharding):
+    """Device-place host data under `sharding`; uses
+    make_array_from_callback when some target devices belong to other
+    processes (multi-process jax.distributed runs), where a plain
+    device_put of global data would fail."""
+    if all(d.process_index == jax.process_index()
+           for d in sharding.device_set):
+        return jax.device_put(host, sharding)
+    host = np.asarray(host)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
+
+
+def _fetch(x) -> np.ndarray:
+    """Host-fetch a (possibly cross-process) sharded array."""
+    if all(d.process_index == jax.process_index()
+           for d in x.sharding.device_set):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def place_state(state: State, mesh: Mesh) -> State:
     """Device-place a State: grid arrays boundary-padded and block-sharded
-    over the mesh, scalars replicated."""
+    over the mesh, scalars replicated.  Works under multi-process
+    jax.distributed (per-process addressable shards)."""
     grid, rep = _shardings(mesh)
     pi, pj = _padded_shape(mesh, state.u.shape)
 
     def put(arr):
         ni, nj = arr.shape
-        host = jnp.zeros((pi, pj), arr.dtype).at[:ni, :nj].set(arr)
-        return jax.device_put(host, grid)
+        host = np.zeros((pi, pj), arr.dtype)
+        host[:ni, :nj] = np.asarray(arr)
+        return _put(host, grid)
 
     return State(
         u=put(state.u),
         v=put(state.v),
         p=put(state.p),
-        t=jax.device_put(state.t, rep),
-        n=jax.device_put(state.n, rep),
+        t=_put(np.asarray(state.t), rep),
+        n=_put(np.asarray(state.n), rep),
     )
+
+
+def fetch_state(state: State, params: Params) -> State:
+    """Gather an (possibly padded, possibly cross-process) output State to
+    host-resident reference-layout arrays."""
+    s = unpad_state(state, params)
+    return State(u=jnp.asarray(_fetch(s.u)), v=jnp.asarray(_fetch(s.v)),
+                 p=jnp.asarray(_fetch(s.p)), t=s.t, n=s.n)
 
 
 def unpad_state(state: State, params: Params) -> State:
@@ -197,6 +231,4 @@ class GspmdStepper:
         return diag
 
     def state(self) -> State:
-        s = unpad_state(self._state, self.params)
-        return State(u=jnp.asarray(s.u), v=jnp.asarray(s.v),
-                     p=jnp.asarray(s.p), t=s.t, n=s.n)
+        return fetch_state(self._state, self.params)
