@@ -190,6 +190,55 @@ def solve_segmented(
     return state, stats
 
 
+def stack_states(states) -> State:
+    """Stack per-member States into one batched State (leading batch dim)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _solve_ensemble(params: Params, states: State,
+                    pressure_method: str = "rb_sor"):
+    return jax.vmap(
+        lambda s: _solve_on_device(params, s, pressure_method)
+    )(states)
+
+
+def solve_ensemble(
+    params: Params,
+    states: State,
+    *,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, SolveStats]:
+    """Batched ensemble solve: integrate a whole batch of initial states
+    (e.g. perturbed initial conditions for uncertainty quantification, or a
+    restart ensemble) to t >= T in ONE compiled program via `vmap`.
+
+    TPU-native batching with no reference analogue (the reference would run
+    N separate processes): every stencil, sweep, and reduction gains a
+    leading batch dimension and rides the same VPU/MXU ops; the nested
+    adaptive-dt time loop and SOR convergence loop are batched by JAX's
+    while_loop rules — the fused loop runs until every member finishes,
+    with finished members' carries held fixed — so per-member stopping
+    behavior (and the reference convergence contract) is preserved exactly.
+
+    `states` is a stacked State with a leading batch dim (see
+    `stack_states`); returns the batched final State and per-member
+    SolveStats.  Single-chip; shard the batch dim with the gspmd backend's
+    mesh for multi-chip ensembles.
+
+    The ensemble routes through the jnp formulations (disable_pallas): a
+    vmapped Pallas call batches its block shapes, which the TPU lowering
+    rejects — and the batch dimension already provides the parallelism the
+    kernels exist to extract."""
+    if pressure_method == "pallas_sor":
+        raise ValueError(
+            "solve_ensemble cannot batch the Pallas kernels; use rb_sor "
+            "(same algorithm, jnp formulation) or mg/cg/fft"
+        )
+    return _solve_ensemble(params.replace(disable_pallas=True), states,
+                           pressure_method)
+
+
 def center_values(state: State, params: Params) -> Tuple[float, float]:
     """The reference's reduced observable: cavity-center velocities
     (main.c:148-149 prints u[i_max/2][j_max/2], v[i_max/2][j_max/2])."""
