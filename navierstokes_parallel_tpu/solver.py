@@ -208,6 +208,7 @@ def solve_ensemble(
     states: State,
     *,
     pressure_method: str = "rb_sor",
+    mesh=None,
 ) -> Tuple[State, SolveStats]:
     """Batched ensemble solve: integrate a whole batch of initial states
     (e.g. perturbed initial conditions for uncertainty quantification, or a
@@ -229,14 +230,42 @@ def solve_ensemble(
     The ensemble routes through the jnp formulations (disable_pallas): a
     vmapped Pallas call batches its block shapes, which the TPU lowering
     rejects — and the batch dimension already provides the parallelism the
-    kernels exist to extract."""
+    kernels exist to extract.
+
+    Pass `mesh` (a 1D jax.sharding.Mesh whose single axis divides the batch
+    size) for the data-parallel multi-chip ensemble: members are sharded
+    over the axis and solved with ZERO communication (each member is
+    independent; the only collective is none at all — the embarrassingly
+    parallel axis the reference has no analogue of, SURVEY.md §2.4)."""
     if pressure_method == "pallas_sor":
         raise ValueError(
             "solve_ensemble cannot batch the Pallas kernels; use rb_sor "
             "(same algorithm, jnp formulation) or mg/cg/fft"
         )
-    return _solve_ensemble(params.replace(disable_pallas=True), states,
-                           pressure_method)
+    params = params.replace(disable_pallas=True)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f"ensemble mesh must be 1D (batch axis); got {mesh.axis_names}"
+            )
+        axis = mesh.axis_names[0]
+        if states.u.shape[0] % mesh.devices.size != 0:
+            raise ValueError(
+                f"batch size {states.u.shape[0]} must divide the "
+                f"{mesh.devices.size}-device ensemble mesh"
+            )
+        grid = NamedSharding(mesh, P(axis, None, None))
+        vec = NamedSharding(mesh, P(axis))
+        states = State(
+            u=jax.device_put(states.u, grid),
+            v=jax.device_put(states.v, grid),
+            p=jax.device_put(states.p, grid),
+            t=jax.device_put(states.t, vec),
+            n=jax.device_put(states.n, vec),
+        )
+    return _solve_ensemble(params, states, pressure_method)
 
 
 def center_values(state: State, params: Params) -> Tuple[float, float]:

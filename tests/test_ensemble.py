@@ -79,3 +79,37 @@ def test_ensemble_mg(params):
                                 stack_states(members), pressure_method="mg")
     assert int(stats.sor_failures[0]) == 0
     assert np.isfinite(np.asarray(out.u)).all()
+
+
+def test_ensemble_data_parallel_mesh(params):
+    """Data-parallel ensemble: 8 members sharded over the 8-device mesh,
+    results identical to the unsharded batch and per-member stats intact."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    members = _members(params, 8)
+    ref_out, ref_stats = solve_ensemble(params, stack_states(members))
+    dp_out, dp_stats = solve_ensemble(params, stack_states(members),
+                                      mesh=mesh)
+    assert len(dp_out.u.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(dp_stats.steps),
+                                  np.asarray(ref_stats.steps))
+    for name in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(dp_out, name)),
+            np.asarray(getattr(ref_out, name)), atol=1e-12)
+
+
+def test_ensemble_mesh_validation(params):
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    members = _members(params, 3)  # 3 does not divide 8
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    with pytest.raises(ValueError, match="must divide"):
+        solve_ensemble(params, stack_states(members), mesh=mesh)
