@@ -61,6 +61,9 @@ def main(argv=None):
     from navierstokes_parallel_tpu.solver import _solve_on_device
 
     params = Params.from_file(args.config, dtype="float32")
+    if args.refine_every < 0:
+        ap.error(f"--refine-every must be >= 0 (0 = tuned default), got "
+                 f"{args.refine_every}")
     if args.method in ("auto", "rb_sor", "pallas_sor"):
         # Measured on v5e (docs/performance.md): K=1024 vs the default 64 is
         # 26%/21%/19% faster at 256^2/512^2/1024^2 (fewer f64 outer passes,

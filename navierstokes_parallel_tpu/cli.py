@@ -92,7 +92,14 @@ def main(argv=None) -> int:
     overrides = {}
     if args.dtype:
         overrides["dtype"] = args.dtype
-    if args.refine_every:
+    if args.refine_every is not None:
+        if args.refine_every < 1:
+            # K=0 (Params-level 'refinement off') is deliberately NOT
+            # reachable from the CLI: the refinement is load-bearing for
+            # f32 convergence (docs/numerics.md), not an optimization.
+            print(f"error: --refine-every must be >= 1, got "
+                  f"{args.refine_every}", file=sys.stderr)
+            return 1
         overrides["sor_refine_every"] = args.refine_every
     try:
         params = Params.from_file(args.param_file, **overrides)

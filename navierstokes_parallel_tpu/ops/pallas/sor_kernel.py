@@ -629,12 +629,18 @@ def inner_sweeps(rhs_neg: jax.Array, n_sweeps, params: Params) -> jax.Array:
     Whole-grid-in-VMEM kernel when it fits; otherwise the strip-tiled DMA
     kernel (real hardware) or the XLA roll formulation (tunneled dev
     platform).  Params.sor_inner_dtype selects f32 (default) or bf16 sweeps.
-    The route gate deliberately uses the f32 footprint for both dtypes: the
-    bf16 whole-grid kernel fails to COMPILE at 1024^2+ on v5e (Mosaic), so
-    halving the budget must not widen the whole-grid window past sizes that
-    are known to build."""
+    Route gating for bf16: the bf16 whole-grid kernel fails to COMPILE at
+    1024^2 on v5e (Mosaic; 512^2 builds — docs/performance.md), so bf16
+    takes the whole-grid route only up to the empirically-building size and
+    the tiled/XLA routes (which carry bf16 as transport, f32 compute)
+    beyond it."""
     inner_dtype = jnp.dtype(params.sor_inner_dtype)
-    if not fits_in_vmem(params):
+    BF16_WHOLE_GRID_MAX_DIM = 514  # 512^2 padded: largest bf16 compile seen
+    whole_grid_ok = fits_in_vmem(params) and (
+        inner_dtype != jnp.bfloat16
+        or max(params.shape) <= BF16_WHOLE_GRID_MAX_DIM
+    )
+    if not whole_grid_ok:
         if _pick_large_grid_route(params) == "tiled":
             return inner_sweeps_tiled(rhs_neg, n_sweeps, params)
         return _roll_sweeps_xla(rhs_neg, n_sweeps, params)

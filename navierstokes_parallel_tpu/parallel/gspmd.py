@@ -100,15 +100,29 @@ def _fetch(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def _all_local(sharding_or_array) -> bool:
+    dev = getattr(sharding_or_array, "device_set", None)
+    if dev is None:
+        dev = sharding_or_array.sharding.device_set
+    return all(d.process_index == jax.process_index() for d in dev)
+
+
 def place_state(state: State, mesh: Mesh) -> State:
     """Device-place a State: grid arrays boundary-padded and block-sharded
-    over the mesh, scalars replicated.  Works under multi-process
-    jax.distributed (per-process addressable shards)."""
+    over the mesh, scalars replicated.  Single-process: the pad happens
+    on-device and device_put reshards device-to-device (no host round-trip
+    — full-grid D2H/H2D over the tunnel is expensive).  Multi-process
+    jax.distributed: scattered via make_array_from_callback (per-process
+    addressable shards)."""
     grid, rep = _shardings(mesh)
     pi, pj = _padded_shape(mesh, state.u.shape)
 
     def put(arr):
         ni, nj = arr.shape
+        if _all_local(grid):
+            padded = jnp.zeros((pi, pj), arr.dtype).at[:ni, :nj].set(
+                jnp.asarray(arr))
+            return jax.device_put(padded, grid)
         host = np.zeros((pi, pj), arr.dtype)
         host[:ni, :nj] = np.asarray(arr)
         return _put(host, grid)
@@ -123,9 +137,12 @@ def place_state(state: State, mesh: Mesh) -> State:
 
 
 def fetch_state(state: State, params: Params) -> State:
-    """Gather an (possibly padded, possibly cross-process) output State to
-    host-resident reference-layout arrays."""
+    """Reference-layout State from a (padded, sharded) output.  Single-
+    process: a device-resident sliced view (np.asarray gathers lazily, like
+    the pre-multiprocess behavior).  Multi-process: allgathered to host."""
     s = unpad_state(state, params)
+    if _all_local(state.u):
+        return s
     return State(u=jnp.asarray(_fetch(s.u)), v=jnp.asarray(_fetch(s.v)),
                  p=jnp.asarray(_fetch(s.p)), t=s.t, n=s.n)
 

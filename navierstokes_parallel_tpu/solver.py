@@ -253,7 +253,7 @@ def solve_ensemble(
         axis = mesh.axis_names[0]
         if states.u.shape[0] % mesh.devices.size != 0:
             raise ValueError(
-                f"batch size {states.u.shape[0]} must divide the "
+                f"batch size {states.u.shape[0]} must be a multiple of the "
                 f"{mesh.devices.size}-device ensemble mesh"
             )
         grid = NamedSharding(mesh, P(axis, None, None))

@@ -63,20 +63,16 @@ def main(argv=None):
         print(f"serial C: {t_serial:.3f}s  steps={res_c.steps}")
 
         for backend in args.backends.split(","):
-            if backend == "sharded":
-                state, stats = solve_sharded(params)  # warmup/compile
+            if backend in ("sharded", "gspmd"):
+                if backend == "gspmd":
+                    from navierstokes_parallel_tpu.parallel.gspmd import \
+                        solve_gspmd as solve_fn
+                else:
+                    solve_fn = solve_sharded
+                state, stats = solve_fn(params)  # warmup/compile
                 device_fence(state)
                 t0 = time.perf_counter()
-                state, stats = solve_sharded(params)
-                device_fence(state)
-                t_b = time.perf_counter() - t0
-            elif backend == "gspmd":
-                from navierstokes_parallel_tpu.parallel.gspmd import solve_gspmd
-
-                state, stats = solve_gspmd(params)  # warmup/compile
-                device_fence(state)
-                t0 = time.perf_counter()
-                state, stats = solve_gspmd(params)
+                state, stats = solve_fn(params)
                 device_fence(state)
                 t_b = time.perf_counter() - t0
             else:

@@ -60,6 +60,7 @@ def test_two_process_distributed_solve():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
     try:
         procs = [
             subprocess.Popen([sys.executable, worker, coordinator, str(i)],
@@ -91,6 +92,12 @@ def test_two_process_distributed_solve():
         np.testing.assert_allclose(vals[0], vals[1], atol=1e-12)
         np.testing.assert_allclose(vals[0], want, atol=1e-5)
     finally:
+        # Reap workers on any failure path: a deadlocked distributed pair
+        # would otherwise outlive the test holding the coordinator port.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
         if os.path.exists(worker):
             os.remove(worker)
 
@@ -137,6 +144,7 @@ def test_two_process_distributed_gspmd():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
     try:
         procs = [
             subprocess.Popen([sys.executable, worker, coordinator, str(i)],
@@ -164,5 +172,9 @@ def test_two_process_distributed_gspmd():
         np.testing.assert_allclose(vals[0], vals[1], atol=1e-12)
         np.testing.assert_allclose(vals[0], float(single.u[8, 8]), atol=1e-5)
     finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
         if os.path.exists(worker):
             os.remove(worker)

@@ -111,5 +111,5 @@ def test_ensemble_mesh_validation(params):
         pytest.skip("needs 8 (virtual) devices")
     members = _members(params, 3)  # 3 does not divide 8
     mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="must be a multiple"):
         solve_ensemble(params, stack_states(members), mesh=mesh)
