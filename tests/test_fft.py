@@ -103,3 +103,25 @@ def test_cli_fft_method(tmp_path, capsys):
     out = capsys.readouterr()
     assert out.out.startswith("U-CENTER: ")
     assert "sor_failures=0" in out.err
+
+
+def test_fft_odd_rectangular_grid():
+    """The DCT basis is dense n x n for ANY n: the reference's odd default
+    size style (parameters.txt 257^2) and rectangular grids need no
+    power-of-2 structure."""
+    prm = Params(problem=1, i_max=17, j_max=13, a=1.0, b=0.7, T=0.03,
+                 Re=100.0, tau=0.5, omega=1.7, epsilon=1e-4, max_it=2000,
+                 dtype="float32")
+    from navierstokes_parallel_tpu.solver import solve
+
+    s_ref, st_ref = solve(prm, pressure_method="rb_sor")
+    s_fft, st_fft = solve(prm, pressure_method="fft")
+    # Both must actually CONVERGE (comparing a converged direct solve to a
+    # max_it-truncated SOR run would legitimately differ by ~1e-3).
+    assert int(st_ref.sor_failures) == 0
+    assert int(st_fft.sor_failures) == 0
+    assert int(st_fft.steps) == int(st_ref.steps)
+    for name in ("u", "v"):
+        np.testing.assert_allclose(np.asarray(getattr(s_fft, name)),
+                                   np.asarray(getattr(s_ref, name)),
+                                   rtol=0.0, atol=1e-4)
