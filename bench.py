@@ -30,6 +30,83 @@ CUDA_BASELINE_S = {256: 3.349, 512: 18.176, 1024: 182.39, 2048: 2653.29}
 SERIAL_BASELINE_S = {256: 48.58, 512: 759.90, 1024: 12134.53, 2048: 198116.11}
 
 
+def _bench_ensemble(params, args):
+    """Batched-ensemble benchmark (VERDICT r2 item 9): N perturbed members
+    integrated in ONE vmapped program vs the same N members solved
+    sequentially.  Both sides run the jnp formulations (solve_ensemble
+    forces disable_pallas), so the ratio isolates the batching win."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from navierstokes_parallel_tpu.grid import State, allocate_state
+    from navierstokes_parallel_tpu.solver import (
+        _solve_on_device,
+        solve_ensemble,
+        stack_states,
+    )
+
+    N = args.ensemble
+    method = "rb_sor" if args.method in ("auto", "pallas_sor") else args.method
+    print(f"pressure solver: {method} (ensemble N={N})", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    eparams = params.replace(disable_pallas=True)
+
+    def member(i):
+        base = allocate_state(eparams)
+        # Small divergence-free-enough lid-scale perturbation of the initial
+        # velocity; the first BC application + projection clean it up.
+        pert = 1e-3 * rng.standard_normal(base.u.shape).astype(np.float32)
+        return State(u=base.u + jnp.asarray(pert), v=base.v, p=base.p,
+                     t=base.t, n=base.n)
+
+    members = [member(i) for i in range(N)]
+    batched = stack_states(members)
+
+    def fence(arr):
+        return float(jnp.asarray(arr).ravel()[0])
+
+    # --- solo: N sequential solves (AOT-compiled once; identical math) ----
+    compiled = (
+        jax.jit(_solve_on_device, static_argnums=(0, 2))
+        .lower(eparams, members[0], method)
+        .compile()
+    )
+    out, _ = compiled(members[0])
+    fence(out.u)  # warm
+    t0 = time.perf_counter()
+    for m in members:
+        out, _ = compiled(m)
+    fence(out.u)
+    t_solo_total = time.perf_counter() - t0
+    t_solo = t_solo_total / N
+
+    # --- batched: one vmapped program ------------------------------------
+    bstate, bstats = solve_ensemble(eparams, batched, pressure_method=method)
+    fence(bstate.u)  # warm + compile
+    t0 = time.perf_counter()
+    bstate, bstats = solve_ensemble(eparams, batched, pressure_method=method)
+    fence(bstate.u)
+    t_ens = time.perf_counter() - t0
+    per_member = t_ens / N
+
+    n = params.i_max
+    print(
+        f"members={N} solo={t_solo:.4f}s/member ensemble_total={t_ens:.4f}s "
+        f"per_member={per_member:.4f}s members_per_s={N / t_ens:.2f} "
+        f"steps={int(np.max(np.asarray(bstats.steps)))} "
+        f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": f"cavity{n}_ensemble{N}_per_member_seconds",
+        "value": round(per_member, 6),
+        "unit": "s",
+        "vs_baseline": round(t_solo / per_member, 3),
+    }))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/1.in")
@@ -44,6 +121,12 @@ def main(argv=None):
                          "impractical (and the reference itself never "
                          "converges)")
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--ensemble", type=int, default=0,
+                    help="N > 0: benchmark solver.solve_ensemble with N "
+                         "perturbed members (vmap-batched trajectories) "
+                         "against N sequential solo solves; prints "
+                         "per-member seconds with vs_baseline = solo/"
+                         "per-member (the batching speedup)")
     ap.add_argument("--refine-every", type=int, default=0,
                     help="f64 re-baseline interval K for the SOR parity "
                          "methods; 0 = benchmark-tuned (1024).  The "
@@ -72,19 +155,38 @@ def main(argv=None):
             sor_refine_every=args.refine_every or 1024)
     state = allocate_state(params)
 
+    if args.ensemble > 0:
+        return _bench_ensemble(params, args)
+
     if args.backend == "sharded":
         from navierstokes_parallel_tpu.parallel.sharded import solve_sharded
 
+        # Honor --method: auto matches the single-chip size policy (fft is
+        # single-chip-only, so large-grid auto takes mg — converging and far
+        # faster than rb_sor there); pallas_sor runs the per-shard VMEM
+        # kernel inside the communication-avoiding deep-halo inner.
+        if args.method != "auto":
+            sharded_method = args.method
+        else:
+            sharded_method = "mg" if params.i_max >= 2048 else "rb_sor"
+        print(f"pressure solver: {sharded_method} (sharded)", file=sys.stderr)
+
         def run():
-            return solve_sharded(params, state)
+            return solve_sharded(params, state,
+                                 pressure_method=sharded_method)
     elif args.backend == "gspmd":
         from navierstokes_parallel_tpu.parallel.gspmd import solve_gspmd
 
-        gspmd_method = "rb_sor" if args.method in ("auto", "pallas_sor") \
-            else args.method
+        # Honor --method, mirroring the single-chip auto policy (fft at
+        # 2048^2+ where plain SOR is impractical; gspmd supports fft).
         if args.method == "pallas_sor":
             print("warning: gspmd backend cannot run pallas_sor (opaque to "
                   "the SPMD partitioner); using rb_sor", file=sys.stderr)
+            gspmd_method = "rb_sor"
+        elif args.method != "auto":
+            gspmd_method = args.method
+        else:
+            gspmd_method = "fft" if params.i_max >= 2048 else "rb_sor"
         print(f"pressure solver: {gspmd_method} (gspmd)", file=sys.stderr)
 
         def run():

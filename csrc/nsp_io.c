@@ -32,7 +32,14 @@
 
 /* Format v as "%.5f" into out (>= FMT5_MAX bytes); returns chars written. */
 static size_t fmt5(char *out, double v) {
-    if (!(v == v) || v >= 1e10 || v <= -1e10) {
+    if (!(v == v)) {
+        /* Python's "%.5f" writes "nan" regardless of the sign bit; glibc's
+         * snprintf writes "-nan" for sign-bit-set NaNs — emit "nan"
+         * unconditionally so diverged-solve frames keep byte parity. */
+        memcpy(out, "nan", 3);
+        return 3;
+    }
+    if (v >= 1e10 || v <= -1e10) {
         int r = snprintf(out, FMT5_MAX, "%.5f", v);
         if (r < 0)
             r = 0;

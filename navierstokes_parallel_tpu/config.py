@@ -108,6 +108,11 @@ class Params:
     # iteration stalls earlier, so measure before using (docs/performance.md
     # records the measurements).  Applies to the Pallas/XLA inner routes.
     sor_inner_dtype: str = "float32"
+    # Sharded backend: local sweeps per cross-shard halo exchange in the
+    # communication-avoiding deep-halo inner stage (parallel/deep_halo.py).
+    # Each exchange carries a 2K-deep strip and buys K exact local sweeps
+    # (clamped to the local block size at solve time).
+    sor_comm_every: int = 8
 
     def __post_init__(self):
         if self.problem not in (1, 2):
@@ -118,6 +123,17 @@ class Params:
             raise ValueError(f"SOR omega must be in (0, 2), got {self.omega}")
         if self.max_it < 1:
             raise ValueError("max_it must be >= 1")
+        if self.sor_comm_every < 1:
+            raise ValueError(
+                f"sor_comm_every must be >= 1, got {self.sor_comm_every}")
+        if self.sor_inner_dtype not in ("float32", "bfloat16"):
+            # Validate at construction: a typo (or float64) would otherwise
+            # surface as a ZeroDivisionError in the tiled kernel's DMA
+            # alignment math or an obscure dtype error deep in jit tracing.
+            raise ValueError(
+                f"sor_inner_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.sor_inner_dtype!r}"
+            )
 
     # -- derived quantities ------------------------------------------------
     @property

@@ -270,13 +270,53 @@ def _nb_sum_sh(d, dx2_inv, dy2_inv, self_coef):
     )
 
 
+def _smooth_sharded_deep(p, rhs, level, n_sweeps: int, omega: float):
+    """Communication-avoiding smoother (parallel/deep_halo.py applied to a
+    warm start): ONE 2n-deep halo exchange of p and rhs, then n local
+    red-black sweeps on the extended block with zero communication.
+    Mathematically identical to the exchange-per-half-sweep smoother — ring
+    cells of the extended block replicate the neighbor's interior cells and
+    update in lockstep with them, so the values a half-sweep reads are
+    exactly the values an exchange would have delivered (contamination from
+    the stale ring edge advances one cell per half-sweep and never reaches
+    the central (li, lj) core within n <= H/2 sweeps)."""
+    from ..parallel import deep_halo as dh
+
+    shape, g_dims, dx2_inv, dy2_inv = level
+    li, lj = shape[0] - 2, shape[1] - 2
+    H = 2 * n_sweeps
+    i_max_l, j_max_l = g_dims
+    ox = lax.axis_index("x") * li
+    oy = lax.axis_index("y") * lj
+    ext_shape = (li + 2 * H, lj + 2 * H)
+    interior, red, black, self_coef = dh._ext_masks(
+        ext_shape, H, ox, oy, i_max_l, j_max_l, dx2_inv, dy2_inv)
+
+    def clean_extend(local_int):
+        ext = dh.extend_block(local_int, H)
+        return jnp.where(interior, ext, jnp.zeros_like(ext))
+
+    p_ext = clean_extend(p[1:-1, 1:-1])
+    rhs_ext = clean_extend(rhs[1:-1, 1:-1])
+    out = dh._ext_sweeps_jnp(p_ext, rhs_ext, n_sweeps, red, black, self_coef,
+                             omega, dx2_inv, dy2_inv)
+    return p.at[1:-1, 1:-1].set(out[H: H + li, H: H + lj])
+
+
 def _smooth_sharded(p, rhs, level, n_sweeps, omega: float = 1.0):
-    """Red-black sweeps on a local block; ppermute halo refresh before each
-    half-sweep (physical-edge halos need no refresh: the self-coefficient
-    folds the Neumann BC, and rolled-in garbage is masked out)."""
+    """Red-black sweeps on a local block.  When the 2n-deep halo fits the
+    neighbor block (single-hop exchange), the deep-halo smoother pays ONE
+    exchange for all n sweeps; otherwise fall back to a ppermute halo
+    refresh before each half-sweep (physical-edge halos need no refresh
+    either way: the self-coefficient folds the Neumann BC, and rolled-in
+    garbage is masked out)."""
     from ..parallel import halo
 
     shape, g_dims, dx2_inv, dy2_inv = level
+    li, lj = shape[0] - 2, shape[1] - 2
+    if isinstance(n_sweeps, int) and 2 * n_sweeps <= min(li, lj):
+        return _smooth_sharded_deep(p, rhs, level, n_sweeps, omega)
+
     red, black, self_coef = _sharded_level_masks(shape, g_dims, dx2_inv, dy2_inv)
     coef = omega / (2.0 * (dx2_inv + dy2_inv))
 

@@ -516,6 +516,48 @@ PREFER_TILED_DMA = None
 
 _ROUTE_CACHE = {}
 
+# On-disk route cache so fresh processes at 2048^2+ skip the multi-second
+# race (keyed on shape, inner dtype, AND device kind — a route measured
+# through the tunnel must not leak onto a directly-attached TPU).
+ROUTE_CACHE_PATH = ".nsp_route_cache.json"
+
+
+def _disk_route_key(params: Params) -> str:
+    kind = jax.devices()[0].device_kind
+    return f"{params.shape[0]}x{params.shape[1]}:{params.sor_inner_dtype}:{kind}"
+
+
+def _load_disk_route(params: Params):
+    import json
+    import os
+
+    try:
+        if os.path.exists(ROUTE_CACHE_PATH):
+            with open(ROUTE_CACHE_PATH) as fh:
+                return json.load(fh).get(_disk_route_key(params))
+    except (OSError, ValueError):  # unreadable/corrupt cache: just re-race
+        pass
+    return None
+
+
+def _store_disk_route(params: Params, route: str) -> None:
+    import json
+    import os
+
+    data = {}
+    try:
+        if os.path.exists(ROUTE_CACHE_PATH):
+            with open(ROUTE_CACHE_PATH) as fh:
+                data = json.load(fh)
+    except (OSError, ValueError):
+        data = {}  # corrupt/unreadable cache: overwrite with fresh data
+    data[_disk_route_key(params)] = route
+    try:
+        with open(ROUTE_CACHE_PATH, "w") as fh:
+            json.dump(data, fh, indent=0)
+    except OSError:  # read-only cwd etc.: cache stays in-memory
+        pass
+
 
 def _pick_large_grid_route(params: Params) -> str:
     """'tiled' or 'xla' for grids that do not fit VMEM whole."""
@@ -529,6 +571,13 @@ def _pick_large_grid_route(params: Params) -> str:
         _ROUTE_CACHE[key] = "xla"
         return "xla"
     import sys
+
+    cached = _load_disk_route(params)
+    if cached in ("tiled", "xla"):
+        _ROUTE_CACHE[key] = cached
+        print(f"[sor_kernel] >VMEM route for {key}: {cached} (cached)",
+              file=sys.stderr)
+        return cached
     import time as _time
 
     # Race AOT-COMPILED candidates with latency-differenced timings:
@@ -578,6 +627,7 @@ def _pick_large_grid_route(params: Params) -> str:
     t_xla = per_sweep(xla_c)
     route = "tiled" if t_tiled < t_xla else "xla"
     _ROUTE_CACHE[key] = route
+    _store_disk_route(params, route)
     print(f"[sor_kernel] >VMEM route for {key}: {route} "
           f"(tiled {t_tiled * 1e6:.0f} us/sweep vs xla "
           f"{t_xla * 1e6:.0f} us/sweep)", file=sys.stderr)

@@ -198,6 +198,33 @@ def _make_step(params: Params, mesh: Mesh, pressure_method: str):
     )
 
 
+def compile_gspmd_solve(
+    params: Params,
+    state: Optional[State] = None,
+    mesh: Optional[Mesh] = None,
+    *,
+    pressure_method: str = "rb_sor",
+):
+    """Place the state and AOT-compile the full gspmd solve; returns
+    `run() -> (State, SolveStats)` so callers can time execution without
+    compile dilution (reference protocol: solver seconds only)."""
+    _check_method(pressure_method)
+    params = params.replace(disable_pallas=True)
+    if state is None:
+        state = allocate_state(params)
+    if mesh is None:
+        mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
+    placed = place_state(state, mesh)
+    compiled = _make_solve(params, mesh, pressure_method).lower(
+        placed).compile()
+
+    def run() -> Tuple[State, SolveStats]:
+        out, stats = compiled(placed)
+        return unpad_state(out, params), stats
+
+    return run
+
+
 def solve_gspmd(
     params: Params,
     state: Optional[State] = None,
@@ -208,15 +235,8 @@ def solve_gspmd(
     """Auto-sharded drop-in for solver.solve(): the whole `while t < T`
     integration is one jitted on-device while_loop over sharded arrays.
     The returned State's grid arrays remain sharded (np.asarray gathers)."""
-    _check_method(pressure_method)
-    params = params.replace(disable_pallas=True)
-    if state is None:
-        state = allocate_state(params)
-    if mesh is None:
-        mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
-    placed = place_state(state, mesh)
-    out, stats = _make_solve(params, mesh, pressure_method)(placed)
-    return unpad_state(out, params), stats
+    return compile_gspmd_solve(
+        params, state, mesh, pressure_method=pressure_method)()
 
 
 class GspmdStepper:
@@ -242,6 +262,10 @@ class GspmdStepper:
     @property
     def n(self) -> int:
         return int(self._state.n)
+
+    def warm(self) -> None:
+        """AOT-compile the step so timed host loops exclude compilation."""
+        self._fn = self._fn.lower(self._state).compile()
 
     def step(self) -> StepDiagnostics:
         self._state, diag = self._fn(self._state)

@@ -226,10 +226,43 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             inner_fn=mgmod.make_sharded_cg_inner(params, li, lj),
             valid_mask=valid,
         )
+    elif pressure_method in ("rb_sor", "pallas_sor") and (
+            p.dtype == jnp.float32 and params.sor_refine_every > 0
+            and jax.config.jax_enable_x64 and min(li, lj) >= 2):
+        # Communication-avoiding deep-halo inner (parallel/deep_halo.py):
+        # ONE 2K-deep ppermute exchange buys K exact local sweeps — vs the
+        # sync path's 2 exchanges per sweep.  pallas_sor further runs each
+        # shard's extended block through the VMEM kernel (round 2's
+        # "single-chip only" restriction lifted).
+        from . import deep_halo
+
+        result = sor._solve_pressure_refined(
+            p, rhs,
+            params.replace(sor_refine_every=max(1, params.sor_refine_every)),
+            method="rb_sor",
+            ghost_fn=ghost_fn,
+            l2_fn=l2_fn,
+            parity=(ox + oy) % 2,
+            inner_fn=deep_halo.make_deep_inner(
+                params, li, lj,
+                use_pallas=(pressure_method == "pallas_sor")),
+            valid_mask=valid,
+        )
     else:
+        if pressure_method == "pallas_sor":
+            raise ValueError(
+                "sharded pallas_sor needs the mixed-precision refinement "
+                "(float32 state with jax x64 enabled and "
+                "sor_refine_every > 0)")
+        # Exchange-per-half-sweep path: exact serial ghost semantics every
+        # half-sweep.  "rb_sor_sync" forces it even when the deep-halo
+        # inner is available (comparison/debugging); it is also the f64 /
+        # refinement-off route.
+        method = "rb_sor" if pressure_method == "rb_sor_sync" \
+            else pressure_method
         result = sor.solve_pressure(
             p, rhs, params,
-            method=pressure_method,
+            method=method,
             ghost_fn=ghost_fn,
             l2_fn=l2_fn,
             parity=(ox + oy) % 2,
@@ -440,6 +473,12 @@ class ShardedStepper:
     def n(self) -> int:
         return self._n
 
+    def warm(self) -> None:
+        """AOT-compile the step so the first .step() call (and any timer
+        around the host loop) excludes compilation."""
+        self._step_fn = self._step_fn.lower(
+            self._u, self._v, self._p, self._t).compile()
+
     def step(self) -> StepDiagnostics:
         (self._u, self._v, self._p, self._t, dt, iters, res_norm,
          converged) = self._step_fn(self._u, self._v, self._p, self._t)
@@ -459,15 +498,17 @@ class ShardedStepper:
         )
 
 
-def solve_sharded(
+def compile_sharded_solve(
     params: Params,
     state: Optional[State] = None,
     mesh: Optional[Mesh] = None,
     *,
     pressure_method: str = "rb_sor",
-) -> Tuple[State, SolveStats]:
-    """Sharded drop-in for solver.solve(): scatter -> on-device solve ->
-    gather, returning a reference-layout padded State with ghost parity."""
+):
+    """Scatter the state and AOT-compile the full sharded solve; returns
+    `run() -> (State, SolveStats)`.  Compilation happens HERE, not inside
+    run(), so callers (CLI --stats, harnesses) can time run() alone — the
+    reference protocol times only the solver loop (run.sh:57-66)."""
     from ..grid import allocate_state
 
     if state is None:
@@ -481,16 +522,34 @@ def solve_sharded(
     u = _put_blocks(_scatter_blocks(state.u, *dims), sharding)
     v = _put_blocks(_scatter_blocks(state.v, *dims), sharding)
     p = _put_blocks(_scatter_blocks(state.p, *dims), sharding)
+    t0 = jnp.asarray(state.t)
 
     solve_fn = make_sharded_solve(params, mesh, pressure_method)
-    u, v, p, t, stats = solve_fn(u, v, p, state.t)
+    compiled = solve_fn.lower(u, v, p, t0).compile()
 
-    shape = params.shape
-    new_state = State(
-        u=jnp.asarray(_gather_blocks(_fetch_blocks(u), *dims, shape)),
-        v=jnp.asarray(_gather_blocks(_fetch_blocks(v), *dims, shape)),
-        p=jnp.asarray(_gather_blocks(_fetch_blocks(p), *dims, shape)),
-        t=t,
-        n=state.n + stats.steps,
-    )
-    return new_state, stats
+    def run() -> Tuple[State, SolveStats]:
+        uo, vo, po, t, stats = compiled(u, v, p, t0)
+        shape = params.shape
+        new_state = State(
+            u=jnp.asarray(_gather_blocks(_fetch_blocks(uo), *dims, shape)),
+            v=jnp.asarray(_gather_blocks(_fetch_blocks(vo), *dims, shape)),
+            p=jnp.asarray(_gather_blocks(_fetch_blocks(po), *dims, shape)),
+            t=t,
+            n=state.n + stats.steps,
+        )
+        return new_state, stats
+
+    return run
+
+
+def solve_sharded(
+    params: Params,
+    state: Optional[State] = None,
+    mesh: Optional[Mesh] = None,
+    *,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, SolveStats]:
+    """Sharded drop-in for solver.solve(): scatter -> on-device solve ->
+    gather, returning a reference-layout padded State with ghost parity."""
+    return compile_sharded_solve(
+        params, state, mesh, pressure_method=pressure_method)()

@@ -63,14 +63,26 @@ def time_tpu(config_path: str, runs: int, refine_every=1024):
     params = Params.from_file(config_path, **overrides)
     state = allocate_state(params)
     method = default_method(params)
-    compiled = (
-        jax.jit(_solve_on_device, static_argnums=(0, 2))
-        .lower(params, state, method)
-        .compile()
-    )
+    if params.i_max >= 2048:
+        # Segmented dispatches, like bench.py: a single monolithic
+        # multi-minute dispatch has crashed the remote TPU worker.
+        from navierstokes_parallel_tpu.solver import solve_segmented
+
+        def run():
+            return solve_segmented(params, state, pressure_method=method,
+                                   steps_per_dispatch=8)
+    else:
+        compiled = (
+            jax.jit(_solve_on_device, static_argnums=(0, 2))
+            .lower(params, state, method)
+            .compile()
+        )
+
+        def run():
+            return compiled(state)
 
     def once():
-        out, _ = compiled(state)
+        out, _ = run()
         # Scalar fetch = the only reliable device fence on this platform.
         float(out.u[params.i_max // 2, params.j_max // 2])
 

@@ -28,3 +28,33 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert out[0].shape == (130, 130)
+
+
+def test_dryrun_gate_has_teeth(monkeypatch):
+    """The dryrun's oracle comparison must actually detect numerical
+    regressions: break the cross-shard halo exchange (shard edges start
+    acting like walls — a different fixed point) and the gate must fail."""
+    import pytest
+    from navierstokes_parallel_tpu.parallel import halo
+
+    real_exchange = halo.exchange_halo
+
+    def broken_exchange(local, x_axis="x", y_axis="y"):
+        # Exchange along y only: x-neighbor halos keep stale zeros.
+        out = real_exchange(local, x_axis, y_axis)
+        return out.at[0, :].set(0.0).at[-1, :].set(0.0)
+
+    monkeypatch.setattr(halo, "exchange_halo", broken_exchange)
+    with pytest.raises(AssertionError):
+        graft._dryrun_impl(8)
+
+
+# Note on what the gate can and cannot catch: a broken shard PARITY offset
+# (globally-inconsistent checkerboard) merely yields a different — still
+# convergent — relaxation ordering, and the 1e-4 comparator contract
+# deliberately tolerates ordering differences (SURVEY.md §3.3: serial
+# lexicographic vs CUDA red-black agree only through that contract).
+# Verified empirically: dropping the offset still converges to the same
+# fixed point within 1e-5.  Fixed-point regressions (halo exchange, BC
+# masking, self-coefficient) are what the oracle comparison catches —
+# exercised by test_dryrun_gate_has_teeth above.

@@ -110,6 +110,9 @@ def test_native_writer_byte_parity(tmp_path):
         np.arange(1, 200) / 64.0, -np.arange(1, 200) / 64.0,  # exact ties
         rng.uniform(-1e10, 1e10, 5000),
         np.array([0.0, -0.0, -1e-7, 1e-7, np.inf, -np.inf, np.nan,
+                  # sign-bit-set NaN: glibc snprintf writes "-nan" but
+                  # Python writes "nan" — the native writer must match Python
+                  np.copysign(np.nan, -1.0),
                   1e10, -1e10, 9.999999e9, 123456789.123456]),
     ])
     n = int(np.ceil(np.sqrt(vals.size)))

@@ -179,3 +179,25 @@ def test_bf16_refined_solve_still_meets_contract(params64, rhs64):
     p0 = jnp.zeros(params64.shape, jnp.float32)
     res = sor.solve_pressure(p0, rhs64 * 1e-3, pbf, method="pallas_sor")
     assert bool(res.converged)
+
+
+def test_route_cache_disk_roundtrip(tmp_path, monkeypatch):
+    """The >VMEM route race result persists to .nsp_route_cache.json so
+    fresh processes at 2048^2+ skip the multi-second race; keys carry the
+    device kind so tunnel measurements never leak onto other hardware."""
+    monkeypatch.setattr(sor_kernel, "ROUTE_CACHE_PATH",
+                        str(tmp_path / "route_cache.json"))
+    params = Params(problem=1, i_max=64, j_max=64, T=0.01, Re=100.0,
+                    epsilon=1e-4, max_it=10)
+    assert sor_kernel._load_disk_route(params) is None
+    sor_kernel._store_disk_route(params, "tiled")
+    assert sor_kernel._load_disk_route(params) == "tiled"
+    # Another shape misses; same shape with bf16 inner misses.
+    assert sor_kernel._load_disk_route(params.replace(i_max=128)) is None
+    assert sor_kernel._load_disk_route(
+        params.replace(sor_inner_dtype="bfloat16")) is None
+    # A corrupt cache file degrades to a re-race, never an exception.
+    (tmp_path / "route_cache.json").write_text("{not json")
+    assert sor_kernel._load_disk_route(params) is None
+    sor_kernel._store_disk_route(params, "xla")
+    assert sor_kernel._load_disk_route(params) == "xla"
