@@ -1,0 +1,70 @@
+"""bench.py argument handling: the sharded/gspmd arms must HONOR --method
+(VERDICT r2 item 5 — a `--backend sharded --method mg` benchmark used to
+silently measure rb_sor), and the ensemble arm must report the batching
+speedup.  Runs on tiny grids on the CPU mesh; numbers are not asserted,
+behavior is."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+@pytest.fixture
+def tiny_config(tmp_path):
+    path = tmp_path / "tiny.in"
+    path.write_text(
+        "1\n1\n16\n16\n1.0\n1.0\n0.01\n100.0\n0.0\n0.0\n1.0\n1.7\n"
+        "0.0001\n2000\n1\n"
+    )
+    return str(path)
+
+
+def _run(argv, capsys):
+    rc = bench.main(argv)
+    out = capsys.readouterr()
+    assert rc == 0
+    return json.loads(out.out.strip().splitlines()[-1]), out.err
+
+
+def test_sharded_arm_honors_method(tiny_config, capsys):
+    """--backend sharded --method mg must actually run multigrid: the
+    stderr names the solver AND the iteration count collapses (~100x fewer
+    than rb_sor sweeps on the same workload)."""
+    res_mg, err_mg = _run(
+        ["--config", tiny_config, "--backend", "sharded", "--method", "mg"],
+        capsys)
+    assert "pressure solver: mg (sharded)" in err_mg
+    res_rb, err_rb = _run(
+        ["--config", tiny_config, "--backend", "sharded",
+         "--method", "rb_sor"], capsys)
+    assert "pressure solver: rb_sor (sharded)" in err_rb
+
+    def iters(err):
+        for tok in err.split():
+            if tok.startswith("sor_iterations="):
+                return int(tok.split("=")[1])
+        raise AssertionError(f"no sor_iterations in {err!r}")
+
+    assert iters(err_mg) * 10 < iters(err_rb), (
+        f"mg ran {iters(err_mg)} iterations vs rb_sor {iters(err_rb)} — "
+        "the sharded arm is not honoring --method")
+
+
+def test_gspmd_arm_honors_method(tiny_config, capsys):
+    res, err = _run(
+        ["--config", tiny_config, "--backend", "gspmd", "--method", "mg"],
+        capsys)
+    assert "pressure solver: mg (gspmd)" in err
+
+
+def test_ensemble_arm(tiny_config, capsys):
+    res, err = _run(["--config", tiny_config, "--ensemble", "2"], capsys)
+    assert "ensemble2" in res["metric"]
+    assert res["unit"] == "s"
+    assert res["vs_baseline"] is not None
