@@ -609,7 +609,7 @@ def _pick_large_grid_route(params: Params) -> str:
     n1, n2 = (np.int32(8 * SWEEPS_PER_CHUNK),
               np.int32(80 * SWEEPS_PER_CHUNK))
 
-    def per_sweep(fn):
+    def timings(fn):
         jax.device_get(fn(rhs, n1))  # warm both counts
         jax.device_get(fn(rhs, n2))
 
@@ -621,10 +621,25 @@ def _pick_large_grid_route(params: Params) -> str:
                 best = min(best, _time.perf_counter() - t0)
             return best
 
-        return max(1e-9, (timed(n2) - timed(n1)) / float(n2 - n1))
+        return timed(n1), timed(n2)
 
-    t_tiled = per_sweep(tiled_c)
-    t_xla = per_sweep(xla_c)
+    def per_sweep(t1, t2):
+        return (t2 - t1) / float(n2 - n1)
+
+    tiled_t = timings(tiled_c)
+    xla_t = timings(xla_c)
+    t_tiled = per_sweep(*tiled_t)
+    t_xla = per_sweep(*xla_t)
+    if t_tiled <= 0 or t_xla <= 0:
+        # A tunnel stall during one timing makes the differenced delta
+        # non-positive (observed: "tiled 0 us/sweep").  Differencing is
+        # untrustworthy then — fall back to comparing the big-count raw
+        # times, where the ~30 ms dispatch latency is a small fraction.
+        print(f"[sor_kernel] route race differencing invalid "
+              f"(tiled {t_tiled * 1e6:.0f}, xla {t_xla * 1e6:.0f} us/sweep);"
+              f" comparing raw n2 times", file=sys.stderr)
+        t_tiled = tiled_t[1] / float(n2)
+        t_xla = xla_t[1] / float(n2)
     route = "tiled" if t_tiled < t_xla else "xla"
     _ROUTE_CACHE[key] = route
     _store_disk_route(params, route)
