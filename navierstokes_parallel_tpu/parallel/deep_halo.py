@@ -49,6 +49,17 @@ from ..config import Params
 from .halo import _shift_down, _shift_up
 
 
+def ext_block_fits_vmem(ext_shape, budget_bytes: int = 48 * 1024 * 1024,
+                        itemsize: int = 4) -> bool:
+    """Whether a shard's extended block can run the whole-block VMEM kernel
+    (delta + rhs + one temp, lane-padded) — same budget heuristic as
+    sor_kernel.fits_in_vmem."""
+    per_array = (
+        -(-ext_shape[0] // 8) * 8 * -(-ext_shape[1] // 128) * 128 * itemsize
+    )
+    return 3 * per_array <= budget_bytes
+
+
 def comm_depth(params: Params, li: int, lj: int) -> int:
     """Sweeps per cross-shard exchange, K: the configured
     `Params.sor_comm_every` clamped so the halo depth H = 2K fits in the
@@ -212,6 +223,11 @@ def make_deep_inner(params: Params, li: int, lj: int, *,
     i_max, j_max = params.i_max, params.j_max
     ext_shape = (li + 2 * H, lj + 2 * H)
     interpret = jax.default_backend() != "tpu"
+    if use_pallas and not ext_block_fits_vmem(ext_shape):
+        # A 2048^2+ local block cannot hold delta+rhs+temps in VMEM; the
+        # jnp extended-block sweeps (same math, XLA rolls at full HBM
+        # bandwidth) are the correct large-block route.
+        use_pallas = False
 
     def inner_fn(rhs_full, n_sweeps):
         ox = lax.axis_index("x") * li

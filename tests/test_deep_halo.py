@@ -253,3 +253,32 @@ def test_sharded_mg_smoother_uses_deep_halos():
     jaxpr = jax.make_jaxpr(mapped)(spec, spec)
     # extend(p): 4 ppermutes + extend(rhs): 4; the sweep loop body: 0.
     assert _count_ppermutes(jaxpr.jaxpr) == 8
+
+
+def test_pallas_route_falls_back_when_ext_block_exceeds_vmem(monkeypatch):
+    """use_pallas on a too-large local block must silently take the jnp
+    extended-block route (same math) instead of failing to compile the
+    whole-block VMEM kernel on real hardware."""
+    params = _params(32)
+    calls = []
+    real = deep_halo._ext_sweeps_call
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(deep_halo, "_ext_sweeps_call", spy)
+    rng = np.random.default_rng(5)
+    rhs = np.zeros(params.shape, np.float32)
+    rhs[1:-1, 1:-1] = rng.standard_normal((32, 32)).astype(np.float32)
+
+    want = _run_deep_inner(params, rhs, 4, use_pallas=True)
+    assert calls, "small block should use the kernel"
+
+    calls.clear()
+    monkeypatch.setattr(deep_halo, "ext_block_fits_vmem",
+                        lambda shape, **kw: False)
+    got = _run_deep_inner(params, rhs, 4, use_pallas=True)
+    assert not calls, "oversized block must not call the kernel"
+    np.testing.assert_allclose(got[1:-1, 1:-1], want[1:-1, 1:-1],
+                               rtol=1e-5, atol=1e-7)
