@@ -34,6 +34,11 @@ import numpy as np
 # (T >= 50) 257^2 run actually achieves — structure/sign fidelity, not
 # pointwise accuracy (see docs/numerics.md).
 DEFAULT_TOL = {100: 0.03, 1000: 0.08, 10000: 0.30}
+# Resolution-aware override: at >= 512^2 with --time-average the Re=10000
+# windowed-mean profiles reach 0.150/0.141 (u/v, T=50 + 10-unit window,
+# mg, 32.5k steps, sor_failures=0, measured on v5e) — donor-cell diffusion
+# at the Re^-1/2 boundary layers is the remaining error, not unsteadiness.
+DEFAULT_TOL_512 = {100: 0.03, 1000: 0.08, 10000: 0.16}
 
 
 def main(argv=None):
@@ -148,7 +153,8 @@ def main(argv=None):
         )
         print("plots:", *paths)
 
-    tol = args.tol if args.tol is not None else DEFAULT_TOL[args.re]
+    table = DEFAULT_TOL_512 if args.n >= 512 else DEFAULT_TOL
+    tol = args.tol if args.tol is not None else table[args.re]
     if errs.max_u_err > tol or errs.max_v_err > tol:
         print(f"FAIL: deviation exceeds tol={tol}")
         return 1
