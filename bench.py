@@ -206,10 +206,18 @@ def main(argv=None):
         else:
             method = {"jnp": "rb_sor", "pallas": "pallas_sor"}[args.backend]
         print(f"pressure solver: {method}", file=sys.stderr)
-        if params.i_max >= 4096 or (params.i_max >= 2048 and method != "mg"):
-            # Very large fixed-work grids: segmented dispatches (a single
+        if params.i_max >= 4096:
+            # 4096^2: even 8-step while_loop dispatches crash the remote
+            # TPU worker (reproduced; single-step dispatches run
+            # indefinitely) — drive the integration one step per dispatch.
+            from navierstokes_parallel_tpu.solver import solve_stepwise
+
+            def run():
+                return solve_stepwise(params, state, pressure_method=method)
+        elif params.i_max >= 2048 and method != "mg":
+            # Large fixed-work grids: segmented dispatches (a single
             # monolithic multi-minute dispatch crashes the remote TPU
-            # worker; observed at 2048^2 parity and 4096^2).
+            # worker; observed at 2048^2 parity).
             from navierstokes_parallel_tpu.solver import solve_segmented
 
             def run():

@@ -80,13 +80,52 @@ def step(
     return new_state, diag
 
 
+@functools.lru_cache(maxsize=32)
 def make_step_fn(params: Params, pressure_method: str = "rb_sor"):
-    """Jitted step closure for host-driven loops (output/checkpoint paths)."""
+    """Jitted step closure for host-driven loops (output/checkpoint paths).
+    Cached so repeated host loops on the same config reuse the jit cache
+    (a fresh wrapper would re-trace — minutes at 4096^2)."""
     @jax.jit
     def _step(state: State) -> Tuple[State, StepDiagnostics]:
         return step(state, params, pressure_method=pressure_method)
 
     return _step
+
+
+def solve_stepwise(
+    params: Params,
+    state: Optional[State] = None,
+    *,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, SolveStats]:
+    """Host-driven per-STEP dispatches: numerically identical to solve(),
+    but no on-device multi-step while_loop.  Use on platforms where long
+    multi-step dispatches are fragile: 4096^2 multigrid through the
+    tunneled TPU crashes the remote worker inside 8- and 16-step
+    while_loop dispatches yet runs indefinitely as single-step dispatches
+    (reproduced 4x / 2x respectively — CLAUDE.md).  Costs one scalar D2H
+    fetch per step (~30 ms tunneled), negligible against 4096^2 step time."""
+    import numpy as np
+
+    if state is None:
+        state = allocate_state(params)
+    fn = make_step_fn(params, pressure_method)
+    steps = 0
+    iters = 0
+    fails = 0
+    last = 0.0
+    while float(state.t) < params.T:
+        state, diag = fn(state)
+        steps += 1
+        iters += int(diag.sor_iterations)
+        fails += 0 if bool(diag.sor_converged) else 1
+        last = float(diag.sor_res_norm)
+    return state, SolveStats(
+        steps=jnp.asarray(steps, jnp.int32),
+        total_sor_iterations=jnp.asarray(iters, jnp.int32),
+        sor_failures=jnp.asarray(fails, jnp.int32),
+        last_res_norm=jnp.asarray(last, state.t.dtype),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))

@@ -125,3 +125,18 @@ def test_projection_enforces_incompressibility(small_params):
     state2, _ = solve(prm.replace(dtype="float32"), pressure_method="mg")
     div2 = divergence_norm(state2.u, state2.v, prm)
     assert div2 < 10 * prm.epsilon * 2.0
+
+
+def test_solve_stepwise_matches_solve(small_params):
+    """Per-step host dispatches (the fragile-platform route bench.py uses
+    at 4096^2) must be numerically identical to the on-device while_loop."""
+    from navierstokes_parallel_tpu.solver import solve, solve_stepwise
+
+    want, wstats = solve(small_params)
+    got, gstats = solve_stepwise(small_params)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=0, atol=0)
+    assert int(gstats.steps) == int(wstats.steps)
+    assert int(gstats.total_sor_iterations) == int(wstats.total_sor_iterations)
