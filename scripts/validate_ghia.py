@@ -39,6 +39,13 @@ DEFAULT_TOL = {100: 0.03, 1000: 0.08, 10000: 0.30}
 # mg, 32.5k steps, sor_failures=0, measured on v5e) — donor-cell diffusion
 # at the Re^-1/2 boundary layers is the remaining error, not unsteadiness.
 DEFAULT_TOL_512 = {100: 0.03, 1000: 0.08, 10000: 0.16}
+# At 1024^2 the windowed mean reaches 0.128/0.137 (248 samples, 73.7k
+# steps, 259 s on v5e).  The 512->1024 improvement is already asymptoting:
+# Ghia's 1982 tables are a STEADY-solver solution at a Reynolds number
+# where the true flow is unsteady, so the time-mean flow need not converge
+# to them — the residual ~0.13 measures that modeling difference plus
+# donor-cell diffusion, not resolution.
+DEFAULT_TOL_1024 = {100: 0.03, 1000: 0.08, 10000: 0.15}
 
 
 def main(argv=None):
@@ -153,7 +160,12 @@ def main(argv=None):
         )
         print("plots:", *paths)
 
-    table = DEFAULT_TOL_512 if args.n >= 512 else DEFAULT_TOL
+    if args.n >= 1024:
+        table = DEFAULT_TOL_1024
+    elif args.n >= 512:
+        table = DEFAULT_TOL_512
+    else:
+        table = DEFAULT_TOL
     tol = args.tol if args.tol is not None else table[args.re]
     if errs.max_u_err > tol or errs.max_v_err > tol:
         print(f"FAIL: deviation exceeds tol={tol}")
