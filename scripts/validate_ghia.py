@@ -33,25 +33,25 @@ import numpy as np
 # profile extrema substantially; the tolerance documents what a long-horizon
 # (T >= 50) 257^2 run actually achieves — structure/sign fidelity, not
 # pointwise accuracy (see docs/numerics.md).
-DEFAULT_TOL = {100: 0.03, 1000: 0.08, 10000: 0.30}
+DEFAULT_TOL = {100: 0.03, 400: 0.05, 1000: 0.08, 10000: 0.30}
 # Resolution-aware override: at >= 512^2 with --time-average the Re=10000
 # windowed-mean profiles reach 0.150/0.141 (u/v, T=50 + 10-unit window,
 # mg, 32.5k steps, sor_failures=0, measured on v5e) — donor-cell diffusion
 # at the Re^-1/2 boundary layers is the remaining error, not unsteadiness.
-DEFAULT_TOL_512 = {100: 0.03, 1000: 0.08, 10000: 0.16}
+DEFAULT_TOL_512 = {100: 0.03, 400: 0.03, 1000: 0.08, 10000: 0.16}
 # At 1024^2 the windowed mean reaches 0.128/0.137 (248 samples, 73.7k
 # steps, 259 s on v5e).  The 512->1024 improvement is already asymptoting:
 # Ghia's 1982 tables are a STEADY-solver solution at a Reynolds number
 # where the true flow is unsteady, so the time-mean flow need not converge
 # to them — the residual ~0.13 measures that modeling difference plus
 # donor-cell diffusion, not resolution.
-DEFAULT_TOL_1024 = {100: 0.03, 1000: 0.08, 10000: 0.15}
+DEFAULT_TOL_1024 = {100: 0.03, 400: 0.03, 1000: 0.08, 10000: 0.15}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--re", type=int, default=100,
-                    choices=[100, 1000, 10000])
+                    choices=[100, 400, 1000, 10000])
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--T", type=float, default=20.0)
     ap.add_argument("--tol", type=float, default=None)

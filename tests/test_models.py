@@ -15,7 +15,7 @@ def test_factories():
 
 
 def test_ghia_tables_shape():
-    for Re in (100, 1000):
+    for Re in (100, 400, 1000, 10000):
         assert cavity.GHIA_U[Re].shape == cavity.GHIA_Y.shape
         assert cavity.GHIA_V[Re].shape == cavity.GHIA_X.shape
         # lid-driven endpoints: u=1 at the lid, 0 at the floor; v=0 at walls
