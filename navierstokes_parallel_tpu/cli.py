@@ -153,9 +153,14 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
+    from .utils.timing import device_fence
+
     start = time.perf_counter()
     state, stats = run()
-    jax.block_until_ready(state.u)
+    # A scalar D2H fetch, not block_until_ready: on the axon tunnel the
+    # latter returns before execution finishes (see utils/timing.py), which
+    # would let the timer close after dispatch instead of after the solve.
+    device_fence(state.u)
     elapsed = time.perf_counter() - start
 
     from .utils.checks import validate_state
@@ -186,7 +191,8 @@ def main(argv=None) -> int:
     # reference reports cumulative SOR seconds only; we report the full
     # solve wall time — a strict upper bound, conservative in comparisons.
     print(f"{elapsed:.6f}", file=sys.stderr, end="")
-    if args.max_steps and float(state.t) < params.T:
+    if args.max_steps and float(state.t) < float(
+            np.asarray(params.T, params.jnp_dtype)):
         return 3  # incomplete: resume from the checkpoint to continue
     return 0
 
@@ -283,7 +289,11 @@ def _run_host_loop(params: Params, stepper, args):
     if hist_fh and hist_mode == "w":
         hist_fh.write("step,t,dt,sor_iterations,res_norm\n")
     n_print = max(params.n_print, 1)
-    while stepper.t < params.T:
+    # T in the solver dtype, matching solve()'s on-device cond — keeps the
+    # host loop's step count identical to the monolithic path when the
+    # python T is not exactly representable (solver.py:117 note).
+    T = float(np.asarray(params.T, params.jnp_dtype))
+    while stepper.t < T:
         if args.max_steps and steps >= args.max_steps:
             break
         n_abs = stepper.n

@@ -76,10 +76,12 @@ GHIA_V: Dict[int, np.ndarray] = {
     ]),
     # Ghia Table II, Re = 400 (provenance: see GHIA_U[400] note).  The
     # x=0.9063 entry was ambiguous in the offline transcription; it is
-    # anchored by grid-convergence cross-validation instead (128^2/256^2
+    # RECONSTRUCTED by grid-convergence cross-validation (128^2/256^2
     # runs converge to v(0.9063) = -0.384 +- 0.005, refuting the candidate
     # misreadings -0.23827/-0.33827 by 0.15/0.05 while every other entry
-    # agrees within 0.007 at 256^2).
+    # agrees within 0.007 at 256^2).  Because that anchor is this solver
+    # itself, the station is EXCLUDED from ghia_errors' asserted deviation
+    # (GHIA_EXCLUDED_V below) — it exists for plotting continuity only.
     400: np.array([
         0.00000, -0.12146, -0.15663, -0.19254, -0.22847, -0.38598,
         -0.44993, -0.38598, 0.05186, 0.30174, 0.30203, 0.28124,
@@ -97,6 +99,12 @@ GHIA_V: Dict[int, np.ndarray] = {
         0.41487, 0.43124, 0.43733, 0.43983, 0.00000,
     ]),
 }
+
+
+# Stations excluded from validation because the table value is not a
+# verified published number (index into GHIA_X / the GHIA_V rows).
+GHIA_EXCLUDED_V: Dict[int, Tuple[int, ...]] = {400: (5,)}  # x = 0.9063
+GHIA_EXCLUDED_U: Dict[int, Tuple[int, ...]] = {}
 
 
 def lid_driven_cavity(Re: float = 1000.0, n: int = 128, T: float = 1.0,
@@ -158,6 +166,13 @@ def ghia_errors(u, v, params: Params, Re: int) -> GhiaErrors:
     # clamps — exclude them (they are BC-trivial anyway).
     mask = (GHIA_Y > y.min()) & (GHIA_Y < y.max())
     mask_v = (GHIA_X > x.min()) & (GHIA_X < x.max())
+    # Drop stations whose table entry is reconstructed rather than
+    # published (see GHIA_EXCLUDED_*): asserting against a solver-anchored
+    # value would make the validation circular.
+    for idx in GHIA_EXCLUDED_U.get(Re, ()):
+        mask[idx] = False
+    for idx in GHIA_EXCLUDED_V.get(Re, ()):
+        mask_v[idx] = False
     return GhiaErrors(
         max_u_err=float(np.max(np.abs(u_at[mask] - GHIA_U[Re][mask]))),
         max_v_err=float(np.max(np.abs(v_at[mask_v] - GHIA_V[Re][mask_v]))),

@@ -439,9 +439,12 @@ def _tiled_chunk_call(ns, d_ext, rhs_ext, *, ext_shape, tile_rows, halo,
         )(ns, d_ext, rhs_ext)
 
 
-def vmem_bytes_required(params: Params, itemsize: int = 4) -> int:
-    """Rough VMEM footprint: delta + rhs + one temp, tile-padded."""
-    ni, nj = params.shape
+def vmem_bytes_required(params_or_shape, itemsize: int = 4) -> int:
+    """Rough VMEM footprint: delta + rhs + one temp, tile-padded.  Accepts
+    a Params or a raw (ni, nj) shape tuple (parallel/deep_halo.py passes a
+    shard's extended-block shape) so the budget heuristic lives in exactly
+    one place."""
+    ni, nj = getattr(params_or_shape, "shape", params_or_shape)
 
     def pad(a, m):
         return -(-a // m) * m
@@ -630,7 +633,8 @@ def _pick_large_grid_route(params: Params) -> str:
     xla_t = timings(xla_c)
     t_tiled = per_sweep(*tiled_t)
     t_xla = per_sweep(*xla_t)
-    if t_tiled <= 0 or t_xla <= 0:
+    race_degraded = t_tiled <= 0 or t_xla <= 0
+    if race_degraded:
         # A tunnel stall during one timing makes the differenced delta
         # non-positive (observed: "tiled 0 us/sweep").  Differencing is
         # untrustworthy then — fall back to comparing the big-count raw
@@ -642,7 +646,11 @@ def _pick_large_grid_route(params: Params) -> str:
         t_xla = xla_t[1] / float(n2)
     route = "tiled" if t_tiled < t_xla else "xla"
     _ROUTE_CACHE[key] = route
-    _store_disk_route(params, route)
+    # Persist only healthy-race results: a verdict reached during a tunnel
+    # stall (differencing invalid) must not outlive this process, or every
+    # future process would silently inherit a degraded-session choice.
+    if not race_degraded:
+        _store_disk_route(params, route)
     print(f"[sor_kernel] >VMEM route for {key}: {route} "
           f"(tiled {t_tiled * 1e6:.0f} us/sweep vs xla "
           f"{t_xla * 1e6:.0f} us/sweep)", file=sys.stderr)

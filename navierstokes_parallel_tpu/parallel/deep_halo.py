@@ -52,12 +52,11 @@ from .halo import _shift_down, _shift_up
 def ext_block_fits_vmem(ext_shape, budget_bytes: int = 48 * 1024 * 1024,
                         itemsize: int = 4) -> bool:
     """Whether a shard's extended block can run the whole-block VMEM kernel
-    (delta + rhs + one temp, lane-padded) — same budget heuristic as
-    sor_kernel.fits_in_vmem."""
-    per_array = (
-        -(-ext_shape[0] // 8) * 8 * -(-ext_shape[1] // 128) * 128 * itemsize
-    )
-    return 3 * per_array <= budget_bytes
+    — delegates to sor_kernel.vmem_bytes_required so the empirically-tuned
+    footprint/budget heuristic is defined in exactly one place."""
+    from ..ops.pallas.sor_kernel import vmem_bytes_required
+
+    return vmem_bytes_required(tuple(ext_shape), itemsize) <= budget_bytes
 
 
 def comm_depth(params: Params, li: int, lj: int) -> int:

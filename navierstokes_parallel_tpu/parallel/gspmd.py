@@ -198,6 +198,11 @@ def _make_step(params: Params, mesh: Mesh, pressure_method: str):
     )
 
 
+# Compiled-executable cache for compile_gspmd_solve (placement shardings
+# are fully determined by the mesh in the key, so reuse is sound).
+_SOLVE_EXEC_CACHE: dict = {}
+
+
 def compile_gspmd_solve(
     params: Params,
     state: Optional[State] = None,
@@ -215,8 +220,18 @@ def compile_gspmd_solve(
     if mesh is None:
         mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
     placed = place_state(state, mesh)
-    compiled = _make_solve(params, mesh, pressure_method).lower(
-        placed).compile()
+    # Cache the AOT executable: .lower().compile() bypasses jit's call
+    # cache, so without this every solve_gspmd call would re-trace and
+    # re-compile (10-60 s per shape on the remote compile service).
+    key = (params, mesh, pressure_method,
+           jax.tree.map(lambda x: (x.shape, str(x.dtype)), placed))
+    compiled = _SOLVE_EXEC_CACHE.get(key)
+    if compiled is None:
+        compiled = _make_solve(params, mesh, pressure_method).lower(
+            placed).compile()
+        if len(_SOLVE_EXEC_CACHE) >= 32:
+            _SOLVE_EXEC_CACHE.clear()
+        _SOLVE_EXEC_CACHE[key] = compiled
 
     def run() -> Tuple[State, SolveStats]:
         out, stats = compiled(placed)

@@ -114,7 +114,12 @@ def solve_stepwise(
     iters = 0
     fails = 0
     last = 0.0
-    while float(state.t) < params.T:
+    # Compare against T in the state's dtype, exactly as the on-device
+    # while_loops do (_solve_on_device:137): with f32 time, float(f32(T))
+    # can differ from the python T by one ulp, which would make this loop
+    # take one step more/less than solve() on the same workload.
+    T = float(jnp.asarray(params.T, state.t.dtype))
+    while float(state.t) < T:
         state, diag = fn(state)
         steps += 1
         iters += int(diag.sor_iterations)
@@ -223,7 +228,12 @@ def solve_segmented(
     stats = SolveStats(steps=zero, total_sor_iterations=zero,
                        sor_failures=zero,
                        last_res_norm=jnp.zeros((), state.t.dtype))
-    while float(state.t) < params.T:  # the float() fetch fences each segment
+    # T in the state's dtype, like _solve_capped's on-device cond: if the
+    # python T rounds DOWN in f32 and the accumulated t lands exactly on
+    # f32(T), a full-precision comparison here would stay true while the
+    # capped dispatch advances zero steps — an infinite no-op loop.
+    T = float(jnp.asarray(params.T, state.t.dtype))
+    while float(state.t) < T:  # the float() fetch fences each segment
         state, stats = _solve_capped(params, state, stats,
                                      steps_per_dispatch, pressure_method)
     return state, stats

@@ -126,7 +126,12 @@ def main(argv=None):
     if args.time_average > 0:
         from navierstokes_parallel_tpu.solver import _solve_capped
 
-        target = float(state.t) + args.time_average
+        # Round the window target to the state dtype so the host-loop
+        # condition below agrees with _solve_capped's on-device cond (a
+        # full-precision target that rounds DOWN on device would spin on
+        # zero-step dispatches once t reaches it).
+        target = float(np.asarray(float(state.t) + args.time_average,
+                                  np.asarray(state.t).dtype))
         aparams = params.replace(T=target)
         acc_u = np.asarray(state.u, np.float64).copy()
         acc_v = np.asarray(state.v, np.float64).copy()
@@ -145,6 +150,16 @@ def main(argv=None):
               flush=True)
 
     errs = cavity.ghia_errors(u_eval, v_eval, params, args.re)
+    from navierstokes_parallel_tpu.utils import diagnostics
+
+    vort = diagnostics.primary_vortex(
+        diagnostics.stream_function(u_eval, params), params)
+    verrs = diagnostics.ghia_vortex_errors(u_eval, params, args.re)
+    gx, gy = diagnostics.GHIA_VORTEX_CENTER[args.re]
+    print(f"primary vortex: psi={vort.psi:.6f} at ({vort.x:.4f}, "
+          f"{vort.y:.4f}); Ghia {diagnostics.GHIA_PSI_MIN[args.re]:.6f} at "
+          f"({gx}, {gy}) -> rel err {verrs.psi_rel_err:.4f}, "
+          f"center dist {verrs.center_dist:.4f}")
     print(f"steps={int(stats.steps)} sor_iterations="
           f"{int(stats.total_sor_iterations)} "
           f"sor_failures={int(stats.sor_failures)} wall={timer.elapsed:.1f}s")

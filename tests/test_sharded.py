@@ -305,3 +305,43 @@ def test_sharded_4096_shape_one_step():
     assert st.u.shape == (4098, 4098)
     assert np.isfinite(np.asarray(st.u)).all()
     assert np.isfinite(np.asarray(st.p)).all()
+
+
+def test_solve_sharded_compiles_once():
+    """Repeated solve_sharded calls must reuse the AOT executable:
+    .lower().compile() bypasses jit's call cache, so without the
+    executable cache every bench repeat would pay a full re-trace and
+    XLA re-compile (10-60 s per shape on the remote compile service)."""
+    from navierstokes_parallel_tpu.parallel import sharded
+
+    prm = _params(T=0.01)
+    mesh = topology.make_grid_mesh(4, prm.i_max, prm.j_max)
+    sharded._SOLVE_EXEC_CACHE.clear()
+    first, _ = solve_sharded(prm, mesh=mesh)
+    assert len(sharded._SOLVE_EXEC_CACHE) == 1
+    # Any re-lowering would have to go through make_sharded_solve; poison
+    # it to prove the second call never recompiles.
+    orig = sharded.make_sharded_solve
+    sharded.make_sharded_solve = None
+    try:
+        second, _ = solve_sharded(prm, mesh=mesh)
+    finally:
+        sharded.make_sharded_solve = orig
+    np.testing.assert_array_equal(np.asarray(first.u), np.asarray(second.u))
+
+
+def test_solve_gspmd_compiles_once():
+    from navierstokes_parallel_tpu.parallel import gspmd
+
+    prm = _params(T=0.01)
+    mesh = topology.make_grid_mesh(4, prm.i_max, prm.j_max)
+    gspmd._SOLVE_EXEC_CACHE.clear()
+    first, _ = gspmd.solve_gspmd(prm, mesh=mesh)
+    assert len(gspmd._SOLVE_EXEC_CACHE) == 1
+    orig = gspmd._make_solve
+    gspmd._make_solve = None
+    try:
+        second, _ = gspmd.solve_gspmd(prm, mesh=mesh)
+    finally:
+        gspmd._make_solve = orig
+    np.testing.assert_array_equal(np.asarray(first.u), np.asarray(second.u))
