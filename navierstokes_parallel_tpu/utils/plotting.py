@@ -60,6 +60,51 @@ def plot_ghia(u, v, params: Params, Re: int, out_prefix: str = "ghia"):
     return f"{out_prefix}_u.png", f"{out_prefix}_v.png"
 
 
+def plot_streamlines(u, params: Params, out_path: str = "streamlines.png",
+                     Re: Optional[int] = None):
+    """Stream-function contour plot (the standard cavity figure: primary
+    vortex + corner eddies).  Marks the computed primary-vortex center and,
+    when Ghia Table III carries this Re, the published center.  The
+    reference has no derived-field plot at all (plot_field.py draws speed
+    + quiver)."""
+    from . import diagnostics
+
+    plt = _mpl()
+    psi = np.asarray(diagnostics.stream_function(u, params))
+    xc = np.arange(params.i_max + 1) * params.dx
+    yc = np.arange(params.j_max + 1) * params.dy
+
+    # Ghia-style levels: dense around the primary vortex, logarithmic for
+    # the weak counter-rotating corner eddies.
+    lo = psi.min()
+    neg = np.linspace(lo, lo * 0.05, 10)
+    pos = [1e-8, 1e-7, 1e-6, 1e-5, 5e-5, 1e-4, 5e-4, 1e-3, 2.5e-3]
+    levels = np.unique(np.concatenate([neg, [0.0], pos]))
+
+    plt.figure(figsize=(5, 5))
+    cs = plt.contour(xc, yc, psi.T, levels=levels, linewidths=0.7,
+                     colors="black")
+    plt.clabel(cs, levels[:: max(1, len(levels) // 6)], fontsize=6,
+               fmt="%.3g")
+    vort = diagnostics.primary_vortex(psi, params)
+    plt.plot([vort.x], [vort.y], "r+", markersize=10,
+             label=f"computed $\\psi_{{min}}$={vort.psi:.4f}")
+    if Re is not None and Re in diagnostics.GHIA_VORTEX_CENTER:
+        gx, gy = diagnostics.GHIA_VORTEX_CENTER[Re]
+        plt.plot([gx], [gy], "bx", markersize=8,
+                 label=f"Ghia $\\psi$={diagnostics.GHIA_PSI_MIN[Re]:.4f}")
+    plt.legend(fontsize=7)
+    plt.xlim(0, params.a)
+    plt.ylim(0, params.b)
+    plt.gca().set_aspect("equal")
+    plt.xlabel("$x$")
+    plt.ylabel("$y$")
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=150)
+    plt.close()
+    return out_path
+
+
 def plot_ghia_from_files(prefix: str, Re: int, out_prefix: str = "ghia"):
     """Ghia plot from `<prefix>_{u,v}.txt` output files (the reference's
     file-based flow, plot_ghia.py:21-22)."""

@@ -49,3 +49,14 @@ def test_pressure_animation(tmp_path):
 def test_animation_requires_frames(tmp_path):
     with pytest.raises(FileNotFoundError):
         plotting.animate_flow(str(tmp_path / "empty"))
+
+
+def test_streamline_plot(tmp_path):
+    prm = Params(i_max=16, j_max=16)
+    rng = np.random.default_rng(2)
+    u = rng.standard_normal(prm.shape) * 0.1
+    path = plotting.plot_streamlines(u, prm, str(tmp_path / "psi.png"),
+                                     Re=1000)
+    import os
+
+    assert os.path.exists(path) and os.path.getsize(path) > 0
