@@ -138,7 +138,7 @@ def main(argv=None):
                          "per-member (the batching speedup)")
     ap.add_argument("--refine-every", type=int, default=0,
                     help="f64 re-baseline interval K for the SOR parity "
-                         "methods; 0 = benchmark-tuned (1024).  The "
+                         "methods; 0 = benchmark-tuned (2048).  The "
                          "block-size analogue: the reference harness sweeps "
                          "CUDA block sizes and its headline uses the best "
                          "(bs=16, speedup.csv); ours sweeps K "
@@ -159,9 +159,10 @@ def main(argv=None):
     if args.method in ("auto", "rb_sor", "pallas_sor"):
         # Measured on v5e (docs/performance.md): K=1024 vs the default 64 is
         # 26%/21%/19% faster at 256^2/512^2/1024^2 (fewer f64 outer passes,
-        # same fixed sweep work).
+        # same fixed sweep work); the round-3 in-process sweep to K=4096
+        # found a further ~3% at 2048, flat beyond (tile_size_comparison.csv).
         params = params.replace(
-            sor_refine_every=args.refine_every or 1024)
+            sor_refine_every=args.refine_every or 2048)
     state = allocate_state(params)
 
     if args.ensemble > 0:

@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="override dtype (default: config / float32)")
     ap.add_argument("--refine-every", type=int, default=None,
                     help="f64 re-baseline / convergence-check interval K for "
-                         "the SOR methods (default 64; benchmarks use 1024 — "
+                         "the SOR methods (default 64; benchmarks use 2048 — "
                          "docs/performance.md)")
     ap.add_argument("--output-dir", default=None,
                     help="write <n>_{u,v,p}.txt frames every n_print steps")
@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "sor_iterations,res_norm) — the working version of "
                          "the reference's commented-out residual print "
                          "(integration.c:162)")
+    ap.add_argument("--history-physics", action="store_true",
+                    help="append physics monitor columns (kinetic_energy,"
+                         "enstrophy,max_divergence,psi_min — "
+                         "utils/diagnostics.py) to the --history-file CSV")
     ap.add_argument("--log-every", type=int, default=0,
                     help="print per-step diagnostics to stderr every N steps")
     ap.add_argument("--max-steps", type=int, default=0,
@@ -106,6 +110,10 @@ def main(argv=None) -> int:
                   f"{args.refine_every}", file=sys.stderr)
             return 1
         overrides["sor_refine_every"] = args.refine_every
+    if args.history_physics and not args.history_file:
+        print("error: --history-physics requires --history-file",
+              file=sys.stderr)
+        return 1
     try:
         params = Params.from_file(args.param_file, **overrides)
     except (OSError, ValueError) as e:
@@ -214,7 +222,8 @@ def _build_runner(params, state, args, pressure_method, host_loop):
             stepper = sharded.ShardedStepper(params, state,
                                              pressure_method=method)
             stepper.warm()
-            return lambda: _run_host_loop(params, stepper, args)
+            mon_fn = _make_monitor_fn(params, state, args)
+            return lambda: _run_host_loop(params, stepper, args, mon_fn)
         return sharded.compile_sharded_solve(params, state,
                                              pressure_method=method)
     if args.backend == "gspmd":
@@ -223,13 +232,15 @@ def _build_runner(params, state, args, pressure_method, host_loop):
             stepper = gspmd.GspmdStepper(params, state,
                                          pressure_method=pressure_method)
             stepper.warm()
-            return lambda: _run_host_loop(params, stepper, args)
+            mon_fn = _make_monitor_fn(params, state, args)
+            return lambda: _run_host_loop(params, stepper, args, mon_fn)
         return gspmd.compile_gspmd_solve(params, state,
                                          pressure_method=pressure_method)
     if host_loop:
         stepper = _SingleChipStepper(params, state, pressure_method)
         stepper.warm()
-        return lambda: _run_host_loop(params, stepper, args)
+        mon_fn = _make_monitor_fn(params, state, args)
+        return lambda: _run_host_loop(params, stepper, args, mon_fn)
     from .solver import _solve_on_device
 
     compiled = (
@@ -268,7 +279,20 @@ class _SingleChipStepper:
         return self._state
 
 
-def _run_host_loop(params: Params, stepper, args):
+def _make_monitor_fn(params: Params, state: State, args):
+    """AOT-warmed fused physics-monitor program for --history-physics
+    (warmed here so host-loop rows never pay a compile inside the timed
+    region), or None when the flag is off."""
+    if not (getattr(args, "history_physics", False) and args.history_file):
+        return None
+    from .utils import diagnostics
+
+    fn = jax.jit(lambda u, v: diagnostics.physics_monitors(u, v, params))
+    jax.block_until_ready(fn(state.u, state.v))
+    return fn
+
+
+def _run_host_loop(params: Params, stepper, args, mon_fn=None):
     """Host-driven loop for output/checkpoint side effects (the working
     version of the reference's commented-out n_print path, main.c:138-143).
     Works over any stepper (single-chip or sharded): fields are only
@@ -287,7 +311,10 @@ def _run_host_loop(params: Params, stepper, args):
     hist_mode = "a" if (args.resume and hist_exists) else "w"
     hist_fh = open(args.history_file, hist_mode) if args.history_file else None
     if hist_fh and hist_mode == "w":
-        hist_fh.write("step,t,dt,sor_iterations,res_norm\n")
+        cols = "step,t,dt,sor_iterations,res_norm"
+        if mon_fn is not None:
+            cols += ",kinetic_energy,enstrophy,max_divergence,psi_min"
+        hist_fh.write(cols + "\n")
     n_print = max(params.n_print, 1)
     # T in the solver dtype, matching solve()'s on-device cond — keeps the
     # host loop's step count identical to the monolithic path when the
@@ -309,9 +336,17 @@ def _run_host_loop(params: Params, stepper, args):
         failures += 0 if bool(diag.sor_converged) else 1
         last_norm = float(diag.sor_res_norm)
         if hist_fh:
-            hist_fh.write(f"{stepper.n},{stepper.t:.8f},"
-                          f"{float(diag.dt):.8f},"
-                          f"{int(diag.sor_iterations)},{last_norm:.6e}\n")
+            row = (f"{stepper.n},{stepper.t:.8f},"
+                   f"{float(diag.dt):.8f},"
+                   f"{int(diag.sor_iterations)},{last_norm:.6e}")
+            if mon_fn is not None:
+                st = stepper.state()
+                m = mon_fn(st.u, st.v)
+                row += (f",{float(m.kinetic_energy):.8e}"
+                        f",{float(m.enstrophy):.8e}"
+                        f",{float(m.max_divergence):.6e}"
+                        f",{float(m.psi_min):.8e}")
+            hist_fh.write(row + "\n")
         if args.log_every and steps % args.log_every == 0:
             print(f"step={steps} t={stepper.t:.5f} dt={float(diag.dt):.5f}"
                   f" sor_iters={int(diag.sor_iterations)} res={last_norm:.3e}",

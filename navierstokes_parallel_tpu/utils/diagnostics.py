@@ -70,6 +70,58 @@ def vorticity(u, v, params: Params) -> jnp.ndarray:
     return dvdx - dudy
 
 
+class Monitors(NamedTuple):
+    """Scalar physics monitors for in-flight run health (all jnp scalars;
+    the tuple is jit-returnable)."""
+    kinetic_energy: jnp.ndarray   # 0.5 * integral of |velocity|^2
+    enstrophy: jnp.ndarray        # 0.5 * integral of vorticity^2
+    max_divergence: jnp.ndarray   # worst cell continuity violation
+    psi_min: jnp.ndarray          # primary-vortex strength
+
+
+def physics_monitors(u, v, params: Params) -> Monitors:
+    """On-device scalar monitors, one fused XLA program when jitted.
+
+    The reference has no run-time physics monitoring at all (its
+    commented-out residual print, src/serial/integration.c:162, is the
+    closest thing); these are the standard time-series a production run
+    watches:
+
+    * kinetic energy  0.5*sum(u_c^2 + v_c^2)*dx*dy over cell centers
+      (face velocities averaged to centers) — boundedness check: for the
+      lid-driven cavity it must stay below the lid-scale value and
+      plateau at the steady state.
+    * enstrophy       0.5*sum(omega^2)*dx*dy over interior corners —
+      blow-up detector (gradient-scale energy).
+    * max_divergence  max |du/dx + dv/dy| over cells — how well the
+      projection enforced continuity this step; tracks the pressure
+      solve's stopping residual (eps) and jumps when SOR hits max_it.
+    * psi_min         primary-vortex strength (Ghia Table III quantity).
+    """
+    u = jnp.asarray(u)
+    v = jnp.asarray(v)
+    ni, nj = params.i_max, params.j_max
+    dxdy = params.dx * params.dy
+
+    # Cell-centered velocity magnitudes (cells i=1..ni, j=1..nj).
+    u_c = 0.5 * (u[0: ni, 1: nj + 1] + u[1: ni + 1, 1: nj + 1])
+    v_c = 0.5 * (v[1: ni + 1, 0: nj] + v[1: ni + 1, 1: nj + 1])
+    ke = 0.5 * jnp.sum(u_c * u_c + v_c * v_c) * dxdy
+
+    om = vorticity(u, v, params)[1:-1, 1:-1]  # interior corners only:
+    # the wall ring's one-sided ghost differences would double-count the
+    # lid's velocity jump as a spurious O(1/dy) vorticity band.
+    ens = 0.5 * jnp.sum(om * om) * dxdy
+
+    div = ((u[1: ni + 1, 1: nj + 1] - u[0: ni, 1: nj + 1]) / params.dx
+           + (v[1: ni + 1, 1: nj + 1] - v[1: ni + 1, 0: nj]) / params.dy)
+    max_div = jnp.max(jnp.abs(div))
+
+    psi_min = jnp.min(stream_function(u, params))
+    return Monitors(kinetic_energy=ke, enstrophy=ens,
+                    max_divergence=max_div, psi_min=psi_min)
+
+
 class PrimaryVortex(NamedTuple):
     psi: float   # stream-function value at the vortex center
     x: float     # center location

@@ -45,8 +45,8 @@ def time_serial(config_path: str, runs: int):
     return statistics.mean(times), statistics.stdev(times) if runs > 1 else 0.0
 
 
-def time_tpu(config_path: str, runs: int, refine_every=1024):
-    """refine_every defaults to the benchmark-tuned K=1024 (same as
+def time_tpu(config_path: str, runs: int, refine_every=2048):
+    """refine_every defaults to the benchmark-tuned K=2048 (same as
     bench.py; the block-size analogue — the reference's harness also runs
     its best block size for the headline, speedup.csv bs=16)."""
     import jax

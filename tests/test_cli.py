@@ -190,15 +190,19 @@ def test_cli_sharded_output_frames_and_history(tmp_path, capsys):
     outdir = tmp_path / "frames"
     hist = tmp_path / "hist.csv"
     rc = cli.main([str(cfg), "--backend", "sharded",
-                   "--output-dir", str(outdir), "--history-file", str(hist)])
+                   "--output-dir", str(outdir), "--history-file", str(hist),
+                   "--history-physics"])
     assert rc == 0
     frames = sorted(os.listdir(outdir))
     assert "0_u.txt" in frames and "1_u.txt" in frames
     t0, a, b, u0 = read_field(str(outdir / "0_u.txt"))
     assert u0.shape == (12, 13)
     lines = hist.read_text().strip().splitlines()
-    assert lines[0] == "step,t,dt,sor_iterations,res_norm"
+    assert lines[0] == ("step,t,dt,sor_iterations,res_norm,"
+                        "kinetic_energy,enstrophy,max_divergence,psi_min")
     assert len(lines) >= 2
+    row = lines[-1].split(",")
+    assert len(row) == 9 and all(np.isfinite(float(x)) for x in row[5:])
 
 
 def test_cli_sharded_cg_supported(tmp_path, capsys):
@@ -211,3 +215,34 @@ def test_cli_sharded_cg_supported(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "does not support pressure method" not in err
     float(err.strip().splitlines()[-1])  # stderr timing protocol intact
+
+
+def test_cli_history_physics_columns(tmp_path, capsys):
+    """--history-physics appends the four on-device monitor columns
+    (utils/diagnostics.py); the divergence monitor must reflect a
+    working projection (small, finite), KE/enstrophy positive once the
+    lid starts driving flow."""
+    cfg = tmp_path / "c.in"
+    _write_config(cfg, T=0.3)
+    hist = tmp_path / "hist.csv"
+    rc = cli.main([str(cfg), "--history-file", str(hist),
+                   "--history-physics"])
+    assert rc == 0
+    lines = hist.read_text().strip().splitlines()
+    assert lines[0] == ("step,t,dt,sor_iterations,res_norm,"
+                        "kinetic_energy,enstrophy,max_divergence,psi_min")
+    row = lines[-1].split(",")
+    assert len(row) == 9
+    ke, ens, max_div, psi_min = map(float, row[5:])
+    assert ke > 0 and np.isfinite(ke)
+    assert ens > 0 and np.isfinite(ens)
+    assert 0 <= max_div < 1.0
+    assert psi_min <= 0  # clockwise primary circulation
+
+
+def test_cli_history_physics_requires_history_file(tmp_path, capsys):
+    cfg = tmp_path / "c.in"
+    _write_config(cfg)
+    rc = cli.main([str(cfg), "--history-physics"])
+    assert rc == 1
+    assert "requires --history-file" in capsys.readouterr().err

@@ -85,3 +85,53 @@ def test_vortex_errors_zero_for_table_values():
     err_psi = abs(vort.psi - d.GHIA_PSI_MIN[1000]) / abs(d.GHIA_PSI_MIN[1000])
     assert err_psi == 0.0
     assert np.hypot(vort.x - x, vort.y - y) < prm.dx
+
+
+def test_monitors_uniform_flow_energy():
+    """Uniform u=U, v=0: KE = 0.5 U^2 * a * b exactly (cell-centered
+    averages of a constant are the constant); enstrophy (interior
+    corners) and divergence are exactly zero."""
+    prm = _params(12)
+    U = 0.75
+    u = np.full(prm.shape, U)
+    v = np.zeros(prm.shape)
+    m = diagnostics.physics_monitors(u, v, prm)
+    assert float(m.kinetic_energy) == pytest.approx(
+        0.5 * U * U * prm.a * prm.b, rel=1e-12)
+    assert float(m.enstrophy) == pytest.approx(0.0, abs=1e-12)
+    assert float(m.max_divergence) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_monitors_enstrophy_rigid_rotation():
+    """Rigid rotation: omega = 2w at every corner, so the interior-corner
+    enstrophy is exactly 0.5*(2w)^2 * (ni-1)(nj-1)*dx*dy."""
+    prm = _params(10)
+    ni, nj = prm.i_max, prm.j_max
+    w, c = 3.0, 0.5
+    u = np.zeros(prm.shape)
+    v = np.zeros(prm.shape)
+    for j in range(prm.shape[1]):
+        u[:, j] = -w * ((j - 0.5) * prm.dy - c)
+    for i in range(prm.shape[0]):
+        v[i, :] = w * ((i - 0.5) * prm.dx - c)
+    m = diagnostics.physics_monitors(u, v, prm)
+    expect = 0.5 * (2 * w) ** 2 * (ni - 1) * (nj - 1) * prm.dx * prm.dy
+    assert float(m.enstrophy) == pytest.approx(expect, rel=1e-12)
+
+
+def test_monitors_divergence_free_construction():
+    """u, v built from corner-psi differences telescope to exactly zero
+    discrete divergence in every cell."""
+    prm = _params(14)
+    ni, nj = prm.i_max, prm.j_max
+    rng = np.random.default_rng(7)
+    psi = rng.standard_normal((ni + 1, nj + 1))
+    u = np.zeros(prm.shape)
+    v = np.zeros(prm.shape)
+    u[: ni + 1, 1: nj + 1] = (psi[:, 1:] - psi[:, :-1]) / prm.dy
+    v[1: ni + 1, : nj + 1] = -(psi[1:, :] - psi[:-1, :]) / prm.dx
+    m = diagnostics.physics_monitors(u, v, prm)
+    assert float(m.max_divergence) < 1e-10
+    # psi_min matches the direct stream-function minimum
+    psi_rec = np.asarray(diagnostics.stream_function(u, prm))
+    assert float(m.psi_min) == pytest.approx(float(psi_rec.min()), abs=1e-12)
