@@ -207,3 +207,59 @@ def animate_pressure(out_dir: str, gif_path: str = "pressure.gif",
     anim.save(gif_path, writer=animation.PillowWriter(fps=fps))
     plt.close(fig)
     return gif_path
+
+
+def plot_history(csv_path: str, out_path: str = "history.png"):
+    """Small-multiples time-series figure from a `--history-file` CSV
+    (one panel per column, one series per panel — solver scalars always,
+    the `--history-physics` monitor columns when present).  The reference
+    has no run-monitoring output at all (its residual print is commented
+    out, src/serial/integration.c:162)."""
+    plt = _mpl()
+    with open(csv_path) as fh:
+        header = fh.readline().strip().split(",")
+        data = np.array([ln.strip().split(",") for ln in fh if ln.strip()],
+                        dtype=np.float64)
+    if data.size == 0:
+        raise ValueError(f"history file {csv_path!r} has no data rows")
+    cols = dict(zip(header, data.T))
+    t = cols.get("t")
+
+    # (column, panel title, log-scale) — order is the reading order.
+    panels = [(k, title, log) for k, title, log in [
+        ("res_norm", "pressure residual L2", True),
+        ("sor_iterations", "SOR iterations / step", False),
+        ("dt", "adaptive dt", False),
+        ("kinetic_energy", "kinetic energy", False),
+        ("enstrophy", "enstrophy", False),
+        ("max_divergence", "max cell divergence", True),
+        ("psi_min", "primary-vortex psi_min", False),
+    ] if k in cols]
+
+    ncols = 2
+    nrows = (len(panels) + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(8, 2.1 * nrows),
+                             sharex=True, squeeze=False)
+    ink = "#30577B"  # one series per panel; the panel title names it
+    for ax, (key, title, log) in zip(axes.flat, panels):
+        y = cols[key]
+        ax.plot(t, y, color=ink, linewidth=1.4)
+        if log and np.all(y > 0):
+            ax.set_yscale("log")
+        ax.set_title(title, fontsize=9)
+        ax.grid(True, alpha=0.25, linewidth=0.5)
+        ax.tick_params(labelsize=7)
+    for ax in axes.flat[len(panels):]:
+        ax.set_visible(False)
+    # sharex hides tick labels everywhere but the last row; when the last
+    # row has an empty slot, restore them on each column's lowest visible
+    # panel so every column keeps a time axis.
+    for c in range(ncols):
+        col_axes = [axes[r][c] for r in range(nrows) if axes[r][c].get_visible()]
+        if col_axes:
+            col_axes[-1].tick_params(labelbottom=True)
+            col_axes[-1].set_xlabel("$t$", fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path

@@ -60,3 +60,33 @@ def test_streamline_plot(tmp_path):
     import os
 
     assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_history_plot(tmp_path):
+    hist = tmp_path / "hist.csv"
+    hist.write_text(
+        "step,t,dt,sor_iterations,res_norm,kinetic_energy,enstrophy,"
+        "max_divergence,psi_min\n"
+        + "".join(f"{i},{i*0.01},0.01,{100+i},{1e-3/(i+1)},{0.1*i},"
+                  f"{0.5*i},{1e-5},{-0.01*i}\n" for i in range(1, 6)))
+    path = plotting.plot_history(str(hist), str(tmp_path / "h.png"))
+    import os
+
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_history_plot_solver_columns_only(tmp_path):
+    hist = tmp_path / "hist.csv"
+    hist.write_text("step,t,dt,sor_iterations,res_norm\n"
+                    "1,0.01,0.01,120,1.5e-4\n2,0.02,0.01,118,9.0e-5\n")
+    path = plotting.plot_history(str(hist), str(tmp_path / "h2.png"))
+    import os
+
+    assert os.path.getsize(path) > 0
+
+
+def test_history_plot_empty_raises(tmp_path):
+    hist = tmp_path / "hist.csv"
+    hist.write_text("step,t,dt,sor_iterations,res_norm\n")
+    with pytest.raises(ValueError, match="no data rows"):
+        plotting.plot_history(str(hist), str(tmp_path / "h3.png"))
