@@ -270,7 +270,8 @@ def _nb_sum_sh(d, dx2_inv, dy2_inv, self_coef):
     )
 
 
-def _smooth_sharded_deep(p, rhs, level, n_sweeps: int, omega: float):
+def _smooth_sharded_deep(p, rhs, level, n_sweeps: int, omega: float,
+                         use_kernel: bool = False):
     """Communication-avoiding smoother (parallel/deep_halo.py applied to a
     warm start): ONE 2n-deep halo exchange of p and rhs, then n local
     red-black sweeps on the extended block with zero communication.
@@ -279,7 +280,13 @@ def _smooth_sharded_deep(p, rhs, level, n_sweeps: int, omega: float):
     update in lockstep with them, so the values a half-sweep reads are
     exactly the values an exchange would have delivered (contamination from
     the stale ring edge advances one cell per half-sweep and never reaches
-    the central (li, lj) core within n <= H/2 sweeps)."""
+    the central (li, lj) core within n <= H/2 sweeps).
+
+    `use_kernel=True` routes the extended-block sweeps through the per-shard
+    Pallas VMEM kernel (deep_halo._ext_sweeps_call) — the same fast path the
+    single-chip MG smoother takes via sor_kernel.warm_sweeps, which the
+    shard_map smoother could not use in round 2 (it fell back to jnp rolls,
+    costing ~2x VPU time per sweep at >=256^2 local blocks)."""
     from ..parallel import deep_halo as dh
 
     shape, g_dims, dx2_inv, dy2_inv = level
@@ -298,12 +305,24 @@ def _smooth_sharded_deep(p, rhs, level, n_sweeps: int, omega: float):
 
     p_ext = clean_extend(p[1:-1, 1:-1])
     rhs_ext = clean_extend(rhs[1:-1, 1:-1])
-    out = dh._ext_sweeps_jnp(p_ext, rhs_ext, n_sweeps, red, black, self_coef,
-                             omega, dx2_inv, dy2_inv)
+    if use_kernel and dh.ext_block_fits_vmem(ext_shape):
+        out = dh._ext_sweeps_call(
+            jnp.asarray(n_sweeps, jnp.int32).reshape(1),
+            jnp.stack([ox, oy]).astype(jnp.int32),
+            p_ext.astype(jnp.float32), rhs_ext.astype(jnp.float32),
+            ext_shape=ext_shape, H=H, i_max=i_max_l, j_max=j_max_l,
+            omega=float(omega), dx2_inv=float(dx2_inv),
+            dy2_inv=float(dy2_inv),
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        out = dh._ext_sweeps_jnp(p_ext, rhs_ext, n_sweeps, red, black,
+                                 self_coef, omega, dx2_inv, dy2_inv)
     return p.at[1:-1, 1:-1].set(out[H: H + li, H: H + lj])
 
 
-def _smooth_sharded(p, rhs, level, n_sweeps, omega: float = 1.0):
+def _smooth_sharded(p, rhs, level, n_sweeps, omega: float = 1.0,
+                    use_kernel: bool = False):
     """Red-black sweeps on a local block.  When the 2n-deep halo fits the
     neighbor block (single-hop exchange), the deep-halo smoother pays ONE
     exchange for all n sweeps; otherwise fall back to a ppermute halo
@@ -315,7 +334,8 @@ def _smooth_sharded(p, rhs, level, n_sweeps, omega: float = 1.0):
     shape, g_dims, dx2_inv, dy2_inv = level
     li, lj = shape[0] - 2, shape[1] - 2
     if isinstance(n_sweeps, int) and 2 * n_sweeps <= min(li, lj):
-        return _smooth_sharded_deep(p, rhs, level, n_sweeps, omega)
+        return _smooth_sharded_deep(p, rhs, level, n_sweeps, omega,
+                                    use_kernel=use_kernel)
 
     red, black, self_coef = _sharded_level_masks(shape, g_dims, dx2_inv, dy2_inv)
     coef = omega / (2.0 * (dx2_inv + dy2_inv))
@@ -384,17 +404,19 @@ def _coarse_solve_replicated(p, rhs, level, nu1, nu2, coarse_sweeps):
 
 
 def v_cycle_sharded(p, rhs, levels, depth: int = 0, nu1: int = 2,
-                    nu2: int = 2, coarse_sweeps: int = 32):
+                    nu2: int = 2, coarse_sweeps: int = 32,
+                    use_kernel: bool = False):
     lvl = levels[depth]
     if depth == len(levels) - 1:
         return _coarse_solve_replicated(p, rhs, lvl, nu1, nu2, coarse_sweeps)
-    p = _smooth_sharded(p, rhs, lvl, nu1)
+    p = _smooth_sharded(p, rhs, lvl, nu1, use_kernel=use_kernel)
     r = rhs - _lap_sharded(p, lvl)
     r_c = _restrict(r, levels[depth + 1][0])
     e_c = jnp.zeros(levels[depth + 1][0], p.dtype)
-    e_c = v_cycle_sharded(e_c, r_c, levels, depth + 1, nu1, nu2, coarse_sweeps)
+    e_c = v_cycle_sharded(e_c, r_c, levels, depth + 1, nu1, nu2, coarse_sweeps,
+                          use_kernel=use_kernel)
     p = p + _prolong(e_c, lvl[0])
-    return _smooth_sharded(p, rhs, lvl, nu2)
+    return _smooth_sharded(p, rhs, lvl, nu2, use_kernel=use_kernel)
 
 
 def make_sharded_cg_inner(params: Params, li: int, lj: int):
@@ -456,15 +478,25 @@ def make_sharded_cg_inner(params: Params, li: int, lj: int):
     return inner
 
 
-def make_sharded_inner(params: Params, li: int, lj: int):
-    """inner_fn(neg_res32_local_padded, n_cycles) for the refinement loop."""
+def make_sharded_inner(params: Params, li: int, lj: int,
+                       use_kernel: bool | None = None):
+    """inner_fn(neg_res32_local_padded, n_cycles) for the refinement loop.
+
+    `use_kernel=None` auto-routes the deep-halo smoother sweeps through the
+    per-shard Pallas VMEM kernel on TPU (the single-chip MG smoother's fast
+    path, _smooth:101-107, extended to shard_map) unless disable_pallas is
+    set; pass an explicit bool to force either route (tests run the kernel
+    in interpret mode on CPU)."""
     levels = build_levels_sharded(params, li, lj)
+    if use_kernel is None:
+        use_kernel = (jax.default_backend() == "tpu"
+                      and not params.disable_pallas)
 
     def inner(rhs_neg, n_cycles):
         rhs = rhs_neg.astype(jnp.float32)
 
         def one(_, d):
-            return v_cycle_sharded(d, rhs, levels)
+            return v_cycle_sharded(d, rhs, levels, use_kernel=use_kernel)
 
         return lax.fori_loop(0, jnp.asarray(n_cycles, jnp.int32), one,
                              jnp.zeros(levels[0][0], jnp.float32))

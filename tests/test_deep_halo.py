@@ -110,6 +110,46 @@ def test_deep_inner_pallas_matches_jnp():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_sharded_mg_smoother_kernel_matches_jnp():
+    """The sharded MG smoother's Pallas route (use_kernel=True, interpret
+    mode off-TPU) must agree with its jnp extended-block sweeps — the same
+    contract as the deep-halo SOR inner above, applied to the V-cycle's
+    warm-start smoothing (ops/mg.py _smooth_sharded_deep)."""
+    from navierstokes_parallel_tpu.ops import mg
+
+    params = _params(64)
+    mesh = make_grid_mesh(8, 64, 64)
+    px, py = mesh.devices.shape
+    li, lj = local_block_dims((px, py), 64, 64)
+    assert min(li, lj) >= 8, "need real smoothing levels for this test"
+
+    rng = np.random.default_rng(5)
+    rhs = np.zeros(params.shape, np.float32)
+    rhs[1:-1, 1:-1] = rng.standard_normal((64, 64)).astype(np.float32)
+
+    def run(use_kernel):
+        def local_fn(rhs_block):
+            inner = mg.make_sharded_inner(params, li, lj,
+                                          use_kernel=use_kernel)
+            return inner(rhs_block, jnp.asarray(1, jnp.int32))
+
+        mapped = jax.jit(shard_map(
+            local_fn, mesh=mesh, in_specs=(P("x", "y"),),
+            out_specs=P("x", "y"), check_vma=False,
+        ))
+        dims = (px, py, li, lj)
+        blocks = sharded._put_blocks(
+            sharded._scatter_blocks(rhs, *dims), grid_sharding(mesh))
+        return sharded._gather_blocks(np.asarray(mapped(blocks)), *dims,
+                                      params.shape)
+
+    got_jnp = run(False)
+    got_pl = run(True)
+    assert not np.allclose(got_jnp[1:-1, 1:-1], 0.0)  # cycle did something
+    np.testing.assert_allclose(got_pl[1:-1, 1:-1], got_jnp[1:-1, 1:-1],
+                               rtol=1e-6, atol=1e-6)
+
+
 def _count_ppermutes(jaxpr) -> int:
     """Recursively count collective-permute equations in a jaxpr
     (descending into ClosedJaxpr and bare Jaxpr params alike)."""
