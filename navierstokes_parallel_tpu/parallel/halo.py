@@ -74,11 +74,21 @@ def _where_set_row(arr, i, cond, values):
 
 def close_pressure_halo(p: jax.Array, edges) -> jax.Array:
     """Homogeneous Neumann closure at physical edges (integration.c:138-146):
-    the ghost cell copies its interior neighbor."""
-    p = _where_set_row(p, 0, edges["left"], p[1, :])
-    p = _where_set_row(p, -1, edges["right"], p[-2, :])
-    p = _where_set_col(p, 0, edges["bottom"], p[:, 1])
-    p = _where_set_col(p, -1, edges["top"], p[:, -2])
+    the ghost cell copies its interior neighbor.  The four GLOBAL corners are
+    excluded — the serial ghost fill only writes side strips (io-visible:
+    output files carry zero corners), and the masked ghost variant matches;
+    halo copies of neighbor shards' ghost cells (which land on this shard's
+    strip ends mid-mesh) ARE written, keeping replicas consistent without a
+    second exchange."""
+    ni, nj = p.shape
+    col = lax.iota(jnp.int32, nj)
+    row = lax.iota(jnp.int32, ni)
+    col_ok = ~(edges["bottom"] & (col == 0)) & ~(edges["top"] & (col == nj - 1))
+    row_ok = ~(edges["left"] & (row == 0)) & ~(edges["right"] & (row == ni - 1))
+    p = _where_set_row(p, 0, edges["left"] & col_ok, p[1, :])
+    p = _where_set_row(p, -1, edges["right"] & col_ok, p[-2, :])
+    p = _where_set_col(p, 0, edges["bottom"] & row_ok, p[:, 1])
+    p = _where_set_col(p, -1, edges["top"] & row_ok, p[:, -2])
     return p
 
 

@@ -190,7 +190,16 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
     ox = lax.axis_index("x") * li
     oy = lax.axis_index("y") * lj
     n_cells = params.i_max * params.j_max
-    ghost_fn = halo.make_masked_ghost_fn(params.i_max, params.j_max)
+    # Divisible grids: the physical ghost ring coincides with the edge
+    # shards' halo rings, so the strip-only exchange+Neumann closure is
+    # exact and O(n) — the masked variant's full-array rolls/wheres cost
+    # ~9 O(n^2) passes per call, which the refinement outer pays in
+    # (emulated) f64 once per iteration (measured 0.41 -> 0.30 s for a
+    # 512^2 mg solve on one chip).  Padded grids need the masked form.
+    if valid is None:
+        ghost_fn = halo.neumann_or_exchange
+    else:
+        ghost_fn = halo.make_masked_ghost_fn(params.i_max, params.j_max)
 
     def l2_fn(arr):
         return jnp.sqrt(lax.psum(jnp.sum(arr * arr), MESH_AXES) / n_cells)
