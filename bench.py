@@ -169,8 +169,6 @@ def main(argv=None):
         return _bench_ensemble(params, args)
 
     if args.backend == "sharded":
-        from navierstokes_parallel_tpu.parallel.sharded import solve_sharded
-
         # Honor --method: auto matches the single-chip size policy (fft is
         # single-chip-only, so large-grid auto takes mg — converging and far
         # faster than rb_sor there); pallas_sor runs the per-shard VMEM
@@ -187,10 +185,22 @@ def main(argv=None):
         else:
             sharded_method = "mg" if params.i_max >= 2048 else "rb_sor"
         print(f"pressure solver: {sharded_method} (sharded)", file=sys.stderr)
+        from navierstokes_parallel_tpu.grid import State
+        from navierstokes_parallel_tpu.parallel.sharded import (
+            compile_sharded_solve,
+        )
+
+        _runner = compile_sharded_solve(params, state,
+                                        pressure_method=sharded_method)
 
         def run():
-            return solve_sharded(params, state,
-                                 pressure_method=sharded_method)
+            # Device phase only: the host gather of the full state costs
+            # ~54 ms/MB over the tunnel and the reference protocol times the
+            # solver, not the download (the jnp arm pays no gather either).
+            # The returned State holds block-layout device arrays — sync()
+            # below fetches one scalar from u, which is the fence.
+            uo, vo, po, t, stats = _runner.run_device()
+            return State(u=uo, v=vo, p=po, t=t, n=stats.steps), stats
     elif args.backend == "gspmd":
         from navierstokes_parallel_tpu.parallel.gspmd import solve_gspmd
 

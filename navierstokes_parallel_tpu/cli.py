@@ -163,13 +163,25 @@ def main(argv=None) -> int:
 
     from .utils.timing import device_fence
 
-    start = time.perf_counter()
-    state, stats = run()
-    # A scalar D2H fetch, not block_until_ready: on the axon tunnel the
-    # latter returns before execution finishes (see utils/timing.py), which
-    # would let the timer close after dispatch instead of after the solve.
-    device_fence(state.u)
-    elapsed = time.perf_counter() - start
+    if hasattr(run, "run_device"):
+        # Sharded full solve: time the device phase + a scalar fence only;
+        # the reference protocol times the solver, not the result download
+        # (main.cu:1112-1117 fetches after the timer), and a bulk gather
+        # over the axon tunnel costs ~54 ms/MB.
+        start = time.perf_counter()
+        outs = run.run_device()
+        device_fence(outs[0])
+        elapsed = time.perf_counter() - start
+        state, stats = run.gather(outs)
+    else:
+        start = time.perf_counter()
+        state, stats = run()
+        # A scalar D2H fetch, not block_until_ready: on the axon tunnel the
+        # latter returns before execution finishes (see utils/timing.py),
+        # which would let the timer close after dispatch instead of after
+        # the solve.
+        device_fence(state.u)
+        elapsed = time.perf_counter() - start
 
     from .utils.checks import validate_state
     validate_state(state, where="end of integration")

@@ -551,8 +551,18 @@ def compile_sharded_solve(
             _SOLVE_EXEC_CACHE.clear()
         _SOLVE_EXEC_CACHE[key] = compiled
 
-    def run() -> Tuple[State, SolveStats]:
-        uo, vo, po, t, stats = compiled(u, v, p, t0)
+    def run_device():
+        """Device phase only: returns (u, v, p, t, stats) with u/v/p still
+        in the sharded block-concatenated layout.  Timers should bracket
+        THIS (plus a scalar fence) — the reference's stderr protocol times
+        the solver, not the result download (main.cu:1112-1117 fetches the
+        center values after the timer), and over the axon tunnel a bulk
+        host gather costs ~54 ms/MB, which at 512^2 would triple the
+        apparent mg solve time."""
+        return compiled(u, v, p, t0)
+
+    def gather(outs) -> Tuple[State, SolveStats]:
+        uo, vo, po, t, stats = outs
         shape = params.shape
         new_state = State(
             u=jnp.asarray(_gather_blocks(_fetch_blocks(uo), *dims, shape)),
@@ -563,6 +573,11 @@ def compile_sharded_solve(
         )
         return new_state, stats
 
+    def run() -> Tuple[State, SolveStats]:
+        return gather(run_device())
+
+    run.run_device = run_device
+    run.gather = gather
     return run
 
 
