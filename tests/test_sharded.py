@@ -330,6 +330,35 @@ def test_solve_sharded_compiles_once():
     np.testing.assert_array_equal(np.asarray(first.u), np.asarray(second.u))
 
 
+def test_compile_sharded_solve_device_gather_contract():
+    """run() == gather(run_device()): the timed path (device phase only —
+    what bench.py and cli.py bracket, with the host gather excluded per
+    the reference protocol) and the one-call path must return the exact
+    same State, and the device phase must stay in the sharded
+    block-concatenated layout (no hidden host gather inside the timer)."""
+    from navierstokes_parallel_tpu.parallel.sharded import (
+        compile_sharded_solve,
+    )
+
+    prm = _params(T=0.01)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    run = compile_sharded_solve(prm, mesh=mesh)
+    outs = run.run_device()
+    uo = outs[0]
+    # Block layout: per-device blocks concatenated along axis 0, each
+    # carrying its own ghost frame — strictly taller than the global grid.
+    assert uo.shape[0] > prm.i_max + 2
+    assert len(uo.sharding.device_set) == 8
+    st_split, stats_split = run.gather(outs)
+    st_one, stats_one = run()
+    assert st_split.u.shape == (prm.i_max + 2, prm.j_max + 2)
+    np.testing.assert_array_equal(np.asarray(st_split.u), np.asarray(st_one.u))
+    np.testing.assert_array_equal(np.asarray(st_split.v), np.asarray(st_one.v))
+    np.testing.assert_array_equal(np.asarray(st_split.p), np.asarray(st_one.p))
+    assert int(stats_split.steps) == int(stats_one.steps)
+    assert float(st_split.t) == float(st_one.t)
+
+
 def test_solve_gspmd_compiles_once():
     from navierstokes_parallel_tpu.parallel import gspmd
 
