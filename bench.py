@@ -185,7 +185,6 @@ def main(argv=None):
         else:
             sharded_method = "mg" if params.i_max >= 2048 else "rb_sor"
         print(f"pressure solver: {sharded_method} (sharded)", file=sys.stderr)
-        from navierstokes_parallel_tpu.grid import State
         from navierstokes_parallel_tpu.parallel.sharded import (
             compile_sharded_solve,
         )
@@ -197,10 +196,10 @@ def main(argv=None):
             # Device phase only: the host gather of the full state costs
             # ~54 ms/MB over the tunnel and the reference protocol times the
             # solver, not the download (the jnp arm pays no gather either).
-            # The returned State holds block-layout device arrays — sync()
-            # below fetches one scalar from u, which is the fence.
+            # The fence target stays in the sharded block layout — no State
+            # wrapper, which would misrepresent the grid contract.
             uo, vo, po, t, stats = _runner.run_device()
-            return State(u=uo, v=vo, p=po, t=t, n=stats.steps), stats
+            return uo, stats
     elif args.backend == "gspmd":
         from navierstokes_parallel_tpu.parallel.gspmd import solve_gspmd
 
@@ -263,10 +262,12 @@ def main(argv=None):
             def run():
                 return compiled(state)
 
-    def sync(state):
+    def sync(out):
         # On the axon remote platform block_until_ready does not actually
-        # wait; a scalar D2H fetch is the only reliable fence.
-        return float(state.u[state.u.shape[0] // 2, state.u.shape[1] // 2])
+        # wait; a scalar D2H fetch is the only reliable fence.  Accepts a
+        # State or a bare array (the sharded arm fences its block-layout u).
+        from navierstokes_parallel_tpu.utils.timing import device_fence
+        return device_fence(out)
 
     # Warmup (also compiles the sharded path) + hard sync.
     out_state, stats = run()

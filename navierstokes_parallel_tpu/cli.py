@@ -114,6 +114,20 @@ def main(argv=None) -> int:
         print("error: --history-physics requires --history-file",
               file=sys.stderr)
         return 1
+    if args.resume and args.history_file and os.path.exists(args.history_file) \
+            and os.path.getsize(args.history_file) > 0:
+        # Resume appends to the existing CSV; the column set must match or
+        # the rows under the old header would be ragged (corrupting every
+        # consumer, including plot_history).
+        with open(args.history_file) as fh:
+            have = fh.readline().strip()
+        want = _history_columns(args)
+        if have != want:
+            print(f"error: --history-file {args.history_file!r} has columns "
+                  f"[{have}] but this run would append [{want}] — pass the "
+                  f"same --history-physics setting as the original run, or "
+                  f"use a fresh --history-file", file=sys.stderr)
+            return 1
     try:
         params = Params.from_file(args.param_file, **overrides)
     except (OSError, ValueError) as e:
@@ -215,6 +229,15 @@ def main(argv=None) -> int:
             np.asarray(params.T, params.jnp_dtype)):
         return 3  # incomplete: resume from the checkpoint to continue
     return 0
+
+
+def _history_columns(args) -> str:
+    """The --history-file CSV header for this run's flag set (single source
+    of truth for the header write and the resume-append mismatch check)."""
+    cols = "step,t,dt,sor_iterations,res_norm"
+    if getattr(args, "history_physics", False):
+        cols += ",kinetic_energy,enstrophy,max_divergence,psi_min"
+    return cols
 
 
 def _build_runner(params, state, args, pressure_method, host_loop):
@@ -323,10 +346,7 @@ def _run_host_loop(params: Params, stepper, args, mon_fn=None):
     hist_mode = "a" if (args.resume and hist_exists) else "w"
     hist_fh = open(args.history_file, hist_mode) if args.history_file else None
     if hist_fh and hist_mode == "w":
-        cols = "step,t,dt,sor_iterations,res_norm"
-        if mon_fn is not None:
-            cols += ",kinetic_energy,enstrophy,max_divergence,psi_min"
-        hist_fh.write(cols + "\n")
+        hist_fh.write(_history_columns(args) + "\n")
     n_print = max(params.n_print, 1)
     # T in the solver dtype, matching solve()'s on-device cond — keeps the
     # host loop's step count identical to the monolithic path when the
@@ -347,12 +367,25 @@ def _run_host_loop(params: Params, stepper, args, mon_fn=None):
         total_iters += int(diag.sor_iterations)
         failures += 0 if bool(diag.sor_converged) else 1
         last_norm = float(diag.sor_res_norm)
+        # Post-step state is gathered AT MOST ONCE per step and shared by
+        # the physics monitors and the checkpoint write: on the sharded
+        # backends stepper.state() is a full device-to-host block gather
+        # (~54 ms/MB over the axon tunnel — CLAUDE.md), so paying it twice
+        # per step would dominate large-grid runs.
+        post_st = None
+
+        def _post_state():
+            nonlocal post_st
+            if post_st is None:
+                post_st = stepper.state()
+            return post_st
+
         if hist_fh:
             row = (f"{stepper.n},{stepper.t:.8f},"
                    f"{float(diag.dt):.8f},"
                    f"{int(diag.sor_iterations)},{last_norm:.6e}")
             if mon_fn is not None:
-                st = stepper.state()
+                st = _post_state()
                 m = mon_fn(st.u, st.v)
                 row += (f",{float(m.kinetic_energy):.8e}"
                         f",{float(m.enstrophy):.8e}"
@@ -364,7 +397,7 @@ def _run_host_loop(params: Params, stepper, args, mon_fn=None):
                   f" sor_iters={int(diag.sor_iterations)} res={last_norm:.3e}",
                   file=sys.stderr)
         if args.checkpoint_every and steps % args.checkpoint_every == 0:
-            save_checkpoint(args.checkpoint_path, stepper.state())
+            save_checkpoint(args.checkpoint_path, _post_state())
     if hist_fh:
         hist_fh.close()
     stats = SolveStats(

@@ -246,3 +246,35 @@ def test_cli_history_physics_requires_history_file(tmp_path, capsys):
     rc = cli.main([str(cfg), "--history-physics"])
     assert rc == 1
     assert "requires --history-file" in capsys.readouterr().err
+
+
+def test_cli_resume_history_column_mismatch(tmp_path, capsys):
+    """Resuming with a different --history-physics setting must refuse to
+    append: ragged rows under the old header would corrupt the CSV for
+    every consumer (plot_history raises on inhomogeneous rows)."""
+    cfg = tmp_path / "c.in"
+    _write_config(cfg, T=0.3)
+    hist = tmp_path / "hist.csv"
+    ck = tmp_path / "ck.npz"
+    rc = cli.main([str(cfg), "--history-file", str(hist), "--max-steps", "1",
+                   "--checkpoint-every", "1", "--checkpoint-path", str(ck)])
+    assert rc == 3 and ck.exists()
+    capsys.readouterr()
+    before = hist.read_text()
+
+    # 5-column file, resume asks for 9 columns -> clear error, file intact.
+    rc = cli.main([str(cfg), "--history-file", str(hist), "--resume", str(ck),
+                   "--history-physics"])
+    assert rc == 1
+    assert "columns" in capsys.readouterr().err
+    assert hist.read_text() == before
+
+    # Matching flag set still appends (no spurious rejection).
+    rc = cli.main([str(cfg), "--history-file", str(hist), "--resume", str(ck),
+                   "--max-steps", "1", "--checkpoint-every", "1",
+                   "--checkpoint-path", str(ck)])
+    assert rc in (0, 3)
+    capsys.readouterr()
+    lines = hist.read_text().strip().splitlines()
+    assert lines[0] == "step,t,dt,sor_iterations,res_norm"
+    assert len(lines) >= 3  # header + original row + appended row
