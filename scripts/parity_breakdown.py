@@ -62,6 +62,22 @@ def main():
     base = Params.from_file(args.config, dtype="float32")
     n = base.i_max
 
+    # 0. fence latency: scalar D2H fetch of an already-materialized array.
+    # Every end-to-end timing below (and bench.py's headline) includes
+    # exactly one of these; over the axon tunnel it is ~30 ms, which at
+    # 256^2 is a third of the whole parity number.  On directly-attached
+    # TPUs it is microseconds — subtract it to estimate production time.
+    import jax.numpy as jnp
+    x = jnp.zeros((8, 8))
+    jax.device_get(x[0, 0])
+    fences = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.device_get(x[0, 0])
+        fences.append(time.perf_counter() - t0)
+    t_fence = min(fences)
+    print(f"[0] fence latency:   {t_fence * 1e3:7.3f} ms per timed run")
+
     # 1. kernel-only per-sweep rate (reuses the bf16 probe's helper).
     from bf16_probe import per_sweep_rate
     kern = per_sweep_rate(base.replace(sor_refine_every=2048))
