@@ -1,5 +1,5 @@
 """Direct spectral pressure solver (method="fft"): DCT-II diagonalization
-of the Neumann Laplacian, executed as MXU matmuls.
+of the Neumann Laplacian, executed as MXU matmuls or FFT butterflies.
 
 The pressure-Poisson system the reference iterates on with SOR
 (integration.c:129-173) is the constant-coefficient 5-point Laplacian with
@@ -8,12 +8,21 @@ DCT-II cosines  v_k(i) = cos(pi k (i+1/2)/n)  — they satisfy the reflective
 ghost closure v(-1)=v(0), v(n)=v(n-1) exactly — with eigenvalues
 lambda_k = (2 cos(pi k / n) - 2) / dx^2.  So one forward transform, a
 pointwise divide, and one inverse transform solve the system DIRECTLY, to
-rounding error, in O(n^3) MXU flops (the transform is a dense cosine-matrix
-matmul — on TPU that is faster and far more robust than an FFT butterfly
-for these sizes: 2 * 2048^3 * 4 flops ~= 1.4 ms/solve at 2048^2).
+rounding error.
 
-Precision: transforms run in f32 on the MXU (highest-precision matmul
-mode); plugged into the SAME mixed-precision refinement outer as SOR/MG
+Two interchangeable transform routes (bitwise-equivalent math, raced at
+first use on TPU like the >VMEM SOR routes — PREFER_RFFT below):
+
+* "matmul": dense cosine-matrix matmuls on the MXU — O(n^3) flops but
+  MXU flops are nearly free at small n and the lowering is bulletproof.
+* "rfft": Makhoul's O(n^2 log n) evaluation via a real FFT of the
+  even-odd permuted sequence (the standard identity
+  DCT2(x)[k] = 2 Re(e^{-i pi k/2n} FFT(perm(x))[k]); inverse by the
+  conjugate identity).  At 2048^2+ this replaces ~17-137 GFLOP of matmul
+  per 1D transform stage with an O(n^2 log n) butterfly.
+
+Precision: transforms run in f32 (HIGHEST-precision matmuls on the MXU
+route; f32 butterflies on the rfft route); plugged into the SAME mixed-precision refinement outer as SOR/MG
 (ops/sor.py), the f64 defect re-baseline mops up the f32 transform
 rounding, so the exact reference convergence contract
 L2(res) <= eps*(||p0|| + 1.5) is met in 2-3 direct solves per time step —
@@ -52,24 +61,197 @@ def _eigenvalues(n: int, d2_inv: float) -> np.ndarray:
     return ((2.0 * np.cos(np.pi * k / n) - 2.0) * d2_inv).astype(np.float32)
 
 
-def poisson_solve_dct(rhs_int: jax.Array, params: Params) -> jax.Array:
-    """Solve A p = rhs (interior (i_max, j_max), Neumann, zero-mean) in one
-    shot: p = C_i^T [ (C_i rhs C_j^T) / (lam_i + lam_j) ] C_j."""
-    ni, nj = params.i_max, params.j_max
-    f32 = jnp.float32
+# ---------------------------------------------------------------------------
+# rfft transform route (Makhoul): O(n log n) per 1D transform, exact same
+# orthonormal convention as _dct_matrix (validated to machine epsilon for
+# every n, odd sizes included, in tests/test_fft_routes.py).
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle(n: int) -> np.ndarray:
+    """exp(-i pi k / 2n) for k = 0..n//2 (f64 phase, stored complex64)."""
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    return np.exp(-1j * np.pi * k / (2.0 * n)).astype(np.complex64)
+
+
+def _dct2_rfft(x: jax.Array) -> jax.Array:
+    """Orthonormal DCT-II along the last axis via one real FFT."""
+    n = x.shape[-1]
+    v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
+    Z = jnp.asarray(_twiddle(n)) * jnp.fft.rfft(v, axis=-1)
+    head = 2.0 * Z.real                     # k = 0 .. n//2
+    ntail = n - (n // 2 + 1)                # k = n//2+1 .. n-1 (= X[n-k])
+    tail = (-2.0 * Z[..., 1:ntail + 1].imag)[..., ::-1]
+    X = jnp.concatenate([head, tail], axis=-1) * np.float32(
+        np.sqrt(1.0 / (2.0 * n)))
+    return X.at[..., 0].multiply(np.float32(np.sqrt(0.5)))
+
+
+def _idct2_irfft(X: jax.Array) -> jax.Array:
+    """Inverse of _dct2_rfft (orthonormal DCT-III) along the last axis."""
+    n = X.shape[-1]
+    h = (n + 1) // 2
+    m = n // 2 + 1
+    c = X * np.float32(np.sqrt(2.0 * n))
+    c = c.at[..., 0].multiply(np.float32(np.sqrt(2.0)))
+    c_rev = jnp.concatenate(
+        [jnp.zeros_like(c[..., :1]), c[..., ::-1][..., : m - 1]], axis=-1
+    )  # c_rev[k] = c[n-k] for k >= 1
+    V = jnp.conj(jnp.asarray(_twiddle(n))) * (c[..., :m] - 1j * c_rev) * 0.5
+    v = jnp.fft.irfft(V, n=n, axis=-1)
+    head, tail = v[..., :h], v[..., h:][..., ::-1]
+    # Interleave even/odd output slots without scatter: stack + reshape when
+    # n is even; odd n pads the (one-shorter) odd half then trims.
+    if n % 2 == 0:
+        return jnp.stack([head, tail], axis=-1).reshape(*v.shape[:-1], n)
+    tail = jnp.concatenate([tail, jnp.zeros_like(tail[..., :1])], axis=-1)
+    return jnp.stack([head, tail], axis=-1).reshape(
+        *v.shape[:-1], n + 1)[..., :n]
+
+
+def _solve_rfft(rhs_int: jax.Array, lam: jax.Array) -> jax.Array:
+    rhat = _dct2_rfft(jnp.swapaxes(_dct2_rfft(rhs_int), 0, 1))
+    phat = jnp.swapaxes(rhat, 0, 1) / lam
+    phat = phat.at[0, 0].set(0.0)
+    return _idct2_irfft(jnp.swapaxes(_idct2_irfft(
+        jnp.swapaxes(phat, 0, 1)), 0, 1))
+
+
+def _solve_matmul(rhs_int: jax.Array, lam: jax.Array, ni: int,
+                  nj: int) -> jax.Array:
     Ci = jnp.asarray(_dct_matrix(ni))
     Cj = jnp.asarray(_dct_matrix(nj))
-    lam = (
-        jnp.asarray(_eigenvalues(ni, 1.0 / (params.dx * params.dx)))[:, None]
-        + jnp.asarray(_eigenvalues(nj, 1.0 / (params.dy * params.dy)))[None, :]
-    )
     hp = jax.lax.Precision.HIGHEST
-    rhat = jnp.matmul(jnp.matmul(Ci, rhs_int.astype(f32), precision=hp),
+    rhat = jnp.matmul(jnp.matmul(Ci, rhs_int, precision=hp),
                       Cj.T, precision=hp)
-    phat = rhat / jnp.where(lam == 0, 1.0, lam)
+    phat = rhat / lam
     phat = phat.at[0, 0].set(0.0)  # singular constant mode -> zero mean
     return jnp.matmul(jnp.matmul(Ci.T, phat, precision=hp), Cj,
                       precision=hp)
+
+
+# Transform-route control: None = race matmul vs rfft at first use per grid
+# size on TPU (flops heuristic elsewhere); True/False force rfft/matmul.
+# The GSPMD backend (params.disable_pallas) always takes the matmul route —
+# the partitioner has mature sharding rules for dot_general, while an FFT
+# along a sharded axis degenerates to gather-transform-scatter.
+PREFER_RFFT = None
+
+_DCT_ROUTE_CACHE: dict = {}
+
+
+def _pick_transform_route(params: Params) -> str:
+    """'rfft' or 'matmul' for this grid size (raced + disk-cached on TPU)."""
+    if PREFER_RFFT is not None:
+        return "rfft" if PREFER_RFFT else "matmul"
+    if params.disable_pallas:
+        return "matmul"
+    ni, nj = params.i_max, params.j_max
+    key = (ni, nj)
+    if key in _DCT_ROUTE_CACHE:
+        return _DCT_ROUTE_CACHE[key]
+    if jax.default_backend() != "tpu":
+        # CPU: the O(n^3) matmul loses to the butterfly well below 512^2,
+        # but at test sizes either is instant — spare the race.
+        route = "rfft" if max(ni, nj) >= 512 else "matmul"
+        _DCT_ROUTE_CACHE[key] = route
+        return route
+    route = _race_transform_routes(params)
+    _DCT_ROUTE_CACHE[key] = route
+    return route
+
+
+def _race_transform_routes(params: Params) -> str:
+    """AOT-compile both full solves and time them latency-differenced
+    (same discipline as sor_kernel._pick_large_grid_route: the race can
+    fire under an ambient trace, and a single solve is fence-dominated
+    over the axon tunnel)."""
+    import sys
+    import time as _time
+
+    from .pallas.sor_kernel import _load_disk_route_key, _store_disk_route_key
+
+    ni, nj = params.i_max, params.j_max
+    kind = jax.devices()[0].device_kind
+    disk_key = f"dct:{ni}x{nj}:{kind}"
+    cached = _load_disk_route_key(disk_key)
+    if cached in ("rfft", "matmul"):
+        print(f"[fft] DCT route for {ni}x{nj}: {cached} (cached)",
+              file=sys.stderr)
+        return cached
+
+    lam = _lambda_grid(params)
+    spec = jax.ShapeDtypeStruct((ni, nj), jnp.float32)
+
+    def chained(solve):
+        # Chain n_iters solves so the work delta dwarfs dispatch latency.
+        def run(rhs, n_iters):
+            return jax.lax.fori_loop(
+                0, n_iters, lambda _, r: solve(r), rhs)[0, 0]
+        return run
+
+    import numpy as onp
+
+    n_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    try:
+        rfft_c = jax.jit(chained(lambda r: _solve_rfft(r, lam))).lower(
+            spec, n_spec).compile()
+    except Exception as exc:  # FFT unsupported size / lowering failure
+        print(f"[fft] rfft route unavailable for {ni}x{nj}: {exc}",
+              file=sys.stderr)
+        _store_disk_route_key(disk_key, "matmul")
+        return "matmul"
+    mat_c = jax.jit(chained(lambda r: _solve_matmul(r, lam, ni, nj))).lower(
+        spec, n_spec).compile()
+
+    rhs = onp.zeros((ni, nj), onp.float32)
+    n1, n2 = onp.int32(2), onp.int32(12)
+
+    def per_solve(fn):
+        jax.device_get(fn(rhs, n1))
+        jax.device_get(fn(rhs, n2))
+        best = [float("inf"), float("inf")]
+        for _ in range(3):
+            for slot, n in ((0, n1), (1, n2)):
+                t0 = _time.perf_counter()
+                jax.device_get(fn(rhs, n))
+                best[slot] = min(best[slot], _time.perf_counter() - t0)
+        return (best[1] - best[0]) / float(n2 - n1)
+
+    t_rfft = per_solve(rfft_c)
+    t_mat = per_solve(mat_c)
+    if t_rfft <= 0 or t_mat <= 0:
+        # Tunnel stall corrupted a differenced timing: don't persist.
+        route = "rfft" if max(ni, nj) >= 2048 else "matmul"
+        print(f"[fft] DCT race degraded (rfft {t_rfft * 1e3:.3f} / matmul "
+              f"{t_mat * 1e3:.3f} ms/solve) -> {route} (not cached)",
+              file=sys.stderr)
+        return route
+    route = "rfft" if t_rfft < t_mat else "matmul"
+    print(f"[fft] DCT route for {ni}x{nj}: {route} (rfft "
+          f"{t_rfft * 1e3:.3f} vs matmul {t_mat * 1e3:.3f} ms/solve)",
+          file=sys.stderr)
+    _store_disk_route_key(disk_key, route)
+    return route
+
+
+def _lambda_grid(params: Params) -> jax.Array:
+    lam = (
+        jnp.asarray(_eigenvalues(params.i_max, 1.0 / (params.dx * params.dx)))[:, None]
+        + jnp.asarray(_eigenvalues(params.j_max, 1.0 / (params.dy * params.dy)))[None, :]
+    )
+    return jnp.where(lam == 0, 1.0, lam)
+
+
+def poisson_solve_dct(rhs_int: jax.Array, params: Params) -> jax.Array:
+    """Solve A p = rhs (interior (i_max, j_max), Neumann, zero-mean) in one
+    shot: p = C_i^T [ (C_i rhs C_j^T) / (lam_i + lam_j) ] C_j, with the
+    transforms evaluated by whichever route won the race for this size."""
+    lam = _lambda_grid(params)
+    rhs32 = rhs_int.astype(jnp.float32)
+    if _pick_transform_route(params) == "rfft":
+        return _solve_rfft(rhs32, lam)
+    return _solve_matmul(rhs32, lam, params.i_max, params.j_max)
 
 
 def inner_direct(rhs_neg_full: jax.Array, _n_sweeps, params: Params):

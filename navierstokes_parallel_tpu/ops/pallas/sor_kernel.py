@@ -530,20 +530,21 @@ def _disk_route_key(params: Params) -> str:
     return f"{params.shape[0]}x{params.shape[1]}:{params.sor_inner_dtype}:{kind}"
 
 
-def _load_disk_route(params: Params):
+def _load_disk_route_key(key: str):
+    """Generic route-cache lookup (also used by ops/fft.py's DCT race)."""
     import json
     import os
 
     try:
         if os.path.exists(ROUTE_CACHE_PATH):
             with open(ROUTE_CACHE_PATH) as fh:
-                return json.load(fh).get(_disk_route_key(params))
+                return json.load(fh).get(key)
     except (OSError, ValueError):  # unreadable/corrupt cache: just re-race
         pass
     return None
 
 
-def _store_disk_route(params: Params, route: str) -> None:
+def _store_disk_route_key(key: str, route: str) -> None:
     import json
     import os
 
@@ -554,12 +555,20 @@ def _store_disk_route(params: Params, route: str) -> None:
                 data = json.load(fh)
     except (OSError, ValueError):
         data = {}  # corrupt/unreadable cache: overwrite with fresh data
-    data[_disk_route_key(params)] = route
+    data[key] = route
     try:
         with open(ROUTE_CACHE_PATH, "w") as fh:
             json.dump(data, fh, indent=0)
     except OSError:  # read-only cwd etc.: cache stays in-memory
         pass
+
+
+def _load_disk_route(params: Params):
+    return _load_disk_route_key(_disk_route_key(params))
+
+
+def _store_disk_route(params: Params, route: str) -> None:
+    _store_disk_route_key(_disk_route_key(params), route)
 
 
 def _pick_large_grid_route(params: Params) -> str:

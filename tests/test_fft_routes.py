@@ -1,0 +1,109 @@
+"""The two DCT transform routes (matmul vs rfft) are the same math.
+
+The rfft route is Makhoul's O(n log n) DCT-II evaluation (ops/fft.py);
+these tests pin it bitwise-close to the dense cosine-matrix route for even,
+odd, and non-square sizes, and check the route-selection knobs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokes_parallel_tpu.config import Params
+from navierstokes_parallel_tpu.ops import fft as fftmod
+from navierstokes_parallel_tpu.ops import sor
+
+
+@pytest.mark.parametrize("n", [4, 5, 16, 17, 32, 33, 64])
+def test_dct2_rfft_matches_matrix(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    C = fftmod._dct_matrix(n)
+    ref = x @ C.T
+    got = np.asarray(fftmod._dct2_rfft(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=2e-5 * np.sqrt(n))
+
+
+@pytest.mark.parametrize("n", [4, 5, 16, 17, 32, 33, 64])
+def test_idct2_irfft_roundtrip(n):
+    rng = np.random.default_rng(100 + n)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    back = np.asarray(fftmod._idct2_irfft(fftmod._dct2_rfft(jnp.asarray(x))))
+    np.testing.assert_allclose(back, x, atol=3e-6 * np.sqrt(n))
+
+
+@pytest.mark.parametrize("ni,nj", [(32, 32), (33, 32), (48, 24), (17, 17)])
+def test_solve_routes_agree(ni, nj):
+    """Full Poisson solve: rfft route == matmul route to f32 tolerance,
+    including odd and non-square interiors."""
+    params = Params(problem=1, i_max=ni, j_max=nj, T=0.05, Re=100.0,
+                    tau=0.5, omega=1.7, epsilon=1e-4, max_it=50,
+                    dtype="float32")
+    rng = np.random.default_rng(7)
+    rhs = rng.standard_normal((ni, nj)).astype(np.float32)
+    rhs -= rhs.mean()
+    lam = fftmod._lambda_grid(params)
+    p_mat = np.asarray(fftmod._solve_matmul(jnp.asarray(rhs), lam, ni, nj))
+    p_fft = np.asarray(fftmod._solve_rfft(jnp.asarray(rhs), lam))
+    scale = np.abs(p_mat).max() + 1e-30
+    np.testing.assert_allclose(p_fft / scale, p_mat / scale, atol=5e-5)
+
+
+def test_route_knob_forces_route(monkeypatch):
+    params = Params(problem=1, i_max=16, j_max=16, T=0.05, Re=100.0,
+                    tau=0.5, omega=1.7, epsilon=1e-4, max_it=50,
+                    dtype="float32")
+    monkeypatch.setattr(fftmod, "PREFER_RFFT", True)
+    assert fftmod._pick_transform_route(params) == "rfft"
+    monkeypatch.setattr(fftmod, "PREFER_RFFT", False)
+    assert fftmod._pick_transform_route(params) == "matmul"
+
+
+def test_route_auto_cpu_heuristic(monkeypatch):
+    monkeypatch.setattr(fftmod, "PREFER_RFFT", None)
+    monkeypatch.setattr(fftmod, "_DCT_ROUTE_CACHE", {})
+    small = Params(problem=1, i_max=16, j_max=16, T=0.05, Re=100.0, tau=0.5,
+                   omega=1.7, epsilon=1e-4, max_it=50, dtype="float32")
+    big = small.replace(i_max=512, j_max=512)
+    assert jax.default_backend() != "tpu"
+    assert fftmod._pick_transform_route(small) == "matmul"
+    assert fftmod._pick_transform_route(big) == "rfft"
+
+
+def test_gspmd_stays_on_matmul(monkeypatch):
+    """disable_pallas (the GSPMD backend) must keep the partitionable
+    matmul transforms even when auto would pick rfft."""
+    monkeypatch.setattr(fftmod, "PREFER_RFFT", None)
+    monkeypatch.setattr(fftmod, "_DCT_ROUTE_CACHE", {})
+    p = Params(problem=1, i_max=512, j_max=512, T=0.05, Re=100.0, tau=0.5,
+               omega=1.7, epsilon=1e-4, max_it=50, dtype="float32",
+               disable_pallas=True)
+    assert fftmod._pick_transform_route(p) == "matmul"
+
+
+def test_solve_pressure_fft_rfft_route(monkeypatch):
+    """method='fft' through the refinement outer, forced onto the rfft
+    route: converges in a handful of direct solves and matches the matmul
+    route's pressure gradient."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs x64 for the f64 refinement master")
+    params = Params(problem=1, i_max=33, j_max=33, T=0.05, Re=100.0,
+                    tau=0.5, omega=1.7, epsilon=1e-4, max_it=50,
+                    dtype="float32")
+    rng = np.random.default_rng(3)
+    rhs = np.zeros(params.shape, np.float32)
+    r = rng.standard_normal((33, 33)).astype(np.float32)
+    rhs[1:-1, 1:-1] = r - r.mean()
+    p0 = jnp.zeros(params.shape, jnp.float32)
+
+    monkeypatch.setattr(fftmod, "PREFER_RFFT", True)
+    res_fft = sor.solve_pressure(p0, jnp.asarray(rhs), params, method="fft")
+    assert bool(res_fft.converged)
+    assert int(res_fft.iterations) <= 5
+
+    monkeypatch.setattr(fftmod, "PREFER_RFFT", False)
+    res_mat = sor.solve_pressure(p0, jnp.asarray(rhs), params, method="fft")
+    gx_f = np.diff(np.asarray(res_fft.p), axis=0)
+    gx_m = np.diff(np.asarray(res_mat.p), axis=0)
+    np.testing.assert_allclose(gx_f, gx_m, atol=5e-5)
