@@ -169,18 +169,12 @@ def main(argv=None):
         return _bench_ensemble(params, args)
 
     if args.backend == "sharded":
-        # Honor --method: auto matches the single-chip size policy (fft is
-        # single-chip-only, so large-grid auto takes mg — converging and far
-        # faster than rb_sor there); pallas_sor runs the per-shard VMEM
-        # kernel inside the communication-avoiding deep-halo inner.
-        if args.method == "fft":
-            # Screen unsupported combinations here like the gspmd arm does,
-            # instead of letting solve_pressure raise from inside shard_map
-            # tracing with a bare traceback.
-            print("warning: fft is single-chip only; sharded backend "
-                  "using mg", file=sys.stderr)
-            sharded_method = "mg"
-        elif args.method != "auto":
+        # Honor --method: auto takes mg at 2048^2+ (converging and far
+        # faster than rb_sor there); fft runs the pencil-decomposed
+        # all_to_all DCT (ops/fft.py::make_sharded_inner, divisible grids);
+        # pallas_sor runs the per-shard VMEM kernel inside the
+        # communication-avoiding deep-halo inner.
+        if args.method != "auto":
             sharded_method = args.method
         else:
             sharded_method = "mg" if params.i_max >= 2048 else "rb_sor"

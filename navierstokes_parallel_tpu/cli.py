@@ -247,7 +247,7 @@ def _build_runner(params, state, args, pressure_method, host_loop):
         from .parallel import sharded
         method = pressure_method
         if method not in ("rb_sor", "rb_sor_sync", "jacobi", "mg", "cg",
-                          "pallas_sor"):
+                          "fft", "pallas_sor"):
             print(f"warning: --backend sharded does not support pressure "
                   f"method {method!r}; using rb_sor (hint: --backend gspmd "
                   f"runs every jnp method multi-chip, including {method!r})",

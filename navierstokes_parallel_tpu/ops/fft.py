@@ -254,6 +254,94 @@ def poisson_solve_dct(rhs_int: jax.Array, params: Params) -> jax.Array:
     return _solve_matmul(rhs32, lam, params.i_max, params.j_max)
 
 
+def make_sharded_inner(params: Params, li: int, lj: int):
+    """Multi-chip direct DCT solve on block-sharded interiors: the classic
+    pencil decomposition, TPU edition — `lax.all_to_all` transposes over the
+    ("x", "y") mesh re-layout the grid so every 1D transform is local, then
+    the eigenvalue divide runs in the i-pencil layout where each shard's
+    global mode indices are known statically-per-shard.
+
+    Data movement per solve: 6 tiled all_to_alls (j-pencil out/back, i-pencil
+    out/back, inverse j-pencil out/back), each moving one interior's worth of
+    bytes across ICI — vs the gather-everything alternative's px*py-fold
+    replication.  Compute per shard is 1/(px*py) of the single-chip solve.
+
+    Constraints (checked at trace time): the interior must divide evenly
+    over the mesh (like sharded mg), and each local block must split across
+    the OTHER mesh axis (li % py == 0, lj % px == 0) so pencils tile.
+
+    Plugged into the same f64 refinement outer as the single-chip fft route
+    (ops/sor.py), preserving the exact reference convergence contract;
+    `iterations` counts direct solves, matching single-chip fft exactly."""
+    ni, nj = params.i_max, params.j_max
+    px, py = ni // li, nj // lj
+    if px * li != ni or py * lj != nj:
+        raise ValueError(
+            f"sharded fft requires an evenly-divisible grid; {ni}x{nj} "
+            f"does not tile into {li}x{lj} blocks")
+    if li % py != 0 or lj % px != 0:
+        raise ValueError(
+            f"sharded fft pencil decomposition needs li % py == 0 and "
+            f"lj % px == 0; got blocks {li}x{lj} on a {px}x{py} mesh")
+    lam_i = jnp.asarray(_eigenvalues(ni, 1.0 / (params.dx * params.dx)))
+    lam_j = jnp.asarray(_eigenvalues(nj, 1.0 / (params.dy * params.dy)))
+    lj_loc = lj // px
+
+    # Route: PREFER_RFFT if forced, else the flops heuristic on the GLOBAL
+    # transform length (no race: per-shard pencil shapes are not the
+    # single-chip shapes the race would measure).
+    if PREFER_RFFT is None:
+        use_rfft = max(ni, nj) >= 512
+    else:
+        use_rfft = bool(PREFER_RFFT)
+
+    def fwd_last(x, n):
+        if use_rfft:
+            return _dct2_rfft(x)
+        C = jnp.asarray(_dct_matrix(n))
+        return jnp.matmul(x, C.T, precision=jax.lax.Precision.HIGHEST)
+
+    def inv_last(x, n):
+        if use_rfft:
+            return _idct2_irfft(x)
+        C = jnp.asarray(_dct_matrix(n))
+        return jnp.matmul(x, C, precision=jax.lax.Precision.HIGHEST)
+
+    from jax import lax
+
+    def inner_fn(rhs_neg_full: jax.Array, _n_sweeps) -> jax.Array:
+        r = rhs_neg_full[1:-1, 1:-1].astype(jnp.float32)  # (li, lj)
+        # Forward transform along j: j-pencils (li//py, nj), rows stay rows.
+        xj = lax.all_to_all(r, "y", split_axis=0, concat_axis=1, tiled=True)
+        xj = fwd_last(xj, nj)
+        r = lax.all_to_all(xj, "y", split_axis=1, concat_axis=0, tiled=True)
+        # Forward transform along i: i-pencils (ni, lj//px), columns are the
+        # shard's j-mode slice at global offset qj = ay*lj + ax*(lj//px).
+        xi = lax.all_to_all(r, "x", split_axis=1, concat_axis=0, tiled=True)
+        xi = fwd_last(xi.T, ni).T
+        ax = lax.axis_index("x")
+        ay = lax.axis_index("y")
+        qj = ay * lj + ax * lj_loc
+        lam_j_loc = lax.dynamic_slice(lam_j, (qj,), (lj_loc,))
+        lam = lam_i[:, None] + lam_j_loc[None, :]
+        xi = xi / jnp.where(lam == 0, 1.0, lam)
+        # Zero the singular (0, 0) constant mode wherever it lives.
+        ki = lax.broadcasted_iota(jnp.int32, xi.shape, 0)
+        kj = lax.broadcasted_iota(jnp.int32, xi.shape, 1) + qj
+        xi = jnp.where((ki == 0) & (kj == 0), 0.0, xi)
+        # Inverse transform along i, back to blocks.
+        xi = inv_last(xi.T, ni).T
+        r = lax.all_to_all(xi, "x", split_axis=0, concat_axis=1, tiled=True)
+        # Inverse transform along j.
+        xj = lax.all_to_all(r, "y", split_axis=0, concat_axis=1, tiled=True)
+        xj = inv_last(xj, nj)
+        d = lax.all_to_all(xj, "y", split_axis=1, concat_axis=0, tiled=True)
+        return jnp.zeros(rhs_neg_full.shape, jnp.float32).at[
+            1:-1, 1:-1].set(d)
+
+    return inner_fn
+
+
 def inner_direct(rhs_neg_full: jax.Array, _n_sweeps, params: Params):
     """Refinement-inner hook: one direct solve of A delta = rhs_neg
     (the sweep count is irrelevant — the solve is exact to f32 rounding)."""

@@ -189,9 +189,13 @@ def solve_pressure(
         # Direct DCT-II spectral solve on the MXU (ops/fft.py): one
         # transform-divide-transform per f64 defect check; `iterations`
         # counts direct solves (typically 2-3 to meet the contract).
-        # Single-chip only (the transforms are global matmuls).
+        # The transforms here are global; the sharded backend plugs the
+        # pencil-decomposed variant (fft.make_sharded_inner) into the
+        # refinement outer directly (parallel/sharded.py).
         if hooks:
-            raise ValueError("fft is single-chip only (got shard hooks)")
+            raise ValueError(
+                "fft via solve_pressure is single-chip; the sharded backend "
+                "uses ops.fft.make_sharded_inner (parallel/sharded.py)")
         if not jax.config.jax_enable_x64:
             raise ValueError("fft requires x64 for the f64 master")
         return _solve_pressure_refined(

@@ -219,6 +219,22 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             parity=(ox + oy) % 2,
             inner_fn=mgmod.make_sharded_inner(params, li, lj),
         )
+    elif pressure_method == "fft":
+        # Sharded spectral: pencil-decomposed DCT direct solves — 6 tiled
+        # all_to_all transposes re-layout the grid so every 1D transform is
+        # shard-local (ops/fft.py::make_sharded_inner) — inside the same
+        # f64 refinement outer with psum'd defect norms.  Divisible grids
+        # only (pencils must tile).
+        from ..ops import fft as fftmod
+
+        result = sor._solve_pressure_refined(
+            p, rhs, params.replace(sor_refine_every=1),
+            method="rb_sor",
+            ghost_fn=ghost_fn,
+            l2_fn=l2_fn,
+            parity=(ox + oy) % 2,
+            inner_fn=fftmod.make_sharded_inner(params, li, lj),
+        )
     elif pressure_method == "cg":
         # Sharded conjugate gradient: ppermute-halo Laplacian, psum'd dots
         # (ops/mg.py::make_sharded_cg_inner); restarted every K iterations
@@ -392,11 +408,16 @@ def _check_method(params: Params, mesh: Mesh, pressure_method: str):
     px, py = mesh.devices.shape
     li, lj = local_block_dims((px, py), params.i_max, params.j_max)
     padded = (px * li != params.i_max) or (py * lj != params.j_max)
-    if pressure_method == "mg" and padded:
+    if pressure_method in ("mg", "fft") and padded:
         raise ValueError(
-            f"sharded multigrid requires an evenly-divisible grid; "
+            f"sharded {pressure_method} requires an evenly-divisible grid; "
             f"{params.i_max}x{params.j_max} over a {px}x{py} mesh pads to "
             f"{px * li}x{py * lj} — use pressure_method='rb_sor'"
+        )
+    if pressure_method == "fft" and (li % py != 0 or lj % px != 0):
+        raise ValueError(
+            f"sharded fft pencils must tile: blocks {li}x{lj} on a "
+            f"{px}x{py} mesh need li % py == 0 and lj % px == 0"
         )
     return px, py, li, lj
 
