@@ -39,6 +39,14 @@ state, stats = solve_sharded(params, mesh=mesh)
 i_c = params.i_max // 2
 print(f"RESULT {pid} steps={int(stats.steps)} "
       f"u_center={float(state.u[i_c, i_c]):.10f}", flush=True)
+
+# Second method family over the SAME two-process mesh: the pencil-
+# decomposed spectral solve (all_to_all collectives cross the process
+# boundary here — the only place that is exercised).
+fstate, fstats = solve_sharded(params, mesh=mesh, pressure_method="fft")
+assert int(fstats.sor_failures) == 0
+print(f"RESULTF {pid} u_center_fft={float(fstate.u[i_c, i_c]):.10f}",
+      flush=True)
 """
 
 
@@ -75,11 +83,15 @@ def test_two_process_distributed_solve():
         # Both processes must agree with each other and with the
         # single-process solve.
         vals = {}
+        fvals = {}
         for out, _ in outs:
-            line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
             pid = int(line.split()[1])
             vals[pid] = float(line.split("u_center=")[1])
-        assert len(vals) == 2
+            fline = [l for l in out.splitlines() if l.startswith("RESULTF")][0]
+            fvals[int(fline.split()[1])] = float(
+                fline.split("u_center_fft=")[1])
+        assert len(vals) == 2 and len(fvals) == 2
 
         from navierstokes_parallel_tpu import solve
         from navierstokes_parallel_tpu.config import Params
@@ -91,6 +103,10 @@ def test_two_process_distributed_solve():
         want = float(single.u[8, 8])
         np.testing.assert_allclose(vals[0], vals[1], atol=1e-12)
         np.testing.assert_allclose(vals[0], want, atol=1e-5)
+        # fft solves the same steps under the same contract: both processes
+        # bit-agree, and the solution matches rb_sor's within the contract.
+        np.testing.assert_allclose(fvals[0], fvals[1], atol=1e-12)
+        np.testing.assert_allclose(fvals[0], want, atol=1e-4)
     finally:
         # Reap workers on any failure path: a deadlocked distributed pair
         # would otherwise outlive the test holding the coordinator port.
