@@ -81,6 +81,22 @@ def test_ensemble_mg(params):
     assert np.isfinite(np.asarray(out.u)).all()
 
 
+def test_ensemble_fft(params):
+    """The spectral direct solve batches too (vmapped transform + divide);
+    each member must match its own solo fft solve exactly."""
+    from navierstokes_parallel_tpu.solver import solve
+
+    prm = params.replace(dtype="float32")
+    members = _members(prm, 2)
+    out, stats = solve_ensemble(prm, stack_states(members),
+                                pressure_method="fft")
+    assert int(stats.sor_failures[0]) == 0
+    solo, _ = solve(prm.replace(disable_pallas=True), members[0],
+                    pressure_method="fft")
+    np.testing.assert_allclose(np.asarray(out.u[0]), np.asarray(solo.u),
+                               atol=1e-6)
+
+
 def test_ensemble_data_parallel_mesh(params):
     """Data-parallel ensemble: 8 members sharded over the 8-device mesh,
     results identical to the unsharded batch and per-member stats intact."""
