@@ -129,6 +129,9 @@ def main(argv=None):
                          "solve (fft) at 2048^2+ where plain SOR is "
                          "impractical (and the reference itself never "
                          "converges)")
+    ap.add_argument("--mesh", default=None, metavar="PxQ",
+                    help="device mesh shape for --backend sharded/gspmd "
+                         "(e.g. 2x4; default auto)")
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--ensemble", type=int, default=0,
                     help="N > 0: benchmark solver.solve_ensemble with N "
@@ -183,7 +186,10 @@ def main(argv=None):
             compile_sharded_solve,
         )
 
+        from navierstokes_parallel_tpu.cli import parse_mesh_arg
+
         _runner = compile_sharded_solve(params, state,
+                                        parse_mesh_arg(args.mesh),
                                         pressure_method=sharded_method)
 
         def run():
@@ -210,7 +216,10 @@ def main(argv=None):
         print(f"pressure solver: {gspmd_method} (gspmd)", file=sys.stderr)
 
         def run():
-            return solve_gspmd(params, state, pressure_method=gspmd_method)
+            from navierstokes_parallel_tpu.cli import parse_mesh_arg
+
+            return solve_gspmd(params, state, parse_mesh_arg(args.mesh),
+                               pressure_method=gspmd_method)
     else:
         if args.method != "auto":
             method = args.method

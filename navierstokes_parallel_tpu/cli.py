@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "= sharded backend's legacy exchange-per-half-sweep "
                          "path, for comparison with the default deep-halo "
                          "communication-avoiding inner)")
+    ap.add_argument("--mesh", default=None, metavar="PxQ",
+                    help="device mesh shape for the sharded/gspmd backends, "
+                         "e.g. 2x4 (default: auto — pad-optimal for sharded, "
+                         "near-square for gspmd).  gspmd rejects 1xN/Nx1 "
+                         "shapes (XLA partitioner miscompilation, "
+                         "docs/parallelism.md)")
     ap.add_argument("--dtype", choices=["float32", "float64"], default=None,
                     help="override dtype (default: config / float32)")
     ap.add_argument("--refine-every", type=int, default=None,
@@ -240,9 +246,38 @@ def _history_columns(args) -> str:
     return cols
 
 
+def parse_mesh_arg(spec):
+    """'PxQ' -> a 2D ("x","y") Mesh over the first P*Q visible devices;
+    None -> None (backends pick their own default)."""
+    if spec is None:
+        return None
+    import numpy as np
+
+    from .parallel.topology import MESH_AXES
+
+    try:
+        px, py = (int(tok) for tok in spec.lower().split("x"))
+        if px < 1 or py < 1:
+            raise ValueError
+    except ValueError:
+        raise ValueError(f"--mesh expects PxQ (e.g. 2x4), got {spec!r}")
+    devs = jax.devices()
+    if px * py > len(devs):
+        raise ValueError(
+            f"--mesh {px}x{py} needs {px * py} devices, "
+            f"{len(devs)} visible")
+    return jax.sharding.Mesh(
+        np.asarray(devs[: px * py]).reshape(px, py), MESH_AXES)
+
+
 def _build_runner(params, state, args, pressure_method, host_loop):
     """Construct (and AOT-warm) the backend's solve callable.  Raises
     ValueError for invalid backend/method combinations."""
+    mesh = parse_mesh_arg(args.mesh)
+    if mesh is not None and args.backend not in ("sharded", "gspmd"):
+        raise ValueError(
+            f"--mesh applies to the sharded/gspmd backends, not "
+            f"{args.backend!r}")
     if args.backend == "sharded":
         from .parallel import sharded
         method = pressure_method
@@ -254,22 +289,22 @@ def _build_runner(params, state, args, pressure_method, host_loop):
                   file=sys.stderr)
             method = "rb_sor"
         if host_loop:
-            stepper = sharded.ShardedStepper(params, state,
+            stepper = sharded.ShardedStepper(params, state, mesh=mesh,
                                              pressure_method=method)
             stepper.warm()
             mon_fn = _make_monitor_fn(params, state, args)
             return lambda: _run_host_loop(params, stepper, args, mon_fn)
-        return sharded.compile_sharded_solve(params, state,
+        return sharded.compile_sharded_solve(params, state, mesh,
                                              pressure_method=method)
     if args.backend == "gspmd":
         from .parallel import gspmd
         if host_loop:
-            stepper = gspmd.GspmdStepper(params, state,
+            stepper = gspmd.GspmdStepper(params, state, mesh=mesh,
                                          pressure_method=pressure_method)
             stepper.warm()
             mon_fn = _make_monitor_fn(params, state, args)
             return lambda: _run_host_loop(params, stepper, args, mon_fn)
-        return gspmd.compile_gspmd_solve(params, state,
+        return gspmd.compile_gspmd_solve(params, state, mesh,
                                          pressure_method=pressure_method)
     if host_loop:
         stepper = _SingleChipStepper(params, state, pressure_method)

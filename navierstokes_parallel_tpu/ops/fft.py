@@ -141,11 +141,15 @@ _DCT_ROUTE_CACHE: dict = {}
 
 
 def _pick_transform_route(params: Params) -> str:
-    """'rfft' or 'matmul' for this grid size (raced + disk-cached on TPU)."""
-    if PREFER_RFFT is not None:
-        return "rfft" if PREFER_RFFT else "matmul"
+    """'rfft' or 'matmul' for this grid size (raced + disk-cached on TPU).
+
+    The GSPMD pin (disable_pallas) takes precedence over PREFER_RFFT: an
+    FFT along a sharded axis degenerates to gather-transform-scatter under
+    the partitioner, so forcing rfft there would be a trap, not a knob."""
     if params.disable_pallas:
         return "matmul"
+    if PREFER_RFFT is not None:
+        return "rfft" if PREFER_RFFT else "matmul"
     ni, nj = params.i_max, params.j_max
     key = (ni, nj)
     if key in _DCT_ROUTE_CACHE:
@@ -197,9 +201,12 @@ def _race_transform_routes(params: Params) -> str:
         rfft_c = jax.jit(chained(lambda r: _solve_rfft(r, lam))).lower(
             spec, n_spec).compile()
     except Exception as exc:  # FFT unsupported size / lowering failure
-        print(f"[fft] rfft route unavailable for {ni}x{nj}: {exc}",
-              file=sys.stderr)
-        _store_disk_route_key(disk_key, "matmul")
+        # Do NOT persist: a transient remote-compile failure (the tunnel's
+        # compile service degrades sporadically, CLAUDE.md) must not pin
+        # the O(n^3) route onto every future healthy session — same
+        # discipline as the degraded-timing branch below.
+        print(f"[fft] rfft route unavailable for {ni}x{nj}: {exc} "
+              "-> matmul (not cached)", file=sys.stderr)
         return "matmul"
     mat_c = jax.jit(chained(lambda r: _solve_matmul(r, lam, ni, nj))).lower(
         spec, n_spec).compile()

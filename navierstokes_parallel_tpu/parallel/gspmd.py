@@ -45,7 +45,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Params
 from ..grid import State, allocate_state
 from ..solver import SolveStats, StepDiagnostics, _solve_on_device, step
-from .topology import MESH_AXES, make_grid_mesh
+from .topology import MESH_AXES, choose_mesh_shape_square
+
+
+def _default_mesh() -> Mesh:
+    """Near-square mesh over all devices (both axes > 1 when possible —
+    see _check_mesh; grid divisibility is irrelevant here, gspmd pads)."""
+    devs = jax.devices()
+    px, py = choose_mesh_shape_square(len(devs))
+    return Mesh(np.asarray(devs).reshape(px, py), MESH_AXES)
 
 # Every jnp-expressible pressure method; pallas_sor is excluded by design
 # (see module docstring).
@@ -58,6 +66,26 @@ def _check_method(pressure_method: str) -> None:
             f"gspmd backend supports pressure methods {GSPMD_METHODS}, "
             f"got {pressure_method!r} (the Pallas kernels are opaque to the "
             f"SPMD partitioner)"
+        )
+
+
+def _check_mesh(mesh: Mesh) -> None:
+    """Reject meshes with one trivial axis: XLA's SPMD partitioner
+    MISCOMPILES composed boundary slice updates on (1,N)/(N,1) meshes —
+    `p.at[0,1:-1].set(...).at[1:-1,0].set(...)` returns wrong VALUES, not
+    an error (verified jax 0.9.0, CPU backend; minimal repro pinned as a
+    canary in tests/test_gspmd.py so the guard is lifted when upstream
+    fixes it).  Every method diverged or went NaN on such meshes.  The
+    manual sharded backend is unaffected (its shard_map blocks never cross
+    that partitioner path) and handles 1D meshes correctly."""
+    px, py = mesh.devices.shape
+    if mesh.devices.size > 1 and min(px, py) == 1:
+        raise ValueError(
+            f"gspmd backend rejects the {px}x{py} mesh: XLA's SPMD "
+            "partitioner miscompiles boundary slice-update compositions "
+            "when one mesh axis is trivial (silently wrong results). "
+            "Use a 2D factorization (topology.choose_mesh_shape_square) "
+            "or --backend sharded, which is correct on 1D meshes."
         )
 
 
@@ -218,7 +246,8 @@ def compile_gspmd_solve(
     if state is None:
         state = allocate_state(params)
     if mesh is None:
-        mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
+        mesh = _default_mesh()
+    _check_mesh(mesh)
     placed = place_state(state, mesh)
     # Cache the AOT executable: .lower().compile() bypasses jit's call
     # cache, so without this every solve_gspmd call would re-trace and
@@ -264,7 +293,8 @@ class GspmdStepper:
         _check_method(pressure_method)
         params = params.replace(disable_pallas=True)
         if mesh is None:
-            mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
+            mesh = _default_mesh()
+        _check_mesh(mesh)
         self.params = params
         self.mesh = mesh
         self._fn = _make_step(params, mesh, pressure_method)

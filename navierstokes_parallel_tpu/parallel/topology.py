@@ -64,6 +64,22 @@ def choose_mesh_shape_padded(
     return best[1]
 
 
+def choose_mesh_shape_square(n_devices: int) -> Tuple[int, int]:
+    """Nearest-square (px, py) with px*py == n_devices and, whenever the
+    device count allows it, BOTH axes > 1.  The GSPMD backend requires
+    this: XLA's SPMD partitioner miscompiles composed boundary slice
+    updates on (1,N)/(N,1) meshes (see gspmd._check_mesh).  Raises for
+    prime n_devices > 2 (only trivial-axis factorizations exist)."""
+    for px, py in _factor_pairs(n_devices):
+        if min(px, py) > 1 or n_devices == 1:
+            return px, py
+    raise ValueError(
+        f"{n_devices} devices admit only 1x{n_devices} meshes (prime count); "
+        "the gspmd backend needs both mesh axes > 1 — use a composite "
+        "device count or the manual sharded backend"
+    )
+
+
 def local_block_dims(
     mesh_shape: Tuple[int, int], i_max: int, j_max: int
 ) -> Tuple[int, int]:

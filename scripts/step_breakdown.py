@@ -46,8 +46,10 @@ def chained_ms(fn, arg_specs, args, n1=4, n2=24, repeats=3):
     n_spec = jax.ShapeDtypeStruct((), jnp.int32)
     compiled = jax.jit(run).lower(n_spec, *arg_specs).compile()
 
+    from navierstokes_parallel_tpu.utils.timing import device_fence
+
     def fence(out):
-        jax.device_get(out.ravel()[0])
+        device_fence(out)
 
     fence(compiled(np.int32(n1), *args))
     fence(compiled(np.int32(n2), *args))
@@ -157,7 +159,12 @@ def main():
     bestB = min([tB] + [timed_steps(nB)[0] for _ in range(args.repeats - 1)])
     tA, stepsA, solvesA = timed_steps(nA)
     bestA = min(bestA, tA)
-    step_ms = (bestA - bestB) / max(1, stepsA - stepsB) * 1e3
+    if stepsA == stepsB:
+        print(f"[4] end-to-end step:  n/a — both segments ran {stepsA} "
+              f"steps (T-capped or --steps too small); raise T or --steps",
+              file=sys.stderr)
+        return
+    step_ms = (bestA - bestB) / (stepsA - stepsB) * 1e3
     solves_per_step = solvesA / max(1, stepsA)
     print(f"[4] end-to-end step:  {step_ms:8.3f} ms/step "
           f"({solves_per_step:.2f} solves/step; A: {stepsA} steps "

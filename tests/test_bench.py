@@ -68,3 +68,24 @@ def test_ensemble_arm(tiny_config, capsys):
     assert "ensemble2" in res["metric"]
     assert res["unit"] == "s"
     assert res["vs_baseline"] is not None
+
+
+def test_sharded_arm_runs_fft(tiny_config, capsys):
+    """--backend sharded --method fft runs the pencil-decomposed spectral
+    solve: the stderr names it and the iteration count is direct-solve
+    scale (a few per step), not sweep scale."""
+    res, err = _run(
+        ["--config", tiny_config, "--backend", "sharded", "--method", "fft"],
+        capsys)
+    assert "pressure solver: fft (sharded)" in err
+    for tok in err.split():
+        if tok.startswith("sor_iterations="):
+            iters = int(tok.split("=")[1])
+            break
+    else:
+        raise AssertionError(f"no sor_iterations in {err!r}")
+    for tok in err.split():
+        if tok.startswith("steps="):
+            steps = int(tok.split("=")[1])
+            break
+    assert iters <= 8 * steps, f"{iters} solves over {steps} steps"

@@ -278,3 +278,27 @@ def test_cli_resume_history_column_mismatch(tmp_path, capsys):
     lines = hist.read_text().strip().splitlines()
     assert lines[0] == "step,t,dt,sor_iterations,res_norm"
     assert len(lines) >= 3  # header + original row + appended row
+
+
+def test_cli_mesh_flag(tmp_path, capsys):
+    """--mesh PxQ pins the device mesh for the sharded backend; invalid
+    specs and non-sharded backends error clearly."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    cfg = tmp_path / "cfg.in"
+    _write_config(cfg, i_max=16, j_max=16)
+    rc = cli.main([str(cfg), "--backend", "sharded", "--mesh", "4x2",
+                   "--stats"])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert "U-CENTER" in out.out
+
+    with pytest.raises(ValueError, match="PxQ"):
+        cli.parse_mesh_arg("banana")
+    with pytest.raises(ValueError, match="devices"):
+        cli.parse_mesh_arg("64x64")
+
+    rc = cli.main([str(cfg), "--backend", "jnp", "--mesh", "2x4"])
+    assert rc != 0 or "mesh" in capsys.readouterr().err

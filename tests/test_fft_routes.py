@@ -73,12 +73,16 @@ def test_route_auto_cpu_heuristic(monkeypatch):
 
 def test_gspmd_stays_on_matmul(monkeypatch):
     """disable_pallas (the GSPMD backend) must keep the partitionable
-    matmul transforms even when auto would pick rfft."""
+    matmul transforms even when auto would pick rfft — and even when the
+    user forces PREFER_RFFT (an FFT along a sharded axis degenerates to
+    gather-transform-scatter under the partitioner)."""
     monkeypatch.setattr(fftmod, "PREFER_RFFT", None)
     monkeypatch.setattr(fftmod, "_DCT_ROUTE_CACHE", {})
     p = Params(problem=1, i_max=512, j_max=512, T=0.05, Re=100.0, tau=0.5,
                omega=1.7, epsilon=1e-4, max_it=50, dtype="float32",
                disable_pallas=True)
+    assert fftmod._pick_transform_route(p) == "matmul"
+    monkeypatch.setattr(fftmod, "PREFER_RFFT", True)
     assert fftmod._pick_transform_route(p) == "matmul"
 
 

@@ -163,3 +163,57 @@ def test_gspmd_cli_checkpoint_resume(tmp_path):
 
     np.testing.assert_allclose(centers(chunked.getvalue()),
                                centers(straight.getvalue()), atol=1e-6)
+
+
+def test_gspmd_rejects_trivial_axis_mesh():
+    """(1,N)/(N,1) meshes must be refused loudly: the partitioner
+    miscompiles boundary scatter compositions there (see the canary below)
+    and every pressure method returned silently wrong fields."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:6]).reshape(1, 6)
+    mesh = Mesh(devs, MESH_AXES)
+    with pytest.raises(ValueError, match="trivial"):
+        gspmd.solve_gspmd(_params(16), mesh=mesh)
+    with pytest.raises(ValueError, match="trivial"):
+        gspmd.GspmdStepper(_params(16), allocate_state(_params(16)),
+                           mesh=mesh)
+
+
+def test_gspmd_square_mesh_chooser():
+    from navierstokes_parallel_tpu.parallel.topology import (
+        choose_mesh_shape_square,
+    )
+
+    assert choose_mesh_shape_square(8) in ((2, 4), (4, 2))
+    assert choose_mesh_shape_square(6) in ((2, 3), (3, 2))
+    assert choose_mesh_shape_square(4) == (2, 2)
+    assert choose_mesh_shape_square(1) == (1, 1)
+    with pytest.raises(ValueError, match="prime"):
+        choose_mesh_shape_square(7)
+
+
+def test_xla_trivial_axis_scatter_canary():
+    """CANARY for the upstream XLA SPMD bug that motivates _check_mesh:
+    composing a row slice-update with a column slice-update on a mesh with
+    one trivial axis returns WRONG VALUES (jax 0.9.0, CPU backend).  If
+    this test ever FAILS (i.e. the composition becomes correct), upstream
+    fixed the partitioner — lift the gspmd trivial-axis mesh rejection."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((18, 18)).astype(np.float32)
+
+    def ghostish(p):
+        return p.at[0, 1:-1].set(p[1, 1:-1]).at[1:-1, 0].set(p[1:-1, 1])
+
+    ref = np.asarray(ghostish(jnp.asarray(x0)))
+    mesh = Mesh(np.array(jax.devices()[:6]).reshape(1, 6), MESH_AXES)
+    xj = jax.device_put(jnp.asarray(x0), NamedSharding(mesh, P(*MESH_AXES)))
+    out = np.asarray(jax.jit(ghostish)(xj))
+    err = float(np.abs(out - ref).max())
+    assert err > 1e-3, (
+        f"the trivial-axis scatter composition now computes CORRECTLY "
+        f"(max err {err:.3e}) — upstream XLA fixed the SPMD bug; remove "
+        f"gspmd._check_mesh's rejection and this canary"
+    )

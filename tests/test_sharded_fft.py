@@ -112,3 +112,42 @@ def test_sharded_fft_rejects_unTileable_pencils():
         # 8x8 grid on a (2,4) mesh: li=4 % py=4 == 0 but lj=2 % px=2 == 0 —
         # pick sizes that actually violate: 4x8 grid on (2,4): li=2%4 != 0.
         fftmod.make_sharded_inner(_params(i_max=4, j_max=8), 2, 2)
+
+
+def _count_primitive(jaxpr, name) -> int:
+    def sub(v):
+        if hasattr(v, "eqns"):
+            return _count_primitive(v, name)
+        if hasattr(v, "jaxpr"):
+            return _count_primitive(v.jaxpr, name)
+        if isinstance(v, (list, tuple)):
+            return sum(sub(item) for item in v)
+        return 0
+
+    count = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            count += 1
+        count += sum(sub(v) for v in eqn.params.values())
+    return count
+
+
+def test_pencil_solve_is_six_all_to_alls():
+    """The communication contract of the pencil decomposition: exactly 6
+    tiled all_to_all transposes per direct solve (j-pencils out/back,
+    i-pencils out, i-pencils back, inverse-j out/back) and zero ppermutes
+    — the solve never touches the halo machinery."""
+    prm = _params()
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    px, py = mesh.devices.shape
+    li, lj = prm.i_max // px, prm.j_max // py
+    inner = fftmod.make_sharded_inner(prm, li, lj)
+    from jax.sharding import PartitionSpec as P
+
+    mapped = shard_map(
+        lambda r: inner(r, 1), mesh=mesh,
+        in_specs=(P("x", "y"),), out_specs=P("x", "y"), check_vma=False)
+    spec = jax.ShapeDtypeStruct((px * (li + 2), py * (lj + 2)), jnp.float32)
+    jaxpr = jax.make_jaxpr(mapped)(spec)
+    assert _count_primitive(jaxpr.jaxpr, "all_to_all") == 6
+    assert _count_primitive(jaxpr.jaxpr, "ppermute") == 0
