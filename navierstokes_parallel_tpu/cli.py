@@ -383,6 +383,29 @@ def _run_host_loop(params: Params, stepper, args, mon_fn=None):
     if hist_fh and hist_mode == "w":
         hist_fh.write(_history_columns(args) + "\n")
     n_print = max(params.n_print, 1)
+    # Async frame writer: formatting+disk IO of a frame triple costs up to
+    # seconds at large grids (0.5 s at 2048^2 with the C writer, which
+    # releases the GIL) — a single-worker executor overlaps it with the
+    # NEXT segment's device compute while keeping frames strictly ordered.
+    # The device fetch itself stays synchronous (the arrays below are host
+    # copies before submit).  Writer errors surface on the next frame
+    # boundary or at loop end, never silently.
+    executor = None
+    out_futures: list = []
+    if args.output_dir:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1)
+
+    def _drain_output(block: bool) -> None:
+        remaining = []
+        for f in out_futures:
+            if block or f.done():
+                f.result()  # re-raises writer exceptions
+            else:
+                remaining.append(f)
+        out_futures[:] = remaining
+
     # T in the solver dtype, matching solve()'s on-device cond — keeps the
     # host loop's step count identical to the monolithic path when the
     # python T is not exactly representable (solver.py:117 note).
@@ -393,10 +416,11 @@ def _run_host_loop(params: Params, stepper, args, mon_fn=None):
         n_abs = stepper.n
         if args.output_dir and n_abs % n_print == 0:
             st = stepper.state()
-            nsio.output(np.asarray(st.u), np.asarray(st.v),
-                        np.asarray(st.p), float(st.t), params.a,
-                        params.b, f"{args.output_dir}/{n_abs // n_print}",
-                        verbose=False)
+            u, v, p = np.asarray(st.u), np.asarray(st.v), np.asarray(st.p)
+            _drain_output(block=False)
+            out_futures.append(executor.submit(
+                nsio.output, u, v, p, float(st.t), params.a, params.b,
+                f"{args.output_dir}/{n_abs // n_print}", verbose=False))
         diag = stepper.step()
         steps += 1
         total_iters += int(diag.sor_iterations)
@@ -435,6 +459,9 @@ def _run_host_loop(params: Params, stepper, args, mon_fn=None):
             save_checkpoint(args.checkpoint_path, _post_state())
     if hist_fh:
         hist_fh.close()
+    if executor is not None:
+        _drain_output(block=True)
+        executor.shutdown()
     stats = SolveStats(
         steps=np.int32(steps),
         total_sor_iterations=np.int32(total_iters),

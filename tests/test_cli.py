@@ -302,3 +302,14 @@ def test_cli_mesh_flag(tmp_path, capsys):
 
     rc = cli.main([str(cfg), "--backend", "jnp", "--mesh", "2x4"])
     assert rc != 0 or "mesh" in capsys.readouterr().err
+
+
+def test_cli_output_writer_errors_surface(tmp_path, capsys):
+    """The async frame writer must propagate disk errors, not swallow them:
+    pointing --output-dir at a regular FILE makes every frame write fail."""
+    cfg = tmp_path / "cfg.in"
+    _write_config(cfg)
+    not_a_dir = tmp_path / "file.txt"
+    not_a_dir.write_text("occupied")
+    with pytest.raises(OSError):
+        cli.main([str(cfg), "--output-dir", str(not_a_dir)])

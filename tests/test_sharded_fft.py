@@ -151,3 +151,17 @@ def test_pencil_solve_is_six_all_to_alls():
     jaxpr = jax.make_jaxpr(mapped)(spec)
     assert _count_primitive(jaxpr.jaxpr, "all_to_all") == 6
     assert _count_primitive(jaxpr.jaxpr, "ppermute") == 0
+
+
+def test_sharded_fft_non_square_grid():
+    """Rectangular interiors pencil-decompose too (different lam_i/lam_j
+    and pencil widths per axis)."""
+    prm = _params(i_max=32, j_max=64)
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    sh_state, sh_stats = solve_sharded(prm, mesh=mesh, pressure_method="fft")
+    st, ss = solve(prm, pressure_method="fft")
+    assert int(sh_stats.steps) == int(ss.steps)
+    assert int(sh_stats.sor_failures) == 0
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u)[1:-1, 1:-1], np.asarray(st.u)[1:-1, 1:-1],
+        atol=1e-5)
