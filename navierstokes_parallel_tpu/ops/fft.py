@@ -268,14 +268,18 @@ def make_sharded_inner(params: Params, li: int, lj: int):
     the eigenvalue divide runs in the i-pencil layout where each shard's
     global mode indices are known statically-per-shard.
 
-    Data movement per solve: 6 tiled all_to_alls (j-pencil out/back, i-pencil
-    out/back, inverse j-pencil out/back), each moving one interior's worth of
-    bytes across ICI — vs the gather-everything alternative's px*py-fold
-    replication.  Compute per shard is 1/(px*py) of the single-chip solve.
+    Data movement per solve: 4 tiled all_to_alls — j-pencils out (over "y"),
+    j-pencils -> i-pencils DIRECTLY over the combined ("x","y") axis (the
+    flattened-axis transpose; combined index is x-major ax*py + ay, verified
+    by the bit-parity tests), i-pencils -> j-pencils back, j-pencils -> blocks
+    — each moving one interior's worth of bytes across ICI, vs the
+    gather-everything alternative's px*py-fold replication.  Compute per
+    shard is 1/(px*py) of the single-chip solve.
 
     Constraints (checked at trace time): the interior must divide evenly
-    over the mesh (like sharded mg), and each local block must split across
-    the OTHER mesh axis (li % py == 0, lj % px == 0) so pencils tile.
+    over the mesh (like sharded mg), and pencils must tile: li % py == 0 and
+    lj % px == 0 (the latter is equivalent to nj % (px*py) == 0, the
+    combined-transpose width requirement).
 
     Plugged into the same f64 refinement outer as the single-chip fft route
     (ops/sor.py), preserving the exact reference convergence contract;
@@ -292,7 +296,6 @@ def make_sharded_inner(params: Params, li: int, lj: int):
             f"lj % px == 0; got blocks {li}x{lj} on a {px}x{py} mesh")
     lam_i = jnp.asarray(_eigenvalues(ni, 1.0 / (params.dx * params.dx)))
     lam_j = jnp.asarray(_eigenvalues(nj, 1.0 / (params.dy * params.dy)))
-    lj_loc = lj // px
 
     # Route: PREFER_RFFT if forced, else the flops heuristic on the GLOBAL
     # transform length (no race: per-shard pencil shapes are not the
@@ -316,31 +319,33 @@ def make_sharded_inner(params: Params, li: int, lj: int):
 
     from jax import lax
 
+    w = nj // (px * py)  # i-pencil j-mode width (== lj // px)
+
     def inner_fn(rhs_neg_full: jax.Array, _n_sweeps) -> jax.Array:
         r = rhs_neg_full[1:-1, 1:-1].astype(jnp.float32)  # (li, lj)
         # Forward transform along j: j-pencils (li//py, nj), rows stay rows.
         xj = lax.all_to_all(r, "y", split_axis=0, concat_axis=1, tiled=True)
         xj = fwd_last(xj, nj)
-        r = lax.all_to_all(xj, "y", split_axis=1, concat_axis=0, tiled=True)
-        # Forward transform along i: i-pencils (ni, lj//px), columns are the
-        # shard's j-mode slice at global offset qj = ay*lj + ax*(lj//px).
-        xi = lax.all_to_all(r, "x", split_axis=1, concat_axis=0, tiled=True)
+        # j-pencils -> i-pencils in ONE transpose over the combined axis:
+        # rows concatenate in x-major sender order, which IS ascending
+        # global i; the shard keeps j-mode slice [k*w, (k+1)*w) where
+        # k = ax*py + ay is its combined index.
+        xi = lax.all_to_all(xj, ("x", "y"), split_axis=1, concat_axis=0,
+                            tiled=True)  # (ni, w)
         xi = fwd_last(xi.T, ni).T
-        ax = lax.axis_index("x")
-        ay = lax.axis_index("y")
-        qj = ay * lj + ax * lj_loc
-        lam_j_loc = lax.dynamic_slice(lam_j, (qj,), (lj_loc,))
+        k = lax.axis_index("x") * py + lax.axis_index("y")
+        qj = k * w
+        lam_j_loc = lax.dynamic_slice(lam_j, (qj,), (w,))
         lam = lam_i[:, None] + lam_j_loc[None, :]
         xi = xi / jnp.where(lam == 0, 1.0, lam)
         # Zero the singular (0, 0) constant mode wherever it lives.
         ki = lax.broadcasted_iota(jnp.int32, xi.shape, 0)
         kj = lax.broadcasted_iota(jnp.int32, xi.shape, 1) + qj
         xi = jnp.where((ki == 0) & (kj == 0), 0.0, xi)
-        # Inverse transform along i, back to blocks.
+        # Inverse transform along i, transpose back to j-pencils.
         xi = inv_last(xi.T, ni).T
-        r = lax.all_to_all(xi, "x", split_axis=0, concat_axis=1, tiled=True)
-        # Inverse transform along j.
-        xj = lax.all_to_all(r, "y", split_axis=0, concat_axis=1, tiled=True)
+        xj = lax.all_to_all(xi, ("x", "y"), split_axis=0, concat_axis=1,
+                            tiled=True)  # (li//py, nj)
         xj = inv_last(xj, nj)
         d = lax.all_to_all(xj, "y", split_axis=1, concat_axis=0, tiled=True)
         return jnp.zeros(rhs_neg_full.shape, jnp.float32).at[

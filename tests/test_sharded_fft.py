@@ -132,11 +132,12 @@ def _count_primitive(jaxpr, name) -> int:
     return count
 
 
-def test_pencil_solve_is_six_all_to_alls():
-    """The communication contract of the pencil decomposition: exactly 6
-    tiled all_to_all transposes per direct solve (j-pencils out/back,
-    i-pencils out, i-pencils back, inverse-j out/back) and zero ppermutes
-    — the solve never touches the halo machinery."""
+def test_pencil_solve_is_four_all_to_alls():
+    """The communication contract of the pencil decomposition: exactly 4
+    tiled all_to_all transposes per direct solve (blocks -> j-pencils,
+    j-pencils -> i-pencils over the combined ("x","y") axis, and the two
+    inverses) and zero ppermutes — the solve never touches the halo
+    machinery."""
     prm = _params()
     mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
     px, py = mesh.devices.shape
@@ -149,7 +150,7 @@ def test_pencil_solve_is_six_all_to_alls():
         in_specs=(P("x", "y"),), out_specs=P("x", "y"), check_vma=False)
     spec = jax.ShapeDtypeStruct((px * (li + 2), py * (lj + 2)), jnp.float32)
     jaxpr = jax.make_jaxpr(mapped)(spec)
-    assert _count_primitive(jaxpr.jaxpr, "all_to_all") == 6
+    assert _count_primitive(jaxpr.jaxpr, "all_to_all") == 4
     assert _count_primitive(jaxpr.jaxpr, "ppermute") == 0
 
 
