@@ -113,6 +113,13 @@ class Params:
     # Each exchange carries a 2K-deep strip and buys K exact local sweeps
     # (clamped to the local block size at solve time).
     sor_comm_every: int = 8
+    # Spectral method: direct DCT solves chained per f64 refinement pass,
+    # with cheap f32 defect re-evaluation between them (ops/fft.py
+    # inner_direct).  >1 amortizes the f64 outer pass — software-emulated
+    # on TPU, it can rival the transform cost at large grids — at the price
+    # of overshooting convergence by up to s-1 solves.  Single-chip only;
+    # the sharded pencil inner always runs 1 (its outer norms are psum'd).
+    fft_solves_per_outer: int = 1
 
     def __post_init__(self):
         if self.problem not in (1, 2):
@@ -126,6 +133,10 @@ class Params:
         if self.sor_comm_every < 1:
             raise ValueError(
                 f"sor_comm_every must be >= 1, got {self.sor_comm_every}")
+        if not (1 <= self.fft_solves_per_outer <= 8):
+            raise ValueError(
+                f"fft_solves_per_outer must be in 1..8, got "
+                f"{self.fft_solves_per_outer}")
         if self.sor_inner_dtype not in ("float32", "bfloat16"):
             # Validate at construction: a typo (or float64) would otherwise
             # surface as a ZeroDivisionError in the tiled kernel's DMA

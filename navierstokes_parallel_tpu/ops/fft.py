@@ -41,6 +41,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..config import Params
 
@@ -354,8 +355,33 @@ def make_sharded_inner(params: Params, li: int, lj: int):
     return inner_fn
 
 
-def inner_direct(rhs_neg_full: jax.Array, _n_sweeps, params: Params):
-    """Refinement-inner hook: one direct solve of A delta = rhs_neg
-    (the sweep count is irrelevant — the solve is exact to f32 rounding)."""
-    delta_int = poisson_solve_dct(rhs_neg_full[1:-1, 1:-1], params)
-    return jnp.zeros(params.shape, jnp.float32).at[1:-1, 1:-1].set(delta_int)
+def inner_direct(rhs_neg_full: jax.Array, n_solves, params: Params):
+    """Refinement-inner hook: `n_solves` chained direct solves of
+    A delta = rhs_neg, with the defect re-evaluated IN F32 between solves
+    (delta is small-scale, so the f32 residual has no cancellation floor).
+
+    n_solves = Params.fft_solves_per_outer (via the outer's K): chaining
+    amortizes the f64 outer pass — software-emulated f64 on TPU can rival
+    the transform cost at large grids — while each extra solve only costs
+    one f32 residual pass on top of the transform."""
+    rhs_int = rhs_neg_full[1:-1, 1:-1].astype(jnp.float32)
+    if params.fft_solves_per_outer == 1:
+        # Fast path: one solve, no defect pass (the measured default).
+        delta_int = poisson_solve_dct(rhs_int, params)
+        return jnp.zeros(params.shape, jnp.float32).at[1:-1, 1:-1].set(
+            delta_int)
+    from . import sor as sormod
+
+    dx2 = jnp.float32(1.0 / (params.dx * params.dx))
+    dy2 = jnp.float32(1.0 / (params.dy * params.dy))
+
+    def body(_, delta_full):
+        # A delta - rhs with the Neumann ghost closure; solve the correction
+        # system A e = -(A delta - rhs) and accumulate.
+        res = sormod.residual(sormod.ghost_fill(delta_full), rhs_int,
+                              dx2, dy2)
+        e = poisson_solve_dct(-res, params)
+        return delta_full.at[1:-1, 1:-1].add(e)
+
+    delta0 = jnp.zeros(params.shape, jnp.float32)
+    return lax.fori_loop(0, jnp.asarray(n_solves, jnp.int32), body, delta0)

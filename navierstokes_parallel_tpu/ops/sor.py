@@ -198,9 +198,14 @@ def solve_pressure(
                 "uses ops.fft.make_sharded_inner (parallel/sharded.py)")
         if not jax.config.jax_enable_x64:
             raise ValueError("fft requires x64 for the f64 master")
+        # K = solves chained per f64 outer pass (fft_solves_per_outer):
+        # the inner re-evaluates the defect in f32 between solves, and the
+        # outer's iteration counter then counts DIRECT SOLVES exactly.
         return _solve_pressure_refined(
-            p, rhs, params.replace(sor_refine_every=1), method="rb_sor",
-            inner="fft",
+            p, rhs,
+            params.replace(
+                sor_refine_every=max(1, params.fft_solves_per_outer)),
+            method="rb_sor", inner="fft",
         )
     if method == "pallas_sor":
         # Pallas VMEM kernel as the refinement inner stage.  Single-chip

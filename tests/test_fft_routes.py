@@ -137,3 +137,36 @@ def test_rfft_route_accuracy_large_grid(monkeypatch):
            - rhs)
     rel = np.linalg.norm(res) / np.linalg.norm(rhs)
     assert rel < 1e-3, f"rfft direct solve residual reduction only {rel:.2e}"
+
+
+def test_fft_solves_per_outer():
+    """Chained direct solves (s=2): same converged answer, iterations still
+    counts direct solves, and the config validates its bounds."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs x64")
+    base = Params(problem=1, i_max=32, j_max=32, T=0.05, Re=100.0, tau=0.5,
+                  omega=1.7, epsilon=1e-4, max_it=50, dtype="float32")
+    rng = np.random.default_rng(3)
+    rhs = np.zeros(base.shape, np.float32)
+    r = rng.standard_normal((32, 32)).astype(np.float32)
+    rhs[1:-1, 1:-1] = r - r.mean()
+    p0 = jnp.zeros(base.shape, jnp.float32)
+
+    res1 = sor.solve_pressure(p0, jnp.asarray(rhs), base, method="fft")
+    res2 = sor.solve_pressure(p0, jnp.asarray(rhs),
+                              base.replace(fft_solves_per_outer=2),
+                              method="fft")
+    assert bool(res2.converged)
+    # counts direct solves (multiples of s per outer pass), bounded by the
+    # s=1 count rounded up to the next multiple of 2.
+    n1, n2 = int(res1.iterations), int(res2.iterations)
+    assert n2 % 2 == 0
+    assert n2 <= n1 + 2
+    gx1 = np.diff(np.asarray(res1.p), axis=0)
+    gx2 = np.diff(np.asarray(res2.p), axis=0)
+    np.testing.assert_allclose(gx1, gx2, atol=5e-5)
+
+    with pytest.raises(ValueError, match="fft_solves_per_outer"):
+        base.replace(fft_solves_per_outer=0)
+    with pytest.raises(ValueError, match="fft_solves_per_outer"):
+        base.replace(fft_solves_per_outer=9)
