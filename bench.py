@@ -214,11 +214,12 @@ def main(argv=None):
         else:
             gspmd_method = "fft" if params.i_max >= 2048 else "rb_sor"
         print(f"pressure solver: {gspmd_method} (gspmd)", file=sys.stderr)
+        from navierstokes_parallel_tpu.cli import parse_mesh_arg
+
+        gspmd_mesh = parse_mesh_arg(args.mesh)
 
         def run():
-            from navierstokes_parallel_tpu.cli import parse_mesh_arg
-
-            return solve_gspmd(params, state, parse_mesh_arg(args.mesh),
+            return solve_gspmd(params, state, gspmd_mesh,
                                pressure_method=gspmd_method)
     else:
         if args.method != "auto":

@@ -251,8 +251,6 @@ def parse_mesh_arg(spec):
     None -> None (backends pick their own default)."""
     if spec is None:
         return None
-    import numpy as np
-
     from .parallel.topology import MESH_AXES
 
     try:

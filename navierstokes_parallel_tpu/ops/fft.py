@@ -318,8 +318,6 @@ def make_sharded_inner(params: Params, li: int, lj: int):
         C = jnp.asarray(_dct_matrix(n))
         return jnp.matmul(x, C, precision=jax.lax.Precision.HIGHEST)
 
-    from jax import lax
-
     w = nj // (px * py)  # i-pencil j-mode width (== lj // px)
 
     def inner_fn(rhs_neg_full: jax.Array, _n_sweeps) -> jax.Array:

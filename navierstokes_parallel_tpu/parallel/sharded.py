@@ -220,7 +220,7 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             inner_fn=mgmod.make_sharded_inner(params, li, lj),
         )
     elif pressure_method == "fft":
-        # Sharded spectral: pencil-decomposed DCT direct solves — 6 tiled
+        # Sharded spectral: pencil-decomposed DCT direct solves — 4 tiled
         # all_to_all transposes re-layout the grid so every 1D transform is
         # shard-local (ops/fft.py::make_sharded_inner) — inside the same
         # f64 refinement outer with psum'd defect norms.  Divisible grids
