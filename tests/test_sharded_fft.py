@@ -166,3 +166,24 @@ def test_sharded_fft_non_square_grid():
     np.testing.assert_allclose(
         np.asarray(sh_state.u)[1:-1, 1:-1], np.asarray(st.u)[1:-1, 1:-1],
         atol=1e-5)
+
+
+def test_sharded_fft_1d_mesh():
+    """The pencil decomposition degenerates cleanly on 1xN / Nx1 meshes
+    (the combined-axis transpose carries the full permutation; the manual
+    sharded backend is the supported route for 1D meshes — unlike gspmd,
+    which rejects them)."""
+    from jax.sharding import Mesh
+
+    prm = _params()
+    st, ss = solve(prm, pressure_method="fft")
+    for shape in [(1, 8), (8, 1)]:
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(shape), ("x", "y"))
+        sh_state, sh_stats = solve_sharded(prm, mesh=mesh,
+                                           pressure_method="fft")
+        assert int(sh_stats.steps) == int(ss.steps), shape
+        assert int(sh_stats.sor_failures) == 0, shape
+        np.testing.assert_allclose(
+            np.asarray(sh_state.u)[1:-1, 1:-1],
+            np.asarray(st.u)[1:-1, 1:-1], atol=1e-5,
+            err_msg=f"mesh {shape}")
