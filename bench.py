@@ -149,6 +149,11 @@ def main(argv=None):
                          "workloads are max_it-bound, so K changes only how "
                          "often the f64 defect pass runs — the sweep count "
                          "and the result are identical.")
+    ap.add_argument("--fft-solves", type=int, default=0,
+                    help="fft method: direct solves chained per f64 "
+                         "refinement pass (Params.fft_solves_per_outer; "
+                         "0 = default 1).  >1 amortizes the TPU-emulated "
+                         "f64 outer pass at large grids")
     args = ap.parse_args(argv)
 
     from navierstokes_parallel_tpu.config import Params
@@ -159,6 +164,8 @@ def main(argv=None):
     if args.refine_every < 0:
         ap.error(f"--refine-every must be >= 0 (0 = tuned default), got "
                  f"{args.refine_every}")
+    if args.fft_solves:
+        params = params.replace(fft_solves_per_outer=args.fft_solves)
     if args.method in ("auto", "rb_sor", "pallas_sor"):
         # Measured on v5e (docs/performance.md): K=1024 vs the default 64 is
         # 26%/21%/19% faster at 256^2/512^2/1024^2 (fewer f64 outer passes,
