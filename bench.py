@@ -149,6 +149,13 @@ def main(argv=None):
                          "workloads are max_it-bound, so K changes only how "
                          "often the f64 defect pass runs — the sweep count "
                          "and the result are identical.")
+    ap.add_argument("--outer", choices=["float64", "compensated"],
+                    default="float64",
+                    help="refinement-outer precision: the f64 defect/L2/"
+                         "master pass (TPU-emulated) or the compensated "
+                         "two-float f32 outer (ops/compensated.py) — same "
+                         "convergence contract; A/B at large grids where "
+                         "the outer rivals the inner (step_breakdown.py)")
     ap.add_argument("--fft-solves", type=int, default=0,
                     help="fft method: direct solves chained per f64 "
                          "refinement pass (Params.fft_solves_per_outer; "
@@ -166,6 +173,8 @@ def main(argv=None):
                  f"{args.refine_every}")
     if args.fft_solves:
         params = params.replace(fft_solves_per_outer=args.fft_solves)
+    if args.outer != "float64":
+        params = params.replace(outer_precision=args.outer)
     if args.method in ("auto", "rb_sor", "pallas_sor"):
         # Measured on v5e (docs/performance.md): K=1024 vs the default 64 is
         # 26%/21%/19% faster at 256^2/512^2/1024^2 (fewer f64 outer passes,

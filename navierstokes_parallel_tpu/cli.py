@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="f64 re-baseline / convergence-check interval K for "
                          "the SOR methods (default 64; benchmarks use 2048 — "
                          "docs/performance.md)")
+    ap.add_argument("--outer", choices=["float64", "compensated"],
+                    default=None,
+                    help="refinement-outer precision: float64 (default; "
+                         "TPU-emulated) or compensated two-float f32 "
+                         "(ops/compensated.py — same convergence contract, "
+                         "no f64 ops, no x64 requirement)")
     ap.add_argument("--output-dir", default=None,
                     help="write <n>_{u,v,p}.txt frames every n_print steps")
     ap.add_argument("--final-output-prefix", default=None,
@@ -116,6 +122,8 @@ def main(argv=None) -> int:
                   f"{args.refine_every}", file=sys.stderr)
             return 1
         overrides["sor_refine_every"] = args.refine_every
+    if args.outer:
+        overrides["outer_precision"] = args.outer
     if args.history_physics and not args.history_file:
         print("error: --history-physics requires --history-file",
               file=sys.stderr)

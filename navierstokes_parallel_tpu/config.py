@@ -120,6 +120,13 @@ class Params:
     # of overshooting convergence by up to s-1 solves.  Single-chip only;
     # the sharded pencil inner always runs 1 (its outer norms are psum'd).
     fft_solves_per_outer: int = 1
+    # Precision strategy of the refinement outer (defect + L2 + master
+    # update, ops/sor.py).  "float64" is the reference-faithful default;
+    # "compensated" replaces it with error-free two-float f32 arithmetic
+    # (ops/compensated.py) — same convergence contract, no f64 ops (which
+    # TPU software-emulates) and no global x64 requirement.  Measure before
+    # flipping the default (docs/performance.md).
+    outer_precision: str = "float64"
 
     def __post_init__(self):
         if self.problem not in (1, 2):
@@ -137,6 +144,10 @@ class Params:
             raise ValueError(
                 f"fft_solves_per_outer must be in 1..8, got "
                 f"{self.fft_solves_per_outer}")
+        if self.outer_precision not in ("float64", "compensated"):
+            raise ValueError(
+                f"outer_precision must be 'float64' or 'compensated', got "
+                f"{self.outer_precision!r}")
         if self.sor_inner_dtype not in ("float32", "bfloat16"):
             # Validate at construction: a typo (or float64) would otherwise
             # surface as a ZeroDivisionError in the tiled kernel's DMA

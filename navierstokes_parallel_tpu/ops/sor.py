@@ -22,7 +22,6 @@ of p at solver entry.  (The reference's parallel fork uses +0.01 instead of
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -166,8 +165,10 @@ def solve_pressure(
         # robust Krylov fallback; `iterations` counts CG steps.
         if hooks:
             raise ValueError("cg is single-chip only (got shard hooks)")
-        if not jax.config.jax_enable_x64:
-            raise ValueError("cg requires x64 for the f64 master")
+        if not jax.config.jax_enable_x64 and \
+                params.outer_precision != "compensated":
+            raise ValueError("cg requires x64 for the f64 master (or "
+                             "outer_precision='compensated')")
         # K=0 ('refinement off') would make n_inner=0 and spin forever.
         return _solve_pressure_refined(
             p, rhs, params.replace(sor_refine_every=max(1, params.sor_refine_every)),
@@ -179,8 +180,10 @@ def solve_pressure(
         # large grids.  Single-chip only.
         if hooks:
             raise ValueError("mg is single-chip only (got shard hooks)")
-        if not jax.config.jax_enable_x64:
-            raise ValueError("mg requires x64 for the f64 master")
+        if not jax.config.jax_enable_x64 and \
+                params.outer_precision != "compensated":
+            raise ValueError("mg requires x64 for the f64 master (or "
+                             "outer_precision='compensated')")
         return _solve_pressure_refined(
             p, rhs, params.replace(sor_refine_every=1), method="rb_sor",
             inner="mg",
@@ -196,8 +199,10 @@ def solve_pressure(
             raise ValueError(
                 "fft via solve_pressure is single-chip; the sharded backend "
                 "uses ops.fft.make_sharded_inner (parallel/sharded.py)")
-        if not jax.config.jax_enable_x64:
-            raise ValueError("fft requires x64 for the f64 master")
+        if not jax.config.jax_enable_x64 and \
+                params.outer_precision != "compensated":
+            raise ValueError("fft requires x64 for the f64 master (or "
+                             "outer_precision='compensated')")
         # K = solves chained per f64 outer pass (fft_solves_per_outer):
         # the inner re-evaluates the defect in f32 between solves, and the
         # outer's iteration counter then counts DIRECT SOLVES exactly.
@@ -217,13 +222,16 @@ def solve_pressure(
         if params.disable_pallas:
             raise ValueError("pallas_sor unavailable: params.disable_pallas "
                              "is set (GSPMD backend) — use rb_sor/mg/cg/fft")
-        if not jax.config.jax_enable_x64:
-            raise ValueError("pallas_sor requires x64 for the f64 master")
+        if not jax.config.jax_enable_x64 and \
+                params.outer_precision != "compensated":
+            raise ValueError("pallas_sor requires x64 for the f64 master "
+                             "(or outer_precision='compensated')")
         return _solve_pressure_refined(
             p, rhs, params.replace(sor_refine_every=max(1, params.sor_refine_every)),
             method="rb_sor", inner="pallas")
     if p.dtype == jnp.float32 and params.sor_refine_every > 0:
-        if jax.config.jax_enable_x64:
+        if jax.config.jax_enable_x64 or \
+                params.outer_precision == "compensated":
             return _solve_pressure_refined(p, rhs, params, method=method,
                                            **hooks)
         import warnings
@@ -314,66 +322,33 @@ def _solve_pressure_direct(p, rhs, params, *, method, ghost_fn=ghost_fill,
                      converged=res_norm <= threshold)
 
 
-def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
-                            l2_fn=None, parity=0, inner="jnp", inner_fn=None,
-                            valid_mask=None):
-    """Mixed-precision iterative refinement around f32 SOR sweeps.
-
-    Outer loop (f64, once per K sweeps): defect r = A p - RHS, L2 norm,
-    convergence test against the reference threshold, p += delta.
-    Inner loop (f32): K red-black SOR sweeps on A delta = -r from delta = 0.
-    In exact arithmetic this IS plain SOR (stationary iteration); in floating
-    point the f32 sweeps only ever handle the small-scale correction, so the
-    ulp(p)-amplification floor never appears.
-    """
-    K = params.sor_refine_every
-    f64, f32 = jnp.float64, jnp.float32
-    l2_fn = l2_fn or _default_l2(params)
-
-    dx2_inv64 = jnp.asarray(1.0 / (params.dx * params.dx), f64)
-    dy2_inv64 = jnp.asarray(1.0 / (params.dy * params.dy), f64)
-    dx2_inv32 = dx2_inv64.astype(f32)
-    dy2_inv32 = dy2_inv64.astype(f32)
-    omega32 = jnp.asarray(params.omega, f32)
-
-    local_shape = (p.shape[0] - 2, p.shape[1] - 2)
-    red_mask = _checkerboard(local_shape, 0, parity)
-    black_mask = _checkerboard(local_shape, 1, parity)
-    if valid_mask is not None:
-        red_mask = red_mask & valid_mask
-        black_mask = black_mask & valid_mask
-
-    def masked(arr_int):
-        return arr_int if valid_mask is None else jnp.where(
-            valid_mask, arr_int, jnp.zeros_like(arr_int))
-
-    p64 = p.astype(f64)
-    rhs_int64 = rhs[1:-1, 1:-1].astype(f64)
-
-    norm_p0 = l2_fn(masked(p64[1:-1, 1:-1]))
-    threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
+def _make_inner_sweeps(p_shape, params, *, method, inner, inner_fn, omega32,
+                       dx2_inv32, dy2_inv32, red_mask, black_mask, ghost_fn):
+    """Build the f32 inner stage `inner_sweeps(neg_res32, n) -> delta` shared
+    by the f64 and compensated refinement outers."""
+    f32 = jnp.float32
 
     if inner_fn is not None:
         def inner_sweeps(neg_res32, n_sweeps):
-            rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+            rhs_full = jnp.zeros(p_shape, f32).at[1:-1, 1:-1].set(neg_res32)
             return inner_fn(rhs_full, n_sweeps)
     elif inner == "pallas":
         from .pallas import sor_kernel
 
         def inner_sweeps(neg_res32, n_sweeps):
-            rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+            rhs_full = jnp.zeros(p_shape, f32).at[1:-1, 1:-1].set(neg_res32)
             return sor_kernel.inner_sweeps(rhs_full, n_sweeps, params)
     elif inner == "mg":
         from . import mg
 
         def inner_sweeps(neg_res32, n_sweeps):
-            rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+            rhs_full = jnp.zeros(p_shape, f32).at[1:-1, 1:-1].set(neg_res32)
             return mg.inner_v_cycle(rhs_full, n_sweeps, params)
     elif inner == "fft":
         from . import fft as fftmod
 
         def inner_sweeps(neg_res32, n_sweeps):
-            rhs_full = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+            rhs_full = jnp.zeros(p_shape, f32).at[1:-1, 1:-1].set(neg_res32)
             return fftmod.inner_direct(rhs_full, n_sweeps, params)
     elif inner == "cg":
         from . import mg as _mg  # reuse the level-0 Laplacian machinery
@@ -382,7 +357,7 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
 
         def inner_sweeps(neg_res32, n_sweeps):
             """n_sweeps CG iterations on B x = -b, B = -A (SPD), x0 = 0."""
-            b = jnp.zeros(p.shape, f32).at[1:-1, 1:-1].set(neg_res32)
+            b = jnp.zeros(p_shape, f32).at[1:-1, 1:-1].set(neg_res32)
 
             def B(x):
                 return -_mg._lap(_mg.ghost_zero(x), lvl)
@@ -390,7 +365,7 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
             def dot(a, c):
                 return jnp.sum(a[1:-1, 1:-1] * c[1:-1, 1:-1])
 
-            x0 = jnp.zeros(p.shape, f32)
+            x0 = jnp.zeros(p_shape, f32)
             r0 = -b
             rs0 = dot(r0, r0)
 
@@ -413,12 +388,76 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
     else:
         def inner_sweeps(neg_res32, n_sweeps):
             """n_sweeps f32 red-black sweeps on A delta = -r, delta0 = 0."""
-            delta0 = jnp.zeros(p.shape, f32)
+            delta0 = jnp.zeros(p_shape, f32)
             iteration = _make_iteration(
                 method, neg_res32, omega32, dx2_inv32, dy2_inv32, red_mask,
                 black_mask, ghost_fn=ghost_fn,
             )
             return lax.fori_loop(0, n_sweeps, lambda _, d: iteration(d), delta0)
+
+    return inner_sweeps
+
+
+def _refined_setup(p, params, parity, valid_mask, l2_fn):
+    """Masks, valid-cell zeroing, and l2 shared by both refinement outers."""
+    local_shape = (p.shape[0] - 2, p.shape[1] - 2)
+    red_mask = _checkerboard(local_shape, 0, parity)
+    black_mask = _checkerboard(local_shape, 1, parity)
+    if valid_mask is not None:
+        red_mask = red_mask & valid_mask
+        black_mask = black_mask & valid_mask
+
+    def masked(arr_int):
+        return arr_int if valid_mask is None else jnp.where(
+            valid_mask, arr_int, jnp.zeros_like(arr_int))
+
+    return red_mask, black_mask, masked, l2_fn or _default_l2(params)
+
+
+def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
+                            l2_fn=None, parity=0, inner="jnp", inner_fn=None,
+                            valid_mask=None):
+    """Mixed-precision iterative refinement around f32 SOR sweeps.
+
+    Outer loop (f64, once per K sweeps): defect r = A p - RHS, L2 norm,
+    convergence test against the reference threshold, p += delta.
+    Inner loop (f32): K red-black SOR sweeps on A delta = -r from delta = 0.
+    In exact arithmetic this IS plain SOR (stationary iteration); in floating
+    point the f32 sweeps only ever handle the small-scale correction, so the
+    ulp(p)-amplification floor never appears.
+
+    `params.outer_precision == "compensated"` swaps the f64 outer for the
+    two-float f32 outer (`_solve_pressure_refined_compensated`) — same
+    contract, no f64 ops (TPU-emulated), no x64 requirement.
+    """
+    if params.outer_precision == "compensated":
+        return _solve_pressure_refined_compensated(
+            p, rhs, params, method=method, ghost_fn=ghost_fn, l2_fn=l2_fn,
+            parity=parity, inner=inner, inner_fn=inner_fn,
+            valid_mask=valid_mask)
+
+    K = params.sor_refine_every
+    f64, f32 = jnp.float64, jnp.float32
+
+    dx2_inv64 = jnp.asarray(1.0 / (params.dx * params.dx), f64)
+    dy2_inv64 = jnp.asarray(1.0 / (params.dy * params.dy), f64)
+    dx2_inv32 = dx2_inv64.astype(f32)
+    dy2_inv32 = dy2_inv64.astype(f32)
+    omega32 = jnp.asarray(params.omega, f32)
+
+    red_mask, black_mask, masked, l2_fn = _refined_setup(
+        p, params, parity, valid_mask, l2_fn)
+
+    p64 = p.astype(f64)
+    rhs_int64 = rhs[1:-1, 1:-1].astype(f64)
+
+    norm_p0 = l2_fn(masked(p64[1:-1, 1:-1]))
+    threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
+
+    inner_sweeps = _make_inner_sweeps(
+        p.shape, params, method=method, inner=inner, inner_fn=inner_fn,
+        omega32=omega32, dx2_inv32=dx2_inv32, dy2_inv32=dy2_inv32,
+        red_mask=red_mask, black_mask=black_mask, ghost_fn=ghost_fn)
 
     def cond(carry):
         _, _, it, res_norm = carry
@@ -437,6 +476,88 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
     init = (p64, r64_0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, f64))
     p64, _, it, res_norm = lax.while_loop(cond, body, init)
     p_out = ghost_fn(p64).astype(p.dtype)
+    return SORResult(
+        p=p_out,
+        iterations=it,
+        res_norm=res_norm.astype(p.dtype),
+        converged=res_norm <= threshold,
+    )
+
+
+def _solve_pressure_refined_compensated(p, rhs, params, *, method,
+                                        ghost_fn=ghost_fill, l2_fn=None,
+                                        parity=0, inner="jnp", inner_fn=None,
+                                        valid_mask=None):
+    """Two-float (compensated f32) refinement outer — no f64 anywhere.
+
+    TPU f64 is software-emulated, so at large grids the f64 outer pass can
+    rival the f32 inner stage it wraps (scripts/step_breakdown.py measures
+    the split).  This outer keeps the identical structure and convergence
+    contract but carries the master pressure as an error-free f32 pair
+    (hi, lo) and evaluates the defect with compensated arithmetic
+    (ops/compensated.py) — ~48 mantissa bits at full f32 VPU rate, and no
+    global x64 requirement.
+
+    The ghost/halo refresh is applied to hi and lo independently: ghost_fn
+    is pure copying/exchange (Neumann strip copy, ppermute halos), which
+    commutes with the hi+lo decomposition, so the sharded hooks work
+    unchanged (two exchanges per outer pass instead of one).
+    """
+    from . import compensated as comp
+
+    K = params.sor_refine_every
+    f32 = jnp.float32
+
+    dx2_inv32 = jnp.asarray(1.0 / (params.dx * params.dx), f32)
+    dy2_inv32 = jnp.asarray(1.0 / (params.dy * params.dy), f32)
+    omega32 = jnp.asarray(params.omega, f32)
+
+    red_mask, black_mask, masked, l2_fn = _refined_setup(
+        p, params, parity, valid_mask, l2_fn)
+
+    p_hi = p.astype(f32)
+    p_lo = jnp.zeros_like(p_hi)
+    rhs_int32 = rhs[1:-1, 1:-1].astype(f32)
+
+    norm_p0 = l2_fn(masked(p_hi[1:-1, 1:-1]))
+    threshold = jnp.asarray(params.epsilon, f32) * (norm_p0 + NORM_OFFSET)
+
+    inner_sweeps = _make_inner_sweeps(
+        p.shape, params, method=method, inner=inner, inner_fn=inner_fn,
+        omega32=omega32, dx2_inv32=dx2_inv32, dy2_inv32=dy2_inv32,
+        red_mask=red_mask, black_mask=black_mask, ghost_fn=ghost_fn)
+
+    def defect(hi, lo):
+        return masked(comp.residual_df(ghost_fn(hi), ghost_fn(lo), rhs_int32,
+                                       dx2_inv32, dy2_inv32))
+
+    def cond(carry):
+        _, _, _, it, res_norm = carry
+        return jnp.logical_and(it < params.max_it, res_norm > threshold)
+
+    def body(carry):
+        hi, lo, r32, it, _ = carry
+        n_inner = jnp.minimum(K, params.max_it - it)
+        delta = inner_sweeps(-r32, n_inner)
+        h2, l2 = comp.df_add_f32(hi[1:-1, 1:-1], lo[1:-1, 1:-1],
+                                 delta[1:-1, 1:-1])
+        hi = hi.at[1:-1, 1:-1].set(h2)
+        lo = lo.at[1:-1, 1:-1].set(l2)
+        r32 = defect(hi, lo)
+        res_norm = l2_fn(r32)
+        return hi, lo, r32, it + n_inner, res_norm
+
+    r32_0 = defect(p_hi, p_lo)
+    init = (p_hi, p_lo, r32_0, jnp.zeros((), jnp.int32),
+            jnp.asarray(jnp.inf, f32))
+    p_hi, p_lo, _, it, res_norm = lax.while_loop(cond, body, init)
+    # (hi, lo) stays normalized (|lo| <= ulp(hi)/2), so hi alone IS the
+    # correctly-rounded f32 master; for a wider state dtype hand back the
+    # full ~48-bit value the pair carries.
+    if jnp.dtype(p.dtype).itemsize > 4:
+        p_out = ghost_fn(p_hi.astype(p.dtype) + p_lo.astype(p.dtype))
+    else:
+        p_out = ghost_fn(p_hi).astype(p.dtype)
     return SORResult(
         p=p_out,
         iterations=it,

@@ -253,7 +253,9 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
         )
     elif pressure_method in ("rb_sor", "pallas_sor") and (
             p.dtype == jnp.float32 and params.sor_refine_every > 0
-            and jax.config.jax_enable_x64 and min(li, lj) >= 2):
+            and (jax.config.jax_enable_x64
+                 or params.outer_precision == "compensated")
+            and min(li, lj) >= 2):
         # Communication-avoiding deep-halo inner (parallel/deep_halo.py):
         # ONE 2K-deep ppermute exchange buys K exact local sweeps — vs the
         # sync path's 2 exchanges per sweep.  pallas_sor further runs each

@@ -26,6 +26,13 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+if "--platform" in sys.argv:
+    # JAX_PLATFORMS=axon is pinned by the environment and overrides the
+    # env var; only the config update forces CPU (CLAUDE.md platform notes).
+    jax.config.update(
+        "jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,6 +76,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--steps", type=int, default=8,
                     help="steps per end-to-end timing segment")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu; consumed before "
+                         "jax initializes)")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
@@ -118,6 +128,29 @@ def main():
                          (spec64, speci64, specd), (p64_0, rhs64_0, d32_0),
                          repeats=args.repeats)
     print(f"[2] f64 outer pass:   {t_outer:8.3f} ms/pass")
+
+    # 2b. the compensated two-float outer pass (ops/compensated.py): same
+    # structure — master update + ghost fill + defect + L2 — no f64 ops.
+    from navierstokes_parallel_tpu.ops import compensated as comp
+
+    def outer_pass_df(hi, lo, rhs32f, delta32):
+        h2, l2 = comp.df_add_f32(hi[1:-1, 1:-1], lo[1:-1, 1:-1],
+                                 delta32[1:-1, 1:-1])
+        hi = hi.at[1:-1, 1:-1].set(h2)
+        lo = lo.at[1:-1, 1:-1].set(l2)
+        r = comp.residual_df(sor.ghost_fill(hi), sor.ghost_fill(lo), rhs32f,
+                             jnp.float32(dx2), jnp.float32(dy2))
+        norm = jnp.sqrt(jnp.mean(r * r))
+        return hi + 0.0 * norm, lo, rhs32f, delta32
+
+    hi_0 = np.float32(p64_0)
+    lo_0 = np.float32(p64_0 - np.float64(hi_0))
+    speci32 = jax.ShapeDtypeStruct((ni, nj), jnp.float32)
+    t_outer_df = chained_ms(
+        outer_pass_df, (specd, specd, speci32, specd),
+        (hi_0, lo_0, rhs32, d32_0), repeats=args.repeats)
+    print(f"    compensated outer:{t_outer_df:8.3f} ms/pass "
+          f"(--outer compensated)")
 
     # 3. momentum (FG + RHS), f32.
     from navierstokes_parallel_tpu.ops import momentum
