@@ -86,13 +86,18 @@ def df_add_f32(hi: jax.Array, lo: jax.Array,
 
 
 def residual_df(p_hi: jax.Array, p_lo: jax.Array, rhs_int: jax.Array,
-                dx2_inv: jax.Array, dy2_inv: jax.Array) -> jax.Array:
+                dx2_inv: jax.Array, dy2_inv: jax.Array,
+                rhs_lo=None) -> jax.Array:
     """Compensated 5-point Poisson defect on the interior, f32 result.
 
-    Evaluates (to ~ulp(result)) the same quantity as ops/sor.py::residual
-    run in f64 on (p_hi + p_lo):
+    Evaluates (to ~eps^2 |p|/dx^2 + ulp(result)) the same quantity as
+    ops/sor.py::residual run in f64 on (p_hi + p_lo):
 
-        r = (pE - 2p + pW)/dx^2 + (pN - 2p + pS)/dy^2 - rhs
+        r = (pE - 2p + pW)/dx^2 + (pN - 2p + pS)/dy^2 - (rhs + rhs_lo)
+
+    `rhs_lo` carries the low f32 word of a float64 RHS (two-float split) so
+    float64-state solves certify convergence against the FULL-precision RHS,
+    not its f32 rounding; pass None (not zeros) when the RHS is f32-native.
     """
     c_hi = p_hi[1:-1, 1:-1]
     c_lo = p_lo[1:-1, 1:-1]
@@ -126,4 +131,7 @@ def residual_df(p_hi: jax.Array, p_lo: jax.Array, rhs_int: jax.Array,
     # convergence — compensated accumulation, single final collapse.
     u, eu = two_sum(tx, ty)
     v, ev = two_sum(u, -rhs_int)
-    return v + (((eu + ev) + ltx) + lty)
+    corr = ((eu + ev) + ltx) + lty
+    if rhs_lo is not None:
+        corr = corr - rhs_lo
+    return v + corr

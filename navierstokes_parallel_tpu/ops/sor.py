@@ -502,6 +502,13 @@ def _solve_pressure_refined_compensated(p, rhs, params, *, method,
     is pure copying/exchange (Neumann strip copy, ppermute halos), which
     commutes with the hi+lo decomposition, so the sharded hooks work
     unchanged (two exchanges per outer pass instead of one).
+
+    Caveat: the convergence L2 norm accumulates in f32 (XLA's pairwise tree,
+    ~eps·sqrt(log n) relative) while the f64 outer sums in f64 — when the
+    residual lands within that sliver of the threshold, the two outers can
+    differ by one K-quantum of sweeps.  Same rounding class as the sharded
+    psum'd norms (tests tolerate it there); the defect VALUES themselves are
+    ~48-bit (ops/compensated.py).
     """
     from . import compensated as comp
 
@@ -515,9 +522,20 @@ def _solve_pressure_refined_compensated(p, rhs, params, *, method,
     red_mask, black_mask, masked, l2_fn = _refined_setup(
         p, params, parity, valid_mask, l2_fn)
 
+    # Two-float split of the inputs: for float64 states the low f32 words of
+    # p and rhs are significant — dropping them would make `converged`
+    # certify against a ROUNDED problem (f32-native inputs split losslessly
+    # to lo = None, skipping the extra arithmetic).
+    wide_in = jnp.dtype(p.dtype).itemsize > 4
     p_hi = p.astype(f32)
-    p_lo = jnp.zeros_like(p_hi)
-    rhs_int32 = rhs[1:-1, 1:-1].astype(f32)
+    rhs_int = rhs[1:-1, 1:-1]
+    rhs_int32 = rhs_int.astype(f32)
+    if wide_in:
+        p_lo = (p - p_hi.astype(p.dtype)).astype(f32)
+        rhs_lo32 = (rhs_int - rhs_int32.astype(rhs.dtype)).astype(f32)
+    else:
+        p_lo = jnp.zeros_like(p_hi)
+        rhs_lo32 = None
 
     norm_p0 = l2_fn(masked(p_hi[1:-1, 1:-1]))
     threshold = jnp.asarray(params.epsilon, f32) * (norm_p0 + NORM_OFFSET)
@@ -529,7 +547,8 @@ def _solve_pressure_refined_compensated(p, rhs, params, *, method,
 
     def defect(hi, lo):
         return masked(comp.residual_df(ghost_fn(hi), ghost_fn(lo), rhs_int32,
-                                       dx2_inv32, dy2_inv32))
+                                       dx2_inv32, dy2_inv32,
+                                       rhs_lo=rhs_lo32))
 
     def cond(carry):
         _, _, _, it, res_norm = carry

@@ -116,6 +116,59 @@ def test_solve_parity_with_f64_outer(method):
     assert np.max(tolerance_errors(np.asarray(s64.v), np.asarray(sc.v))) < 1e-4
 
 
+def test_residual_df_float64_rhs_split():
+    """With a float64 RHS whose low f32 word is significant, the rhs_lo
+    channel must recover the full-precision defect — dropping it would make
+    `converged` certify against a rounded problem."""
+    rng = np.random.default_rng(2)
+    n, phys = 64, 64 / 2048.0
+    params = Params(i_max=n, j_max=n, a=phys, b=phys)
+    dx2 = np.float32(1.0 / (params.dx * params.dx))
+    x = (np.arange(n + 2) - 0.5) * params.dx
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    p64 = np.sin(2 * np.pi * X / phys) * np.cos(2 * np.pi * Y / phys) * 3.0
+    hi = np.float32(p64)
+    lo = np.float32(p64 - np.float64(hi))
+    pair64 = np.float64(hi) + np.float64(lo)
+    # Near-converged f64 rhs: A p plus a small defect.  rhs is O(1e5) with
+    # significant sub-f32 words (~eps*|rhs| ~ 1e-2), while the defect itself
+    # is O(1e-4) — exactly the regime where dropping rhs_lo would certify
+    # convergence of a rounded problem.
+    rhs64 = np.asarray(sor.residual(jnp.asarray(pair64), jnp.zeros((n, n)),
+                                    np.float64(dx2), np.float64(dx2)))
+    rhs64 = rhs64 + 1e-4 * rng.standard_normal((n, n))
+    rhs_hi = np.float32(rhs64)
+    rhs_lo = np.float32(rhs64 - np.float64(rhs_hi))
+    r64 = np.asarray(sor.residual(jnp.asarray(pair64), jnp.asarray(rhs64),
+                                  np.float64(dx2), np.float64(dx2)))
+    r_with = np.asarray(comp.residual_df(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(rhs_hi), dx2, dx2,
+        rhs_lo=jnp.asarray(rhs_lo)))
+    r_without = np.asarray(comp.residual_df(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(rhs_hi), dx2, dx2))
+    err_with = np.abs(r_with - r64).max()
+    err_without = np.abs(r_without - r64).max()
+    # With the split: well below the O(1e-4) defect scale.
+    assert err_with < 0.1 * np.abs(r64).max(), (err_with, np.abs(r64).max())
+    # Without it: off by the dropped low words (~eps*|rhs| >> defect).
+    assert err_without > 10 * err_with, (err_without, err_with)
+
+
+@pytest.mark.parametrize("method", ["mg", "fft"])
+def test_solve_parity_float64_state(method):
+    """float64-state solves through the compensated outer keep the f64
+    outer's iteration counts and meet the comparator contract (the two-float
+    input split carries the f64 rhs/p low words into the defect)."""
+    base = Params(i_max=32, j_max=32, T=0.02, Re=100.0, tau=0.5,
+                  epsilon=1e-4, max_it=2000, dtype="float64")
+    s64, st64 = solve(base, pressure_method=method)
+    sc, stc = solve(base.replace(outer_precision="compensated"),
+                    pressure_method=method)
+    assert int(stc.sor_failures) == 0
+    assert int(stc.total_sor_iterations) == int(st64.total_sor_iterations)
+    assert np.max(tolerance_errors(np.asarray(s64.u), np.asarray(sc.u))) < 1e-4
+
+
 def test_no_x64_required():
     """The compensated outer runs the fft/mg methods WITHOUT global x64 —
     impossible for the f64 outer (clear error)."""
