@@ -149,6 +149,12 @@ def main(argv=None):
                          "workloads are max_it-bound, so K changes only how "
                          "often the f64 defect pass runs — the sweep count "
                          "and the result are identical.")
+    ap.add_argument("--fft-precision", choices=["highest", "high", "default"],
+                    default="highest",
+                    help="MXU precision of the DCT matmul route: lower cuts "
+                         "transform cost up to ~6x; the refinement outer "
+                         "absorbs the per-solve error as extra direct "
+                         "solves (contract unchanged)")
     ap.add_argument("--outer", choices=["float64", "compensated"],
                     default="float64",
                     help="refinement-outer precision: the f64 defect/L2/"
@@ -175,6 +181,8 @@ def main(argv=None):
         params = params.replace(fft_solves_per_outer=args.fft_solves)
     if args.outer != "float64":
         params = params.replace(outer_precision=args.outer)
+    if args.fft_precision != "highest":
+        params = params.replace(fft_precision=args.fft_precision)
     if args.method in ("auto", "rb_sor", "pallas_sor"):
         # Measured on v5e (docs/performance.md): K=1024 vs the default 64 is
         # 26%/21%/19% faster at 256^2/512^2/1024^2 (fewer f64 outer passes,

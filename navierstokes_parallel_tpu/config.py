@@ -120,6 +120,14 @@ class Params:
     # of overshooting convergence by up to s-1 solves.  Single-chip only;
     # the sharded pencil inner always runs 1 (its outer norms are psum'd).
     fft_solves_per_outer: int = 1
+    # MXU precision of the DCT matmul route ("highest" = full-f32 6-pass
+    # bf16 emulation, "high" = 3-pass, "default" = single bf16 pass).
+    # Lower precision cuts transform cost up to ~6x on the MXU; each direct
+    # solve reduces the defect less, so the refinement outer runs more
+    # solves — the convergence CONTRACT is unchanged (the outer's defect
+    # check is exact), only the solve count moves.  A/B on TPU before use;
+    # the rfft route ignores this (VPU butterflies are true f32).
+    fft_precision: str = "highest"
     # Precision strategy of the refinement outer (defect + L2 + master
     # update, ops/sor.py).  "float64" is the reference-faithful default;
     # "compensated" replaces it with error-free two-float f32 arithmetic
@@ -144,6 +152,10 @@ class Params:
             raise ValueError(
                 f"fft_solves_per_outer must be in 1..8, got "
                 f"{self.fft_solves_per_outer}")
+        if self.fft_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                f"fft_precision must be 'highest', 'high' or 'default', got "
+                f"{self.fft_precision!r}")
         if self.outer_precision not in ("float64", "compensated"):
             raise ValueError(
                 f"outer_precision must be 'float64' or 'compensated', got "

@@ -118,11 +118,22 @@ def _solve_rfft(rhs_int: jax.Array, lam: jax.Array) -> jax.Array:
         jnp.swapaxes(phat, 0, 1)), 0, 1))
 
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,  # full f32 (6-pass bf16 on MXU)
+    "high": jax.lax.Precision.HIGH,        # 3-pass bf16
+    "default": jax.lax.Precision.DEFAULT,  # single bf16 pass
+}
+
+
 def _solve_matmul(rhs_int: jax.Array, lam: jax.Array, ni: int,
-                  nj: int) -> jax.Array:
+                  nj: int, precision: str = "highest") -> jax.Array:
     Ci = jnp.asarray(_dct_matrix(ni))
     Cj = jnp.asarray(_dct_matrix(nj))
-    hp = jax.lax.Precision.HIGHEST
+    # Lower MXU precision trades per-solve accuracy for up to ~6x transform
+    # throughput; the refinement outer re-checks the defect exactly, so the
+    # convergence contract is untouched — only the solve count moves
+    # (Params.fft_precision).
+    hp = _PRECISIONS[precision]
     rhat = jnp.matmul(jnp.matmul(Ci, rhs_int, precision=hp),
                       Cj.T, precision=hp)
     phat = rhat / lam
@@ -152,7 +163,7 @@ def _pick_transform_route(params: Params) -> str:
     if PREFER_RFFT is not None:
         return "rfft" if PREFER_RFFT else "matmul"
     ni, nj = params.i_max, params.j_max
-    key = (ni, nj)
+    key = (ni, nj, params.fft_precision)
     if key in _DCT_ROUTE_CACHE:
         return _DCT_ROUTE_CACHE[key]
     if jax.default_backend() != "tpu":
@@ -179,6 +190,8 @@ def _race_transform_routes(params: Params) -> str:
     ni, nj = params.i_max, params.j_max
     kind = jax.devices()[0].device_kind
     disk_key = f"dct:{ni}x{nj}:{kind}"
+    if params.fft_precision != "highest":
+        disk_key += f":{params.fft_precision}"
     cached = _load_disk_route_key(disk_key)
     if cached in ("rfft", "matmul"):
         print(f"[fft] DCT route for {ni}x{nj}: {cached} (cached)",
@@ -209,7 +222,8 @@ def _race_transform_routes(params: Params) -> str:
         print(f"[fft] rfft route unavailable for {ni}x{nj}: {exc} "
               "-> matmul (not cached)", file=sys.stderr)
         return "matmul"
-    mat_c = jax.jit(chained(lambda r: _solve_matmul(r, lam, ni, nj))).lower(
+    mat_c = jax.jit(chained(
+        lambda r: _solve_matmul(r, lam, ni, nj, params.fft_precision))).lower(
         spec, n_spec).compile()
 
     rhs = onp.zeros((ni, nj), onp.float32)
@@ -259,7 +273,8 @@ def poisson_solve_dct(rhs_int: jax.Array, params: Params) -> jax.Array:
     rhs32 = rhs_int.astype(jnp.float32)
     if _pick_transform_route(params) == "rfft":
         return _solve_rfft(rhs32, lam)
-    return _solve_matmul(rhs32, lam, params.i_max, params.j_max)
+    return _solve_matmul(rhs32, lam, params.i_max, params.j_max,
+                         params.fft_precision)
 
 
 def make_sharded_inner(params: Params, li: int, lj: int):
@@ -306,17 +321,19 @@ def make_sharded_inner(params: Params, li: int, lj: int):
     else:
         use_rfft = bool(PREFER_RFFT)
 
+    pencil_hp = _PRECISIONS[params.fft_precision]
+
     def fwd_last(x, n):
         if use_rfft:
             return _dct2_rfft(x)
         C = jnp.asarray(_dct_matrix(n))
-        return jnp.matmul(x, C.T, precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(x, C.T, precision=pencil_hp)
 
     def inv_last(x, n):
         if use_rfft:
             return _idct2_irfft(x)
         C = jnp.asarray(_dct_matrix(n))
-        return jnp.matmul(x, C, precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(x, C, precision=pencil_hp)
 
     w = nj // (px * py)  # i-pencil j-mode width (== lj // px)
 

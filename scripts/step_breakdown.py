@@ -107,6 +107,15 @@ def main():
     t_mat = chained_ms(lambda r: fftmod._solve_matmul(r, lam, ni, nj),
                        (spec32,), (rhs32,), repeats=args.repeats)
     print(f"[1] DCT solve matmul: {t_mat:8.3f} ms/solve")
+    # MXU precision ladder (Params.fft_precision): lower precision cuts the
+    # 6-pass bf16 emulation down to 3/1 passes; the refinement outer absorbs
+    # the per-solve error as extra solves, so ms/solve here must be weighed
+    # against the solve-count change bench.py --fft-precision reports.
+    for prec in ("high", "default"):
+        t_p = chained_ms(
+            lambda r, _p=prec: fftmod._solve_matmul(r, lam, ni, nj, _p),
+            (spec32,), (rhs32,), repeats=args.repeats)
+        print(f"    matmul @{prec:7s}: {t_p:8.3f} ms/solve")
     try:
         t_rfft = chained_ms(lambda r: fftmod._solve_rfft(r, lam),
                             (spec32,), (rhs32,), repeats=args.repeats)

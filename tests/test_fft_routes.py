@@ -139,6 +139,28 @@ def test_rfft_route_accuracy_large_grid(monkeypatch):
     assert rel < 1e-3, f"rfft direct solve residual reduction only {rel:.2e}"
 
 
+def test_fft_precision_knob():
+    """fft_precision plumbs through the matmul route (validated at
+    construction; on CPU Precision is a no-op for accuracy so this pins
+    plumbing + the contract, while the TPU A/B measures the trade)."""
+    import jax
+
+    from navierstokes_parallel_tpu.solver import solve
+    from navierstokes_parallel_tpu.utils.io import tolerance_errors
+
+    base = Params(i_max=32, j_max=32, T=0.02, Re=100.0, tau=0.5,
+                  epsilon=1e-4, max_it=2000, dtype="float32")
+    ref, _ = solve(base, pressure_method="fft")
+    for prec in ("high", "default"):
+        st, stats = solve(base.replace(fft_precision=prec),
+                          pressure_method="fft")
+        assert int(stats.sor_failures) == 0
+        assert np.max(tolerance_errors(np.asarray(ref.u),
+                                       np.asarray(st.u))) < 1e-4
+    with pytest.raises(ValueError, match="fft_precision"):
+        base.replace(fft_precision="bf16")
+
+
 def test_fft_solves_per_outer():
     """Chained direct solves (s=2): same converged answer, iterations still
     counts direct solves, and the config validates its bounds."""
