@@ -177,12 +177,23 @@ def main(argv=None):
     if args.refine_every < 0:
         ap.error(f"--refine-every must be >= 0 (0 = tuned default), got "
                  f"{args.refine_every}")
-    if args.fft_solves:
-        params = params.replace(fft_solves_per_outer=args.fft_solves)
-    if args.outer != "float64":
-        params = params.replace(outer_precision=args.outer)
-    if args.fft_precision != "highest":
-        params = params.replace(fft_precision=args.fft_precision)
+    try:
+        if args.fft_solves:
+            params = params.replace(fft_solves_per_outer=args.fft_solves)
+        if args.outer != "float64":
+            params = params.replace(outer_precision=args.outer)
+        if args.fft_precision != "highest":
+            params = params.replace(fft_precision=args.fft_precision)
+    except ValueError as e:
+        ap.error(str(e))
+    mesh_shape = None
+    if args.mesh is not None:
+        from navierstokes_parallel_tpu.cli import parse_mesh_arg
+
+        try:
+            mesh_shape = parse_mesh_arg(args.mesh)
+        except ValueError as e:
+            ap.error(str(e))
     if args.method in ("auto", "rb_sor", "pallas_sor"):
         # Measured on v5e (docs/performance.md): K=1024 vs the default 64 is
         # 26%/21%/19% faster at 256^2/512^2/1024^2 (fewer f64 outer passes,
@@ -210,10 +221,7 @@ def main(argv=None):
             compile_sharded_solve,
         )
 
-        from navierstokes_parallel_tpu.cli import parse_mesh_arg
-
-        _runner = compile_sharded_solve(params, state,
-                                        parse_mesh_arg(args.mesh),
+        _runner = compile_sharded_solve(params, state, mesh_shape,
                                         pressure_method=sharded_method)
 
         def run():
@@ -238,12 +246,9 @@ def main(argv=None):
         else:
             gspmd_method = "fft" if params.i_max >= 2048 else "rb_sor"
         print(f"pressure solver: {gspmd_method} (gspmd)", file=sys.stderr)
-        from navierstokes_parallel_tpu.cli import parse_mesh_arg
-
-        gspmd_mesh = parse_mesh_arg(args.mesh)
 
         def run():
-            return solve_gspmd(params, state, gspmd_mesh,
+            return solve_gspmd(params, state, mesh_shape,
                                pressure_method=gspmd_method)
     else:
         if args.method != "auto":

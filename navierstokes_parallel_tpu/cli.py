@@ -164,7 +164,11 @@ def main(argv=None) -> int:
         pressure_method = "rb_sor"  # sync vs deep only differs across shards
     if args.backend == "pallas":
         pressure_method = "pallas_sor"
-    elif args.backend == "auto" and args.method == "rb_sor":
+    elif args.backend == "auto" and pressure_method == "rb_sor":
+        # Tested against the REMAPPED method so a single-chip rb_sor_sync
+        # request gets the same auto upgrade (pallas_sor where available)
+        # as rb_sor — sync vs deep is meaningless on one chip and must not
+        # silently change the performance path.
         from .ops.sor import default_method
         pressure_method = default_method(params)
     if args.tile_size:

@@ -277,6 +277,29 @@ def poisson_solve_dct(rhs_int: jax.Array, params: Params) -> jax.Array:
                          params.fft_precision)
 
 
+_RFFT_OK_CACHE: dict = {}
+
+
+def _rfft_lowering_ok(n: int) -> bool:
+    """Probe-compile the rfft DCT at transform length n (cached per
+    backend): some FFT sizes fail to lower on the remote TPU compiler, and
+    the sharded pencil solve needs to fall back to matmul BEFORE the whole
+    solve program compiles around the failing butterfly."""
+    key = (int(n), jax.default_backend())
+    if key not in _RFFT_OK_CACHE:
+        try:
+            jax.jit(_dct2_rfft).lower(
+                jax.ShapeDtypeStruct((2, int(n)), jnp.float32)).compile()
+            _RFFT_OK_CACHE[key] = True
+        except Exception as exc:  # lowering/compile failure -> matmul
+            import sys
+
+            print(f"[fft] sharded rfft unavailable for n={n}: {exc} "
+                  "-> matmul", file=sys.stderr)
+            _RFFT_OK_CACHE[key] = False
+    return _RFFT_OK_CACHE[key]
+
+
 def make_sharded_inner(params: Params, li: int, lj: int):
     """Multi-chip direct DCT solve on block-sharded interiors: the classic
     pencil decomposition, TPU edition — `lax.all_to_all` transposes over the
@@ -315,9 +338,13 @@ def make_sharded_inner(params: Params, li: int, lj: int):
 
     # Route: PREFER_RFFT if forced, else the flops heuristic on the GLOBAL
     # transform length (no race: per-shard pencil shapes are not the
-    # single-chip shapes the race would measure).
+    # single-chip shapes the race would measure).  The heuristic is gated
+    # on a probe compile — "FFT unsupported size" lowering failures are a
+    # real TPU failure mode (the single-chip race try/excepts the same),
+    # and inside the pencil solve there is no race to absorb one.
     if PREFER_RFFT is None:
-        use_rfft = max(ni, nj) >= 512
+        use_rfft = (max(ni, nj) >= 512 and _rfft_lowering_ok(nj)
+                    and (ni == nj or _rfft_lowering_ok(ni)))
     else:
         use_rfft = bool(PREFER_RFFT)
 

@@ -421,6 +421,16 @@ def _check_method(params: Params, mesh: Mesh, pressure_method: str):
             f"sharded fft pencils must tile: blocks {li}x{lj} on a "
             f"{px}x{py} mesh need li % py == 0 and lj % px == 0"
         )
+    if pressure_method in ("mg", "fft", "cg") and \
+            not jax.config.jax_enable_x64 and \
+            params.outer_precision != "compensated":
+        # Same contract as the single-chip methods (ops/sor.py): without
+        # x64 the astype(float64) in the refinement outer silently stays
+        # f32, which cannot meet the stopping rule on >= 64^2 grids — fail
+        # loudly instead of converging never.
+        raise ValueError(
+            f"sharded {pressure_method} requires x64 for the f64 master "
+            "(or outer_precision='compensated')")
     return px, py, li, lj
 
 

@@ -105,8 +105,6 @@ def solve_stepwise(
     while_loop dispatches yet runs indefinitely as single-step dispatches
     (reproduced 4x / 2x respectively — CLAUDE.md).  Costs one scalar D2H
     fetch per step (~30 ms tunneled), negligible against 4096^2 step time."""
-    import numpy as np
-
     if state is None:
         state = allocate_state(params)
     fn = make_step_fn(params, pressure_method)

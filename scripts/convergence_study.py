@@ -29,18 +29,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-if "--platform" in sys.argv or any(
-        a.startswith("--platform=") for a in sys.argv):
-    # JAX_PLATFORMS=axon is pinned by the environment and overrides the
-    # env var; only the config update forces CPU (CLAUDE.md platform notes).
-    # Handle both spellings — argparse accepts --platform=cpu too, and
-    # silently ignoring it here would hand back TPU timings labeled cpu.
-    _tokens = sys.argv
-    for _i, _tok in enumerate(_tokens):
-        if _tok == "--platform" and _i + 1 < len(_tokens):
-            jax.config.update("jax_platforms", _tokens[_i + 1])
-        elif _tok.startswith("--platform="):
-            jax.config.update("jax_platforms", _tok.split("=", 1)[1])
+from _platform import apply_platform_override
+
+apply_platform_override()
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

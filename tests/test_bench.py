@@ -89,3 +89,17 @@ def test_sharded_arm_runs_fft(tiny_config, capsys):
             steps = int(tok.split("=")[1])
             break
     assert iters <= 8 * steps, f"{iters} solves over {steps} steps"
+
+
+def test_bench_invalid_knobs_get_clean_errors(tiny_config, capsys):
+    """Out-of-range --fft-solves / malformed --mesh must exit through
+    argparse (usage + exit code 2), not an uncaught Params/mesh traceback."""
+    for argv in (["--config", tiny_config, "--fft-solves", "9"],
+                 ["--config", tiny_config, "--backend", "sharded",
+                  "--mesh", "0x2"],
+                 ["--config", tiny_config, "--backend", "sharded",
+                  "--mesh", "2x3x4"]):
+        with pytest.raises(SystemExit) as exc:
+            bench.main(argv)
+        assert exc.value.code == 2
+        capsys.readouterr()

@@ -313,3 +313,27 @@ def test_cli_output_writer_errors_surface(tmp_path, capsys):
     not_a_dir.write_text("occupied")
     with pytest.raises(OSError):
         cli.main([str(cfg), "--output-dir", str(not_a_dir)])
+
+
+def test_cli_rb_sor_sync_gets_auto_upgrade(tmp_path, capsys, monkeypatch):
+    """Single-chip `--method rb_sor_sync` remaps to rb_sor AND must then
+    take the same auto upgrade (ops.sor.default_method) as a plain rb_sor
+    request — otherwise an rb_sor vs rb_sor_sync A/B on one chip compares
+    different performance paths (jnp rolls vs the VMEM kernel) and
+    misattributes the gap to sync-vs-deep."""
+    from navierstokes_parallel_tpu.ops import sor
+
+    calls = []
+    real = sor.default_method
+
+    def spy(params):
+        calls.append(params)
+        return real(params)
+
+    monkeypatch.setattr(sor, "default_method", spy)
+    cfg = tmp_path / "c.in"
+    _write_config(cfg)
+    rc = cli.main([str(cfg), "--method", "rb_sor_sync"])
+    capsys.readouterr()
+    assert rc == 0
+    assert calls, "default_method not consulted for remapped rb_sor_sync"

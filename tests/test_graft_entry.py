@@ -58,3 +58,10 @@ def test_dryrun_gate_has_teeth(monkeypatch):
 # fixed point within 1e-5.  Fixed-point regressions (halo exchange, BC
 # masking, self-coefficient) are what the oracle comparison catches —
 # exercised by test_dryrun_gate_has_teeth above.
+
+
+def test_dryrun_multichip_three_devices():
+    """Non-power-of-two counts: the sharded-fft leg's grid size must stay
+    pencil-divisible for a 1x3/3x1 mesh (a bare max(16, 4*px*py) picked 16,
+    which does not tile over 3 devices and crashed the gate)."""
+    graft.dryrun_multichip(3)

@@ -187,3 +187,41 @@ def test_sharded_fft_1d_mesh():
             np.asarray(sh_state.u)[1:-1, 1:-1],
             np.asarray(st.u)[1:-1, 1:-1], atol=1e-5,
             err_msg=f"mesh {shape}")
+
+
+def test_sharded_methods_require_x64():
+    """Without global x64 the refinement outer's astype(float64) silently
+    stays f32 and can never meet the stopping rule — the sharded backend
+    must raise eagerly like the single-chip methods do (ops/sor.py), for
+    every refined method; compensated lifts the requirement."""
+    from navierstokes_parallel_tpu.parallel.sharded import (
+        make_sharded_step_fn,
+    )
+
+    prm = _params()
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    with jax.enable_x64(False):
+        for method in ("fft", "mg", "cg"):
+            with pytest.raises(ValueError, match="x64"):
+                make_sharded_step_fn(prm, mesh, pressure_method=method)
+        # compensated outer: accepted (builds; execution covered elsewhere).
+        make_sharded_step_fn(prm.replace(outer_precision="compensated"),
+                             mesh, pressure_method="fft")
+
+
+def test_rfft_lowering_probe_falls_back(monkeypatch):
+    """If the rfft butterfly fails to lower (a real TPU failure mode the
+    single-chip race try/excepts), the sharded pencil route must fall back
+    to matmul instead of aborting the whole solve compile."""
+    def boom(x):
+        raise RuntimeError("FFT unsupported size (simulated)")
+
+    monkeypatch.setattr(fftmod, "_RFFT_OK_CACHE", {})
+    monkeypatch.setattr(fftmod, "_dct2_rfft", boom)
+    assert fftmod._rfft_lowering_ok(48) is False
+    # Result is cached: a second query must not re-probe (boom again).
+    assert fftmod._rfft_lowering_ok(48) is False
+
+    monkeypatch.undo()
+    monkeypatch.setattr(fftmod, "_RFFT_OK_CACHE", {})
+    assert fftmod._rfft_lowering_ok(48) is True
