@@ -61,6 +61,12 @@ run bench_fft_4096 3600 $B --config configs/5.in --method fft --repeats 3
 run bench_fft_4096_comp 3600 $B --config configs/5.in --method fft \
   --outer compensated --repeats 3
 
+# 8b. 4096^2 component attribution, fft only (transforms/outer/momentum;
+#     --steps 2 keeps the end-to-end leg to 1-2-step dispatches — longer
+#     4096^2 dispatches crash the remote worker, CLAUDE.md).
+run breakdown_fft_4096 3600 python scripts/step_breakdown.py \
+  --config configs/5.in --method fft --steps 2
+
 # 9. Sharded-fft overhead on the single real chip (1x1 mesh; mg's measured
 #    overhead at this size is 1.06-1.14x).
 run bench_sharded_fft_512 1200 $B --config configs/2.in --backend sharded \
