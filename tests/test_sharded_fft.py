@@ -225,3 +225,34 @@ def test_rfft_lowering_probe_falls_back(monkeypatch):
     monkeypatch.undo()
     monkeypatch.setattr(fftmod, "_RFFT_OK_CACHE", {})
     assert fftmod._rfft_lowering_ok(48) is True
+
+
+def test_sharded_fft_precision_knob():
+    """fft_precision plumbs into the pencil matmul transforms too: the
+    solve still meets the contract (on CPU Precision is accuracy-neutral,
+    so this pins plumbing; the TPU A/B measures the trade)."""
+    prm = _params(fft_precision="default")
+    mesh = topology.make_grid_mesh(8, prm.i_max, prm.j_max)
+    with fftmod_route_forced(False):
+        sh_state, sh_stats = solve_sharded(prm, mesh=mesh,
+                                           pressure_method="fft")
+    assert int(sh_stats.sor_failures) == 0
+    st, _ = solve(prm.replace(fft_precision="highest"),
+                  pressure_method="fft")
+    assert_close_reference_contract(np.asarray(sh_state.u),
+                                    np.asarray(st.u))
+
+
+class fftmod_route_forced:
+    """Force PREFER_RFFT for a block (matmul=False exercises the precision
+    plumbing; restores the module global afterwards)."""
+
+    def __init__(self, prefer):
+        self.prefer = prefer
+
+    def __enter__(self):
+        self.saved = fftmod.PREFER_RFFT
+        fftmod.PREFER_RFFT = self.prefer
+
+    def __exit__(self, *exc):
+        fftmod.PREFER_RFFT = self.saved
