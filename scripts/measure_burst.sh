@@ -71,6 +71,8 @@ run breakdown_fft_4096 3600 python scripts/step_breakdown.py \
 #    overhead at this size is 1.06-1.14x).
 run bench_sharded_fft_512 1200 $B --config configs/2.in --backend sharded \
   --method fft --repeats 3
+run bench_gspmd_fft_512 1200 $B --config configs/2.in --backend gspmd \
+  --method fft --repeats 3
 
 # 10. mg at 2048^2 (sharded-auto flip decision: fft vs mg) + its
 #     compensated-outer A/B, + mg component attribution.
