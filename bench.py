@@ -167,6 +167,12 @@ def main(argv=None):
                          "refinement pass (Params.fft_solves_per_outer; "
                          "0 = default 1).  >1 amortizes the TPU-emulated "
                          "f64 outer pass at large grids")
+    ap.add_argument("--mg-cycles", type=int, default=0,
+                    help="mg method: V-cycles chained per f64 refinement "
+                         "pass (Params.mg_cycles_per_outer; 0 = default 1). "
+                         ">1 amortizes the TPU-emulated f64 outer pass at "
+                         "large grids (~10%% extra cycles, half the outer "
+                         "passes at 2)")
     args = ap.parse_args(argv)
 
     from navierstokes_parallel_tpu.config import Params
@@ -180,6 +186,8 @@ def main(argv=None):
     try:
         if args.fft_solves:
             params = params.replace(fft_solves_per_outer=args.fft_solves)
+        if args.mg_cycles:
+            params = params.replace(mg_cycles_per_outer=args.mg_cycles)
         if args.outer != "float64":
             params = params.replace(outer_precision=args.outer)
         if args.fft_precision != "highest":

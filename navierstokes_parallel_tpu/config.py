@@ -120,6 +120,15 @@ class Params:
     # of overshooting convergence by up to s-1 solves.  Single-chip only;
     # the sharded pencil inner always runs 1 (its outer norms are psum'd).
     fft_solves_per_outer: int = 1
+    # Multigrid: V-cycles chained per f64 refinement pass (the mg analogue
+    # of fft_solves_per_outer; ops/mg.py inner_v_cycle's n_cycles).  The
+    # chained cycles smooth the implicit f32 residual, so convergence costs
+    # ~10% extra cycles at c=2 (measured 16->18 at 256^2, 31->34 at 512^2)
+    # while the f64 outer passes HALVE — a net win wherever the
+    # TPU-emulated outer pass rivals the V-cycle cost (A/B with
+    # scripts/step_breakdown.py before flipping).  Single-chip mg only; the
+    # sharded mg inner keeps 1 (its outer norms are psum'd).
+    mg_cycles_per_outer: int = 1
     # MXU precision of the DCT matmul route ("highest" = full-f32 6-pass
     # bf16 emulation, "high" = 3-pass, "default" = single bf16 pass).
     # Lower precision cuts transform cost up to ~6x on the MXU; each direct
@@ -152,6 +161,10 @@ class Params:
             raise ValueError(
                 f"fft_solves_per_outer must be in 1..8, got "
                 f"{self.fft_solves_per_outer}")
+        if not (1 <= self.mg_cycles_per_outer <= 8):
+            raise ValueError(
+                f"mg_cycles_per_outer must be in 1..8, got "
+                f"{self.mg_cycles_per_outer}")
         if self.fft_precision not in ("highest", "high", "default"):
             raise ValueError(
                 f"fft_precision must be 'highest', 'high' or 'default', got "

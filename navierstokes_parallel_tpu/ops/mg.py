@@ -18,6 +18,19 @@ Laplacian.
   * prolongation: piecewise-constant injection;
   * coarse solve: a few dozen red-black sweeps on the <=8^2 grid.
 
+Measured negative results (kept as the record, like the bf16 sweeps in
+docs/performance.md): cell-centered BILINEAR prolongation (0.75/0.25
+separable stencil, Neumann clamp) *increases* cavity-workload cycle counts
+(18->20 at 128^2, 31->38 at 512^2 — the FW-restriction/constant-injection
+pair already satisfies the transfer-order rule m_r + m_p > 2m for the
+2nd-order operator, and the smoother-limited cycle gains nothing from the
+smoother transfer); V(1,1) cuts smoothing work/cycle in half but needs
+1.5x the cycles (24 vs 16 at 256^2), a wash on sweep work that LOSES on
+per-cycle f64 outer passes; smoother over-relaxation omega=1.15 saves ~6%
+cycles at V(2,2) but destabilizes V(1,1) (27 cycles) and omega=1.3
+diverges toward 50 — omega=1 stays.  Chaining cycles per outer pass (the
+win that did survive) is `Params.mg_cycles_per_outer`.
+
 It plugs into the SAME mixed-precision refinement outer loop as SOR
 (ops/sor.py): the f64 master pressure, the f64 defect, and the exact
 reference convergence test are unchanged — one V-cycle on the f32

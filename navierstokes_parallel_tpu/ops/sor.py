@@ -175,9 +175,9 @@ def solve_pressure(
             method="rb_sor", inner="cg")
     if method == "mg":
         # Geometric multigrid V-cycles as the refinement inner stage
-        # (ops/mg.py): one cycle per f64 defect check; `iterations` counts
-        # V-cycles.  Same convergence contract, ~1000x fewer sweeps on
-        # large grids.  Single-chip only.
+        # (ops/mg.py): `mg_cycles_per_outer` cycles per f64 defect check
+        # (default 1); `iterations` counts V-cycles.  Same convergence
+        # contract, ~1000x fewer sweeps on large grids.  Single-chip only.
         if hooks:
             raise ValueError("mg is single-chip only (got shard hooks)")
         if not jax.config.jax_enable_x64 and \
@@ -185,8 +185,10 @@ def solve_pressure(
             raise ValueError("mg requires x64 for the f64 master (or "
                              "outer_precision='compensated')")
         return _solve_pressure_refined(
-            p, rhs, params.replace(sor_refine_every=1), method="rb_sor",
-            inner="mg",
+            p, rhs,
+            params.replace(
+                sor_refine_every=max(1, params.mg_cycles_per_outer)),
+            method="rb_sor", inner="mg",
         )
     if method == "fft":
         # Direct DCT-II spectral solve on the MXU (ops/fft.py): one

@@ -82,4 +82,12 @@ run bench_mg_2048_comp 2400 $B --config configs/4.in --method mg \
 run breakdown_mg_2048 2400 python scripts/step_breakdown.py \
   --config configs/4.in --method mg
 
+# 11. Chained V-cycles per f64 outer pass (mg analogue of --fft-solves;
+#     CPU-measured cycle cost: +10-16% cycles, outer passes /2 at c=2, /3
+#     at c=3 — a net win wherever the emulated f64 outer rivals the cycle).
+run bench_mg_2048_c2 2400 $B --config configs/4.in --method mg \
+  --mg-cycles 2 --repeats 3
+run bench_mg_2048_c3 2400 $B --config configs/4.in --method mg \
+  --mg-cycles 3 --repeats 3
+
 echo "burst done $(date '+%F %T')" | tee -a "$OUT/summary.log"

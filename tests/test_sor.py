@@ -8,6 +8,7 @@ comparator demands, and (c) honor max_it.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from navierstokes_parallel_tpu.config import Params
 from navierstokes_parallel_tpu.ops import sor
@@ -192,6 +193,38 @@ def test_multigrid_converges_where_sor_cannot():
     gmg = np.diff(np.asarray(r_mg.p)[1:-1, 1:-1], axis=0)
     grb = np.diff(np.asarray(r_rb.p)[1:-1, 1:-1], axis=0)
     np.testing.assert_allclose(gmg, grb, atol=2e-5)
+
+
+def test_mg_cycles_per_outer():
+    """Chained V-cycles (c=2): same converged answer, iterations still
+    counts V-cycles (multiples of c per outer pass), bounds validated."""
+    n = 64
+    prm = _params(n, epsilon=1e-4, max_it=20000, dtype="float32")
+    rng = np.random.default_rng(5)
+    rhs = np.zeros((n + 2, n + 2), np.float32)
+    ri = rng.standard_normal((n, n)).astype(np.float32) * 100.0
+    ri -= ri.mean()
+    rhs[1:-1, 1:-1] = ri
+    z = jnp.zeros((n + 2, n + 2), jnp.float32)
+    rhsj = jnp.asarray(rhs)
+
+    r1 = sor.solve_pressure(z, rhsj, prm, method="mg")
+    r2 = sor.solve_pressure(z, rhsj, prm.replace(mg_cycles_per_outer=2),
+                            method="mg")
+    assert bool(r2.converged)
+    n1, n2 = int(r1.iterations), int(r2.iterations)
+    assert n2 % 2 == 0
+    # chaining may overshoot by at most one extra chained pair plus the
+    # ~10% convergence slack measured on the cavity workloads
+    assert n2 <= n1 + 4
+    g1 = np.diff(np.asarray(r1.p)[1:-1, 1:-1], axis=0)
+    g2 = np.diff(np.asarray(r2.p)[1:-1, 1:-1], axis=0)
+    np.testing.assert_allclose(g1, g2, atol=2e-5)
+
+    with pytest.raises(ValueError, match="mg_cycles_per_outer"):
+        prm.replace(mg_cycles_per_outer=0)
+    with pytest.raises(ValueError, match="mg_cycles_per_outer"):
+        prm.replace(mg_cycles_per_outer=9)
 
 
 def test_multigrid_end_to_end_oracle_contract():
