@@ -29,6 +29,40 @@ jax.config.update("jax_enable_x64", True)
 CUDA_BASELINE_S = {256: 3.349, 512: 18.176, 1024: 182.39, 2048: 2653.29}
 SERIAL_BASELINE_S = {256: 48.58, 512: 759.90, 1024: 12134.53, 2048: 198116.11}
 
+# Dark-tunnel watchdog: a remote-backend jax.devices() can hang for HOURS
+# when the axon tunnel is down.  Probe it in a killable subprocess first.
+_PROBE_TIMEOUT_S = float(__import__("os").environ.get(
+    "NSP_BENCH_PROBE_TIMEOUT", "300"))
+
+
+def _device_probe_ok() -> bool:
+    """True if the jax backend answers within _PROBE_TIMEOUT_S.
+
+    Skipped (True) when the platform is already forced local (tests force
+    cpu via jax.config; a local backend cannot hang) — probing the remote
+    default from inside a cpu-forced test run would itself hang.
+    """
+    import os
+    import subprocess
+
+    configured = jax.config.jax_platforms or os.environ.get(
+        "JAX_PLATFORMS", "")
+    if not configured or "cpu" in configured:
+        return True
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=_PROBE_TIMEOUT_S, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except subprocess.TimeoutExpired:
+        print(f"device probe: jax.devices() unanswered after "
+              f"{_PROBE_TIMEOUT_S:.0f}s — tunnel dark", file=sys.stderr)
+        return False
+    except subprocess.CalledProcessError as e:
+        print(f"device probe failed (rc={e.returncode})", file=sys.stderr)
+        return False
+
 
 def _bench_ensemble(params, args):
     """Batched-ensemble benchmark (VERDICT r2 item 9): N perturbed members
@@ -174,6 +208,19 @@ def main(argv=None):
                          "large grids (~10%% extra cycles, half the outer "
                          "passes at 2)")
     args = ap.parse_args(argv)
+
+    if not _device_probe_ok():
+        # The axon tunnel goes FULLY dark for hours (jax.devices() hangs,
+        # CLAUDE.md platform notes); without this guard a driver-run bench
+        # hangs forever instead of reporting.  Schema-valid so the driver's
+        # one-JSON-line contract still parses; value = probe timeout.
+        print(json.dumps({
+            "metric": "tpu_unreachable",
+            "value": float(_PROBE_TIMEOUT_S),
+            "unit": "s",
+            "vs_baseline": None,
+        }))
+        return
 
     from navierstokes_parallel_tpu.config import Params
     from navierstokes_parallel_tpu.grid import allocate_state

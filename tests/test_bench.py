@@ -103,3 +103,30 @@ def test_bench_invalid_knobs_get_clean_errors(tiny_config, capsys):
             bench.main(argv)
         assert exc.value.code == 2
         capsys.readouterr()
+
+
+def test_device_probe_skipped_on_local_platform():
+    """cpu-forced runs (every test) must not spawn a probe subprocess —
+    the probe targets the pinned remote platform and would hang."""
+    import subprocess
+    orig = subprocess.run
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("probe subprocess spawned on cpu platform")
+
+    subprocess.run = boom
+    try:
+        assert bench._device_probe_ok()
+    finally:
+        subprocess.run = orig
+
+
+def test_bench_reports_unreachable_tunnel(tiny_config, capsys, monkeypatch):
+    """When the device probe fails (axon tunnel dark), bench must print a
+    schema-valid JSON line instead of hanging into the driver's timeout."""
+    monkeypatch.setattr(bench, "_device_probe_ok", lambda: False)
+    bench.main(["--config", tiny_config])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["metric"] == "tpu_unreachable"
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
