@@ -8,7 +8,9 @@ while also being a plain dataclass for idiomatic programmatic use.
 
 File format (one value per line, ``#`` comments ignored):
 
-    1  problem   (int)    1 = lid-driven cavity, 2 = oscillating lid
+    1  problem   (int)    1 = lid-driven cavity, 2 = oscillating lid,
+                          3 = plane channel (beyond-reference,
+                          models/channel.py)
     2  f         (float)  lid oscillation frequency (problem 2 only)
     3  i_max     (int)    interior cells in x
     4  j_max     (int)    interior cells in y
@@ -146,8 +148,10 @@ class Params:
     outer_precision: str = "float64"
 
     def __post_init__(self):
-        if self.problem not in (1, 2):
-            raise ValueError(f"unknown problem type {self.problem} (expected 1 or 2)")
+        if self.problem not in (1, 2, 3):
+            raise ValueError(
+                f"unknown problem type {self.problem} (expected 1: cavity, "
+                f"2: oscillating lid, 3: plane channel)")
         if self.i_max < 2 or self.j_max < 2:
             raise ValueError("grid must be at least 2x2 interior cells")
         if not (0.0 < self.omega < 2.0):

@@ -94,3 +94,57 @@ def lid_velocity(problem: int, f: float, t):
     elif problem == 2:
         return jnp.sin(f * t)
     raise ValueError(f"unknown problem type {problem}")
+
+
+def set_outflow(u: jax.Array, v: jax.Array, side: Side) -> Tuple[jax.Array, jax.Array]:
+    """Zero-gradient outflow (Griebel et al. sect. 3.3, 'outflow'): copy the
+    wall-normal edge velocity from its upstream interior neighbor and
+    zero-gradient the tangential ghost.  No reference analogue (the
+    reference ships only the enclosed-cavity problems 1-2); this is the
+    beyond-reference channel model family (models/channel.py)."""
+    if side is Side.RIGHT:
+        u = u.at[-2, 1:-1].set(u[-3, 1:-1])
+        v = v.at[-1, 1:-1].set(v[-2, 1:-1])
+    elif side is Side.LEFT:
+        u = u.at[0, 1:-1].set(u[1, 1:-1])
+        v = v.at[0, 1:-1].set(v[1, 1:-1])
+    elif side is Side.TOP:
+        v = v.at[1:-1, -2].set(v[1:-1, -3])
+        u = u.at[1:-1, -1].set(u[1:-1, -2])
+    elif side is Side.BOTTOM:
+        v = v.at[1:-1, 0].set(v[1:-1, 1])
+        u = u.at[1:-1, 0].set(u[1:-1, 1])
+    else:  # pragma: no cover
+        raise ValueError(f"unknown side {side}")
+    return u, v
+
+
+def poiseuille_profile(params, u_max: float = 1.0):
+    """Parabolic channel inflow u(y) = 4 u_max y (b - y) / b^2 sampled at
+    the u-node heights y_j = (j - 1/2) dy, j = 1..j_max."""
+    j = jnp.arange(1, params.j_max + 1)
+    y = (j - 0.5) * params.dy
+    return 4.0 * u_max * y * (params.b - y) / (params.b * params.b)
+
+
+def apply_channel_bcs(u, v, params) -> Tuple[jax.Array, jax.Array]:
+    """Plane-channel BCs (problem 3): parabolic inflow on the left,
+    zero-gradient outflow on the right, no-slip bottom/top walls.
+
+    The Poisson RHS is compatible (orthogonal to the Neumann null space)
+    only if the boundary fluxes balance exactly: sum_j F[i_max, j] must
+    equal sum_j F[0, j] since momentum.compute_fg pins F = u on both edges
+    and G = v = 0 on the walls.  The raw zero-gradient copy violates that
+    during transients, which would floor every pressure solver above the
+    eps*(||p0||+1.5) contract — so a uniform additive correction pins the
+    outflow flux to the inflow flux (standard global mass-balance fix; it
+    vanishes identically at the developed steady state)."""
+    profile = poiseuille_profile(params).astype(u.dtype)
+    u, v = set_inflow(u, v, Side.LEFT, profile, 0.0)
+    u, v = set_outflow(u, v, Side.RIGHT)
+    q_in = jnp.sum(u[0, 1:-1])
+    q_out = jnp.sum(u[-2, 1:-1])
+    u = u.at[-2, 1:-1].add((q_in - q_out) / params.j_max)
+    u, v = set_noslip(u, v, Side.BOTTOM)
+    u, v = set_noslip(u, v, Side.TOP)
+    return u, v

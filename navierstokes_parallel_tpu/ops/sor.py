@@ -147,6 +147,18 @@ def solve_pressure(
     identical to plain SOR — refinement only stops floating-point error from
     accumulating in the large-magnitude iterate.
     """
+    if params.problem == 3:
+        # Outflow problems: the BC-level flux balance (boundary.py
+        # apply_channel_bcs) cancels the in/outflow fluxes only to f32
+        # roundoff, leaving a constant-mode (Neumann null space) component
+        # in rhs that no iteration can remove — at fine grids its floor
+        # crosses the eps*(||p0||+1.5) contract (measured: 59 max_it hits
+        # at 64x32 without this).  Deflate it by the orthogonal projection
+        # onto the compatible subspace; gradients (all the projection ever
+        # uses) are unchanged.  The enclosed problems 1-2 are left
+        # untouched for bit-parity with the reference.
+        interior = rhs[1:-1, 1:-1]
+        rhs = rhs.at[1:-1, 1:-1].set(interior - jnp.mean(interior))
     if method == "jacobi" and params.omega > 1.0:
         # Damped Jacobi diverges for omega > 1 (spectral radius
         # |1 - omega + omega*mu| with mu in (-1, 1)); clamp rather than let
@@ -461,6 +473,20 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
         omega32=omega32, dx2_inv32=dx2_inv32, dy2_inv32=dy2_inv32,
         red_mask=red_mask, black_mask=black_mask, ghost_fn=ghost_fn)
 
+    # Outflow problems: the f32-stored rhs carries a constant-mode (Neumann
+    # null space) component at its own storage-rounding level that no
+    # iterate can remove — on the impulsive first step (rhs ~ 1/dx/dt) that
+    # floor EXCEEDS the eps*(||p0||+1.5) threshold (measured: mg burned all
+    # 20000 cycles at res=1.8e-4 vs threshold 1.5e-4 on configs/channel.in
+    # step 0).  Deflate the CURRENT defect every outer pass: the removal is
+    # exact at the outer's precision and the re-rounding error scales with
+    # the shrinking defect, not the initial rhs.  Enclosed problems have a
+    # compatible rhs by construction and keep the reference bit behavior.
+    deflate = params.problem == 3
+
+    def _deflated(r):
+        return r - jnp.mean(r) if deflate else r
+
     def cond(carry):
         _, _, it, res_norm = carry
         return jnp.logical_and(it < params.max_it, res_norm > threshold)
@@ -470,11 +496,13 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
         n_inner = jnp.minimum(K, params.max_it - it)
         delta = inner_sweeps(-r64.astype(f32), n_inner)
         p64 = p64.at[1:-1, 1:-1].add(delta[1:-1, 1:-1].astype(f64))
-        r64 = masked(residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64))
+        r64 = _deflated(
+            masked(residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64)))
         res_norm = l2_fn(r64)
         return p64, r64, it + n_inner, res_norm
 
-    r64_0 = masked(residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64))
+    r64_0 = _deflated(
+        masked(residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64)))
     init = (p64, r64_0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, f64))
     p64, _, it, res_norm = lax.while_loop(cond, body, init)
     p_out = ghost_fn(p64).astype(p.dtype)
@@ -548,9 +576,15 @@ def _solve_pressure_refined_compensated(p, rhs, params, *, method,
         red_mask=red_mask, black_mask=black_mask, ghost_fn=ghost_fn)
 
     def defect(hi, lo):
-        return masked(comp.residual_df(ghost_fn(hi), ghost_fn(lo), rhs_int32,
-                                       dx2_inv32, dy2_inv32,
-                                       rhs_lo=rhs_lo32))
+        r32 = masked(comp.residual_df(ghost_fn(hi), ghost_fn(lo), rhs_int32,
+                                      dx2_inv32, dy2_inv32,
+                                      rhs_lo=rhs_lo32))
+        if params.problem == 3:
+            # Constant-mode deflation for outflow problems — see the f64
+            # outer above; here the re-rounding error is relative to the
+            # shrinking f32 defect, so the floor shrinks with convergence.
+            r32 = r32 - jnp.mean(r32)
+        return r32
 
     def cond(carry):
         _, _, _, it, res_norm = carry

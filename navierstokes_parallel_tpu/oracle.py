@@ -52,6 +52,29 @@ def _apply_bcs(u, v, i_max, j_max, lid_u):
     u[1 : i_max + 1, j_max + 1] = 2.0 * lid_u - u[1 : i_max + 1, j_max]
 
 
+def _apply_channel_bcs(u, v, i_max, j_max, prm: Params):
+    """Channel BCs (problem 3, beyond-reference — ops/boundary.py
+    apply_channel_bcs): parabolic inflow left, flux-balanced zero-gradient
+    outflow right, no-slip walls.  Same driver order."""
+    y = (np.arange(1, j_max + 1) - 0.5) * prm.dy
+    profile = 4.0 * y * (prm.b - y) / (prm.b * prm.b)
+    # LEFT (inflow)
+    u[0, 1 : j_max + 1] = profile
+    v[0, 1 : j_max + 1] = -v[1, 1 : j_max + 1]
+    # RIGHT (outflow + global mass balance)
+    u[i_max, 1 : j_max + 1] = u[i_max - 1, 1 : j_max + 1]
+    v[i_max + 1, 1 : j_max + 1] = v[i_max, 1 : j_max + 1]
+    u[i_max, 1 : j_max + 1] += (
+        u[0, 1 : j_max + 1].sum() - u[i_max, 1 : j_max + 1].sum()
+    ) / j_max
+    # BOTTOM (no-slip)
+    v[1 : i_max + 1, 0] = 0.0
+    u[1 : i_max + 1, 0] = -u[1 : i_max + 1, 1]
+    # TOP (no-slip)
+    v[1 : i_max + 1, j_max] = 0.0
+    u[1 : i_max + 1, j_max + 1] = -u[1 : i_max + 1, j_max]
+
+
 def _compute_fg(u, v, dt, gamma, prm: Params):
     """Vectorized but mathematically identical to integration.c:73-96.
 
@@ -162,14 +185,29 @@ def oracle_step(u, v, p, t, prm: Params) -> Tuple[float, int]:
         )
     gamma = max(u_max * dt / dx, v_max * dt / dy)
 
-    lid_u = 1.0 if prm.problem == 1 else np.sin(prm.f * t)
-    _apply_bcs(u, v, i_max, j_max, lid_u)
+    if prm.problem == 3:
+        _apply_channel_bcs(u, v, i_max, j_max, prm)
+    else:
+        lid_u = 1.0 if prm.problem == 1 else np.sin(prm.f * t)
+        _apply_bcs(u, v, i_max, j_max, lid_u)
 
     F, G = _compute_fg(u, v, dt, gamma, prm)
+    if prm.problem == 3:
+        # Nonzero wall-normal flux through the inflow/outflow planes: pin
+        # F = u there (momentum.compute_fg does this for every problem; the
+        # cavity oracle's calloc-zero edges coincide only because its wall
+        # normal velocities vanish).
+        F[0, 1 : j_max + 1] = u[0, 1 : j_max + 1]
+        F[i_max, 1 : j_max + 1] = u[i_max, 1 : j_max + 1]
     rhs = np.zeros_like(p)
     rhs[1:-1, 1:-1] = (
         (F[1:-1, 1:-1] - F[:-2, 1:-1]) / dx + (G[1:-1, 1:-1] - G[1:-1, :-2]) / dy
     ) / dt
+
+    if prm.problem == 3:
+        # Same constant-mode deflation as ops/sor.py::solve_pressure (the
+        # outflow flux balance is exact only to storage roundoff).
+        rhs[1:-1, 1:-1] -= rhs[1:-1, 1:-1].mean()
 
     iters, _ = sor_serial(p, rhs, prm)
 

@@ -407,6 +407,15 @@ def _gather_blocks(blocks, px: int, py: int, li: int, lj: int, shape):
 
 
 def _check_method(params: Params, mesh: Mesh, pressure_method: str):
+    if params.problem == 3:
+        # The shard_map step uses its own roll-masked BC twin
+        # (_apply_bcs_sharded), which implements the enclosed problems 1-2
+        # only; the channel's inflow/outflow + global flux balance need a
+        # psum'd cross-shard sum it doesn't carry.  The GSPMD backend
+        # shards the channel unmodified (it reuses solver.step).
+        raise ValueError(
+            "problem 3 (plane channel) is not supported by the shard_map "
+            "backend — use --backend gspmd (auto-sharded) or single-chip")
     px, py = mesh.devices.shape
     li, lj = local_block_dims((px, py), params.i_max, params.j_max)
     padded = (px * li != params.i_max) or (py * lj != params.j_max)

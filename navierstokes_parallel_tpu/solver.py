@@ -58,8 +58,11 @@ def step(
     u, v, p, t, n = state
 
     dt, gamma = momentum.adaptive_dt_gamma(u, v, params)
-    lid = boundary.lid_velocity(params.problem, params.f, t)
-    u, v = boundary.apply_cavity_bcs(u, v, lid)
+    if params.problem == 3:
+        u, v = boundary.apply_channel_bcs(u, v, params)
+    else:
+        lid = boundary.lid_velocity(params.problem, params.f, t)
+        u, v = boundary.apply_cavity_bcs(u, v, lid)
     from .ops.pallas import momentum_kernel
     if momentum_kernel.usable(params):
         # Fused single-VMEM-pass F/G/RHS kernel (TPU, f32, fits VMEM).

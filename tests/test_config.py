@@ -73,7 +73,7 @@ def test_derived():
 
 def test_validation():
     with pytest.raises(ValueError):
-        Params(problem=3)
+        Params(problem=4)  # 3 = plane channel (models/channel.py) is valid
     with pytest.raises(ValueError):
         Params(omega=2.5)
     with pytest.raises(ValueError):

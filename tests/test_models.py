@@ -67,3 +67,115 @@ def test_ghia_errors_unknown_re():
     prm = Params(i_max=8, j_max=8)
     with pytest.raises(ValueError):
         cavity.ghia_errors(np.zeros(prm.shape), np.zeros(prm.shape), prm, 777)
+
+
+# ---------------------------------------------------------------------------
+# Plane channel (problem 3, beyond-reference model family)
+# ---------------------------------------------------------------------------
+
+
+def _channel(ny, **kw):
+    from navierstokes_parallel_tpu.models import channel
+
+    defaults = dict(Re=10.0, nx=2 * ny, ny=ny, a=2.0, b=1.0, T=0.5,
+                    dtype="float32")
+    defaults.update(kw)
+    return channel.plane_channel(**defaults)
+
+
+def test_channel_factory_and_config():
+    from navierstokes_parallel_tpu.models import channel
+
+    p = _channel(8)
+    assert p.problem == 3 and p.a == 2.0
+    # analytic profile peaks at the center, vanishes into the walls
+    prof = channel.analytic_u(p)
+    assert prof.max() == pytest.approx(4 * (0.5 - p.dy / 2) * (0.5 + p.dy / 2))
+    assert np.all(prof > 0)
+    with pytest.raises(ValueError, match="problem type"):
+        Params(problem=4, i_max=8, j_max=8)
+
+
+def test_channel_steady_state_grid_convergence():
+    """Integrating FROM the analytic fixed point must stay on the discrete
+    steady state, whose distance to the parabola is the O(dy^2) ghost-cell
+    wall closure — assert the error halves-ish per refinement (measured
+    9.9e-3 / 3.2e-3 / 8.8e-4 at ny=8/16/32) and every solve converges."""
+    from navierstokes_parallel_tpu import solver
+    from navierstokes_parallel_tpu.models import channel
+
+    errs = {}
+    for ny in (8, 16):
+        prm = _channel(ny)
+        st, stats = solver.solve(prm, channel.developed_state(prm))
+        assert int(stats.sor_failures) == 0
+        err_out, err_mid = channel.profile_errors(st.u, prm)
+        errs[ny] = err_mid
+        # v stays near zero (pure shear flow)
+        assert float(np.max(np.abs(np.asarray(st.v)))) < 5e-3 * (8 / ny)
+    assert errs[8] < 2e-2
+    assert errs[16] < errs[8] / 2.5  # ~2nd order (measured ratio 3.1)
+
+
+def test_channel_methods_agree_and_from_rest_develops():
+    """mg and fft reach the same steady state as rb_sor, and the from-rest
+    transient (exercising the outflow mass-balance path) lands on the same
+    state as starting from the analytic profile."""
+    from navierstokes_parallel_tpu import solver
+    from navierstokes_parallel_tpu.models import channel
+
+    prm = _channel(16)
+    ref, stats = solver.solve(prm, channel.developed_state(prm))
+    assert int(stats.sor_failures) == 0
+    for method in ("mg", "fft"):
+        st, stats = solver.solve(prm, channel.developed_state(prm),
+                                 pressure_method=method)
+        assert int(stats.sor_failures) == 0
+        np.testing.assert_allclose(np.asarray(st.u), np.asarray(ref.u),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(st.v), np.asarray(ref.v),
+                                   atol=2e-5)
+    st, stats = solver.solve(prm.replace(T=3.0), None,
+                             pressure_method="mg")
+    assert int(stats.sor_failures) == 0
+    # physical u entries only (i = 0..i_max, j = 1..j_max): developed_state
+    # also fills the never-read u ghost column i_max+1, from-rest leaves it
+    # zero — dead cells by the grid convention (grid.py docstring)
+    np.testing.assert_allclose(np.asarray(st.u)[:-1, 1:-1],
+                               np.asarray(ref.u)[:-1, 1:-1], atol=5e-4)
+
+
+def test_channel_oracle_contract():
+    """The 1e-4 comparator contract (reference notebook) holds on the
+    channel step too: float32 TPU-path solve vs the float64 NumPy oracle."""
+    from navierstokes_parallel_tpu import oracle, solve
+
+    prm = _channel(8, T=0.05, max_it=2000, dtype="float64")
+    res_o = oracle.oracle_solve(prm)
+    state, stats = solve(prm.replace(dtype="float32"))
+    assert int(stats.steps) == res_o.steps
+    np.testing.assert_allclose(np.asarray(state.u, dtype=np.float64),
+                               res_o.u, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.v, dtype=np.float64),
+                               res_o.v, atol=1e-4)
+
+
+def test_channel_sharded_rejected_gspmd_supported():
+    """shard_map backend rejects problem 3 with a clear error (its BC twin
+    is cavity-only); the GSPMD backend runs it unmodified over the mesh."""
+    import jax
+
+    from navierstokes_parallel_tpu import solver
+    from navierstokes_parallel_tpu.models import channel
+    from navierstokes_parallel_tpu.parallel import gspmd, sharded
+    from navierstokes_parallel_tpu.parallel.topology import make_grid_mesh
+
+    prm = _channel(8, T=0.1)
+    mesh = make_grid_mesh(8, prm.i_max, prm.j_max)
+    with pytest.raises(ValueError, match="plane channel"):
+        sharded.solve_sharded(prm, mesh=mesh)
+    g_state, g_stats = gspmd.solve_gspmd(prm, mesh=mesh)
+    s_state, s_stats = solver.solve(prm.replace(disable_pallas=True))
+    assert int(g_stats.sor_failures) == int(s_stats.sor_failures)
+    np.testing.assert_allclose(np.asarray(g_state.u), np.asarray(s_state.u),
+                               atol=1e-5)
