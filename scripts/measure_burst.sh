@@ -90,4 +90,9 @@ run bench_mg_2048_c2 2400 $B --config configs/4.in --method mg \
 run bench_mg_2048_c3 2400 $B --config configs/4.in --method mg \
   --mg-cycles 3 --repeats 3
 
+# 12. Beyond-reference channel model on the real chip (fast; artifact row
+#     for docs/performance.md).
+run bench_channel_mg 900 $B --config configs/channel.in --method mg \
+  --repeats 3
+
 echo "burst done $(date '+%F %T')" | tee -a "$OUT/summary.log"
