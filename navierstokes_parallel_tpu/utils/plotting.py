@@ -60,6 +60,33 @@ def plot_ghia(u, v, params: Params, Re: int, out_prefix: str = "ghia"):
     return f"{out_prefix}_u.png", f"{out_prefix}_v.png"
 
 
+def plot_channel(u, params: Params, out_path: str = "channel_profile.png",
+                 stations=(0.25, 0.5, 0.9)):
+    """u(y) at several x-stations vs the exact Poiseuille parabola
+    (problem 3, models/channel.py).  Writes one overlay figure."""
+    from ..models import channel
+
+    plt = _mpl()
+    u = np.asarray(u)
+    y = (np.arange(1, params.j_max + 1) - 0.5) * params.dy
+    exact = channel.analytic_u(params)
+
+    plt.figure(figsize=(5, 4))
+    plt.grid(linestyle="dashed", color="gray")
+    for frac in stations:
+        i = max(1, min(params.i_max - 1, int(round(frac * params.i_max))))
+        plt.plot(y, u[i, 1:-1], label=f"$x = {i * params.dx:.2f}$")
+    plt.plot(y, exact, "x", color="black", label="Poiseuille (exact)")
+    plt.xlim(0.0, params.b)
+    plt.xlabel("$y$")
+    plt.ylabel("$u$")
+    plt.legend()
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=150)
+    plt.close()
+    return out_path
+
+
 def plot_streamlines(u, params: Params, out_path: str = "streamlines.png",
                      Re: Optional[int] = None):
     """Stream-function contour plot (the standard cavity figure: primary

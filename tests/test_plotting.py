@@ -90,3 +90,13 @@ def test_history_plot_empty_raises(tmp_path):
     hist.write_text("step,t,dt,sor_iterations,res_norm\n")
     with pytest.raises(ValueError, match="no data rows"):
         plotting.plot_history(str(hist), str(tmp_path / "h3.png"))
+
+
+def test_channel_plot(tmp_path):
+    import os
+
+    prm = Params(problem=3, i_max=16, j_max=8, a=2.0, b=1.0)
+    rng = np.random.default_rng(2)
+    u = rng.standard_normal(prm.shape) * 0.1
+    p = plotting.plot_channel(u, prm, str(tmp_path / "c.png"))
+    assert os.path.getsize(p) > 1000
