@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "TPU-emulated) or compensated two-float f32 "
                          "(ops/compensated.py — same convergence contract, "
                          "no f64 ops, no x64 requirement)")
+    ap.add_argument("--obstacle", action="append", default=None,
+                    metavar="I0:I1:J0:J1",
+                    help="mark an interior cell rectangle solid (1-based "
+                         "inclusive; repeatable).  Flag-field domains "
+                         "(Griebel sect. 5.1, e.g. the backward-facing "
+                         "step) run on the masked rb_sor/mg solvers; "
+                         "fft/cg and the sharded backend reject them")
     ap.add_argument("--output-dir", default=None,
                     help="write <n>_{u,v,p}.txt frames every n_print steps")
     ap.add_argument("--final-output-prefix", default=None,
@@ -124,6 +131,17 @@ def main(argv=None) -> int:
         overrides["sor_refine_every"] = args.refine_every
     if args.outer:
         overrides["outer_precision"] = args.outer
+    if args.obstacle:
+        rects = []
+        for spec in args.obstacle:
+            parts = spec.split(":")
+            if len(parts) != 4 or not all(
+                    p.lstrip("-").isdigit() for p in parts):
+                print(f"error: --obstacle expects I0:I1:J0:J1 (got "
+                      f"{spec!r})", file=sys.stderr)
+                return 1
+            rects.append(tuple(int(p) for p in parts))
+        overrides["obstacles"] = tuple(rects)
     if args.history_physics and not args.history_file:
         print("error: --history-physics requires --history-file",
               file=sys.stderr)

@@ -146,6 +146,15 @@ class Params:
     # TPU software-emulates) and no global x64 requirement.  Measure before
     # flipping the default (docs/performance.md).
     outer_precision: str = "float64"
+    # Obstacle cells (flag-field domains, Griebel et al. sect. 5.1 — the
+    # reference has NO analogue): a static tuple of axis-aligned rectangles
+    # ((i0, i1, j0, j1), ...) of 1-based INCLUSIVE interior cell ranges
+    # marked solid.  Static (hashable) so the masks fold into the jit
+    # program as constants.  Velocity faces get no-slip, the pressure
+    # operator drops solid neighbors per cell (ops/obstacles.py,
+    # ops/masked.py); obstacle runs use the masked rb_sor/mg solvers
+    # (fft/cg/pallas_sor and the sharded backend reject them).
+    obstacles: tuple = ()
 
     def __post_init__(self):
         if self.problem not in (1, 2, 3):
@@ -165,6 +174,21 @@ class Params:
             raise ValueError(
                 f"fft_solves_per_outer must be in 1..8, got "
                 f"{self.fft_solves_per_outer}")
+        if self.obstacles:
+            # Normalize to a hashable tuple-of-tuples (callers may pass
+            # lists); frozen dataclass needs object.__setattr__.
+            rects = tuple(tuple(int(x) for x in r) for r in self.obstacles)
+            object.__setattr__(self, "obstacles", rects)
+            for r in rects:
+                if len(r) != 4:
+                    raise ValueError(
+                        f"obstacle rect must be (i0, i1, j0, j1), got {r}")
+                i0, i1, j0, j1 = r
+                if not (1 <= i0 <= i1 <= self.i_max
+                        and 1 <= j0 <= j1 <= self.j_max):
+                    raise ValueError(
+                        f"obstacle rect {r} outside the interior "
+                        f"[1, {self.i_max}] x [1, {self.j_max}]")
         if not (1 <= self.mg_cycles_per_outer <= 8):
             raise ValueError(
                 f"mg_cycles_per_outer must be in 1..8, got "

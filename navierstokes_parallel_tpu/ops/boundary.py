@@ -139,12 +139,26 @@ def apply_channel_bcs(u, v, params) -> Tuple[jax.Array, jax.Array]:
     eps*(||p0||+1.5) contract — so a uniform additive correction pins the
     outflow flux to the inflow flux (standard global mass-balance fix; it
     vanishes identically at the developed steady state)."""
-    profile = poiseuille_profile(params).astype(u.dtype)
+    if params.obstacles:
+        # Obstacle-aware inflow (a parabola per contiguous fluid span of
+        # the inflow column — the backward-facing step's upper-half inflow)
+        # and a flux balance restricted to the fluid rows of the outflow
+        # column (obstacle faces there must stay no-slip).
+        from . import obstacles as obs
+
+        profile = jnp.asarray(obs.inflow_profile(params)).astype(u.dtype)
+        out_fluid = jnp.asarray(obs.masks(params).fluid[-2, 1:-1])
+        n_out = max(1, int(obs.masks(params).fluid[-2, 1:-1].sum()))
+    else:
+        profile = poiseuille_profile(params).astype(u.dtype)
+        out_fluid = True
+        n_out = params.j_max
     u, v = set_inflow(u, v, Side.LEFT, profile, 0.0)
     u, v = set_outflow(u, v, Side.RIGHT)
     q_in = jnp.sum(u[0, 1:-1])
-    q_out = jnp.sum(u[-2, 1:-1])
-    u = u.at[-2, 1:-1].add((q_in - q_out) / params.j_max)
+    q_out = jnp.sum(jnp.where(out_fluid, u[-2, 1:-1], 0.0))
+    u = u.at[-2, 1:-1].add(
+        jnp.where(out_fluid, (q_in - q_out) / n_out, 0.0).astype(u.dtype))
     u, v = set_noslip(u, v, Side.BOTTOM)
     u, v = set_noslip(u, v, Side.TOP)
     return u, v

@@ -159,10 +159,14 @@ def momentum_rhs(u, v, dt, gamma, params: Params):
 
 
 def usable(params: Params) -> bool:
-    """Whether the fused kernel applies: TPU backend, f32, fits in VMEM."""
+    """Whether the fused kernel applies: TPU backend, f32, fits in VMEM.
+    Obstacle domains take the jnp path (the kernel computes the RHS from
+    unpinned F/G, which is wrong on obstacle faces — solver.step pins them
+    between compute_fg and compute_rhs)."""
     return (
         jax.default_backend() == "tpu"
         and not params.disable_pallas
+        and not params.obstacles
         and params.jnp_dtype == jnp.float32
         and fits_in_vmem(params)
     )

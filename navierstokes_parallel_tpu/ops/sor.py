@@ -113,7 +113,11 @@ def jacobi_iteration(p, rhs_int, omega, dx2_inv, dy2_inv, ghost_fn=ghost_fill):
 def default_method(params: Params) -> str:
     """Best pressure solver for the current backend: the Pallas kernels on
     TPU (whole-grid-in-VMEM when it fits, strip-tiled otherwise), the
-    fused-jnp red-black path elsewhere (CPU, sharded local blocks)."""
+    fused-jnp red-black path elsewhere (CPU, sharded local blocks).
+    Obstacle domains use the masked jnp path (ops/masked.py) — the Pallas
+    kernels carry no fluid masks."""
+    if params.obstacles:
+        return "rb_sor"
     if jax.default_backend() == "tpu":
         return "pallas_sor"
     return "rb_sor"
@@ -147,6 +151,16 @@ def solve_pressure(
     identical to plain SOR — refinement only stops floating-point error from
     accumulating in the large-magnitude iterate.
     """
+    if params.obstacles:
+        # Flag-field obstacle domains: the ghost-strip Neumann trick cannot
+        # express interior geometry — dispatch to the neighbor-weight
+        # masked solvers (ops/masked.py; rb_sor and mg only).
+        if hooks:
+            raise ValueError("obstacle domains are single-chip/gspmd only "
+                             "(the shard_map halo machinery is unmasked)")
+        from . import masked
+
+        return masked.solve_pressure_masked(p, rhs, params, method=method)
     if params.problem == 3:
         # Outflow problems: the BC-level flux balance (boundary.py
         # apply_channel_bcs) cancels the in/outflow fluxes only to f32

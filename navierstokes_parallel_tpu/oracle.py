@@ -185,6 +185,10 @@ def oracle_step(u, v, p, t, prm: Params) -> Tuple[float, int]:
         )
     gamma = max(u_max * dt / dx, v_max * dt / dy)
 
+    if prm.obstacles:
+        raise ValueError("the serial oracle has no flag-field support — "
+                         "obstacle runs validate by domain equivalence "
+                         "instead (tests/test_obstacles.py)")
     if prm.problem == 3:
         _apply_channel_bcs(u, v, i_max, j_max, prm)
     else:

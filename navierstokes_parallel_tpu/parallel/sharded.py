@@ -416,6 +416,11 @@ def _check_method(params: Params, mesh: Mesh, pressure_method: str):
         raise ValueError(
             "problem 3 (plane channel) is not supported by the shard_map "
             "backend — use --backend gspmd (auto-sharded) or single-chip")
+    if params.obstacles:
+        raise ValueError(
+            "obstacle domains are not supported by the shard_map backend "
+            "(its halo/BC machinery is unmasked) — use --backend gspmd or "
+            "single-chip")
     px, py = mesh.devices.shape
     li, lj = local_block_dims((px, py), params.i_max, params.j_max)
     padded = (px * li != params.i_max) or (py * lj != params.j_max)

@@ -63,15 +63,30 @@ def step(
     else:
         lid = boundary.lid_velocity(params.problem, params.f, t)
         u, v = boundary.apply_cavity_bcs(u, v, lid)
+    if params.obstacles:
+        from .ops import obstacles as obs
+
+        u, v = obs.apply_obstacle_bcs(u, v, params)
     from .ops.pallas import momentum_kernel
     if momentum_kernel.usable(params):
         # Fused single-VMEM-pass F/G/RHS kernel (TPU, f32, fits VMEM).
         F, G, rhs = momentum_kernel.momentum_rhs(u, v, dt, gamma, params)
     else:
         F, G = momentum.compute_fg(u, v, dt, gamma, params)
+        if params.obstacles:
+            # F = u on obstacle faces BEFORE the divergence, then no
+            # equation on solid cells.
+            F, G = obs.pin_fg(F, G, u, v, params)
         rhs = momentum.compute_rhs(F, G, dt, params)
+        if params.obstacles:
+            rhs = obs.mask_rhs(rhs, params)
     result = sor.solve_pressure(p, rhs, params, method=pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, result.p, dt, params)
+    if params.obstacles:
+        # The projection slice sweeps obstacle faces too (unlike the outer
+        # walls, which it excludes by construction) — restore no-slip so
+        # the state is always consistent between steps.
+        u, v = obs.apply_obstacle_bcs(u, v, params)
 
     new_state = State(u=u, v=v, p=result.p, t=t + dt, n=n + 1)
     diag = StepDiagnostics(

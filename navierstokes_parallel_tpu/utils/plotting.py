@@ -87,6 +87,41 @@ def plot_channel(u, params: Params, out_path: str = "channel_profile.png",
     return out_path
 
 
+def plot_obstacle_flow(u, v, params: Params,
+                       out_path: str = "obstacle_flow.png"):
+    """Streamline plot for flag-field domains (models/step.py): velocities
+    at cell centers, solid cells shaded, streamlines masked to fluid."""
+    from ..ops import obstacles as obs
+
+    plt = _mpl()
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    fl = obs.fluid_mask(params)[1:-1, 1:-1]
+    # edge -> cell-center averages on the interior
+    uc = 0.5 * (u[1:-1, 1:-1] + u[0:-2, 1:-1])
+    vc = 0.5 * (v[1:-1, 1:-1] + v[1:-1, 0:-2])
+    uc = np.where(fl, uc, np.nan)   # streamplot skips NaN cells
+    vc = np.where(fl, vc, np.nan)
+    x = (np.arange(params.i_max) + 0.5) * params.dx
+    y = (np.arange(params.j_max) + 0.5) * params.dy
+
+    plt.figure(figsize=(7, 7 * params.b / params.a))
+    plt.pcolormesh(x, y, np.where(fl, 0.0, 1.0).T, cmap="Greys",
+                   vmin=0.0, vmax=1.4, shading="nearest")
+    speed = np.sqrt(np.nan_to_num(uc) ** 2 + np.nan_to_num(vc) ** 2)
+    plt.streamplot(x, y, uc.T, vc.T, density=1.4, linewidth=0.7,
+                   color=speed.T, cmap="viridis")
+    plt.xlim(0, params.a)
+    plt.ylim(0, params.b)
+    plt.gca().set_aspect("equal")
+    plt.xlabel("$x$")
+    plt.ylabel("$y$")
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=150)
+    plt.close()
+    return out_path
+
+
 def plot_streamlines(u, params: Params, out_path: str = "streamlines.png",
                      Re: Optional[int] = None):
     """Stream-function contour plot (the standard cavity figure: primary

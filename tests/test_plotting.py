@@ -100,3 +100,15 @@ def test_channel_plot(tmp_path):
     u = rng.standard_normal(prm.shape) * 0.1
     p = plotting.plot_channel(u, prm, str(tmp_path / "c.png"))
     assert os.path.getsize(p) > 1000
+
+
+def test_obstacle_flow_plot(tmp_path):
+    import os
+
+    prm = Params(problem=3, i_max=16, j_max=8, a=2.0, b=1.0,
+                 obstacles=((1, 4, 1, 4),))
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal(prm.shape) * 0.1
+    v = rng.standard_normal(prm.shape) * 0.1
+    p = plotting.plot_obstacle_flow(u, v, prm, str(tmp_path / "o.png"))
+    assert os.path.getsize(p) > 1000
