@@ -257,12 +257,23 @@ def _race_transform_routes(params: Params) -> str:
     return route
 
 
-def _lambda_grid(params: Params) -> jax.Array:
+@functools.lru_cache(maxsize=32)
+def _lambda_grid(params: Params) -> np.ndarray:
+    """Eigenvalue denominator as a PURE NUMPY constant.
+
+    Must not run jnp ops: `_race_transform_routes` fires while the caller
+    is being TRACED (inside the solver's while_loop body), and jnp ops
+    here would produce tracers of that ambient trace — the race's inner
+    `jit(...).lower().compile()` then hoists the captured tracers into
+    extra executable parameters, and the direct Compiled call fails with
+    "compiled for 7 inputs but called with 2" (observed on the axon
+    tunnel, 2026-08-18).  As numpy, the value is a trace-time constant
+    everywhere it is used."""
     lam = (
-        jnp.asarray(_eigenvalues(params.i_max, 1.0 / (params.dx * params.dx)))[:, None]
-        + jnp.asarray(_eigenvalues(params.j_max, 1.0 / (params.dy * params.dy)))[None, :]
+        _eigenvalues(params.i_max, 1.0 / (params.dx * params.dx))[:, None]
+        + _eigenvalues(params.j_max, 1.0 / (params.dy * params.dy))[None, :]
     )
-    return jnp.where(lam == 0, 1.0, lam)
+    return np.where(lam == 0, np.float32(1.0), lam)
 
 
 def poisson_solve_dct(rhs_int: jax.Array, params: Params) -> jax.Array:
