@@ -151,6 +151,9 @@ def solve_pressure(
     identical to plain SOR — refinement only stops floating-point error from
     accumulating in the large-magnitude iterate.
     """
+    # Popped (not read) so the remaining hooks forward cleanly to the
+    # direct/refined solvers, which take mean_fn as an explicit kwarg.
+    mean_fn = hooks.pop("mean_fn", None) or jnp.mean
     if params.obstacles:
         # Flag-field obstacle domains: the ghost-strip Neumann trick cannot
         # express interior geometry — dispatch to the neighbor-weight
@@ -170,9 +173,11 @@ def solve_pressure(
         # at 64x32 without this).  Deflate it by the orthogonal projection
         # onto the compatible subspace; gradients (all the projection ever
         # uses) are unchanged.  The enclosed problems 1-2 are left
-        # untouched for bit-parity with the reference.
+        # untouched for bit-parity with the reference.  Sharded callers
+        # pass a psum'd mean_fn hook — a per-block local mean would
+        # subtract a DIFFERENT constant per shard, changing the problem.
         interior = rhs[1:-1, 1:-1]
-        rhs = rhs.at[1:-1, 1:-1].set(interior - jnp.mean(interior))
+        rhs = rhs.at[1:-1, 1:-1].set(interior - mean_fn(interior))
     if method == "jacobi" and params.omega > 1.0:
         # Damped Jacobi diverges for omega > 1 (spectral radius
         # |1 - omega + omega*mu| with mu in (-1, 1)); clamp rather than let
@@ -261,7 +266,7 @@ def solve_pressure(
         if jax.config.jax_enable_x64 or \
                 params.outer_precision == "compensated":
             return _solve_pressure_refined(p, rhs, params, method=method,
-                                           **hooks)
+                                           mean_fn=mean_fn, **hooks)
         import warnings
 
         warnings.warn(
@@ -444,7 +449,7 @@ def _refined_setup(p, params, parity, valid_mask, l2_fn):
 
 def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
                             l2_fn=None, parity=0, inner="jnp", inner_fn=None,
-                            valid_mask=None):
+                            valid_mask=None, mean_fn=jnp.mean):
     """Mixed-precision iterative refinement around f32 SOR sweeps.
 
     Outer loop (f64, once per K sweeps): defect r = A p - RHS, L2 norm,
@@ -462,7 +467,7 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
         return _solve_pressure_refined_compensated(
             p, rhs, params, method=method, ghost_fn=ghost_fn, l2_fn=l2_fn,
             parity=parity, inner=inner, inner_fn=inner_fn,
-            valid_mask=valid_mask)
+            valid_mask=valid_mask, mean_fn=mean_fn)
 
     K = params.sor_refine_every
     f64, f32 = jnp.float64, jnp.float32
@@ -499,7 +504,11 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
     deflate = params.problem == 3
 
     def _deflated(r):
-        return r - jnp.mean(r) if deflate else r
+        # mean_fn is the sharded hook point: local blocks need the GLOBAL
+        # interior mean (psum'd) — a per-block mean would subtract a
+        # different constant per shard, changing the problem.  The masked()
+        # rewrap keeps padded shards' pad cells inert (-mean would leak in).
+        return masked(r - mean_fn(r)) if deflate else r
 
     def cond(carry):
         _, _, it, res_norm = carry
@@ -531,7 +540,7 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
 def _solve_pressure_refined_compensated(p, rhs, params, *, method,
                                         ghost_fn=ghost_fill, l2_fn=None,
                                         parity=0, inner="jnp", inner_fn=None,
-                                        valid_mask=None):
+                                        valid_mask=None, mean_fn=jnp.mean):
     """Two-float (compensated f32) refinement outer — no f64 anywhere.
 
     TPU f64 is software-emulated, so at large grids the f64 outer pass can
@@ -597,7 +606,9 @@ def _solve_pressure_refined_compensated(p, rhs, params, *, method,
             # Constant-mode deflation for outflow problems — see the f64
             # outer above; here the re-rounding error is relative to the
             # shrinking f32 defect, so the floor shrinks with convergence.
-            r32 = r32 - jnp.mean(r32)
+            # mean_fn = the sharded global-mean hook (psum'd); masked()
+            # keeps padded shards' pad cells inert.
+            r32 = masked(r32 - mean_fn(r32))
         return r32
 
     def cond(carry):

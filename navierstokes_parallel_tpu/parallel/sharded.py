@@ -113,6 +113,58 @@ def _apply_bcs_sharded(u, v, lid_u, params: Params):
     return u, v
 
 
+def _apply_channel_bcs_sharded(u, v, params: Params):
+    """Plane-channel BCs (problem 3, ops/boundary.py::apply_channel_bcs) on
+    padded local blocks: parabolic inflow on the LEFT, zero-gradient outflow
+    on the RIGHT with the global mass-balance correction, no-slip walls.
+
+    Same global-index-masked roll construction (and halo-consistency
+    argument) as `_apply_bcs_sharded`.  The q_in/q_out column sums become
+    psums over OWNED positions only — halo copies carry their owner's
+    (gi, gj), so a plain gi-mask would double-count every cell that is
+    replicated into a neighbor's halo ring."""
+    I, J = params.i_max, params.j_max
+    u = halo.exchange_halo(u)
+    v = halo.exchange_halo(v)
+    gi, gj = halo.padded_global_indices(u.shape)
+    in_j = (gj >= 1) & (gj <= J)
+    in_i = (gi >= 1) & (gi <= I)
+
+    # LEFT inflow: u(0, y_j) = 4 y (b - y) / b^2 at y_j = (gj - 1/2) dy
+    # (boundary.py::poiseuille_profile, u_max = 1); v ghost reflected to 0.
+    y = (gj.astype(u.dtype) - 0.5) * jnp.asarray(params.dy, u.dtype)
+    profile = 4.0 * y * (params.b - y) / (params.b * params.b)
+    u = jnp.where((gi == 0) & in_j, profile, u)
+    v = jnp.where((gi == 0) & in_j, -jnp.roll(v, -1, 0), v)
+    # RIGHT outflow (set_outflow): the u edge copies its upstream interior
+    # neighbor; the v ghost is zero-gradient.  The roll sources are valid
+    # at halo positions too (the previous local row always holds gi - 1).
+    u = jnp.where((gi == I) & in_j, jnp.roll(u, 1, 0), u)
+    v = jnp.where((gi == I + 1) & in_j, jnp.roll(v, 1, 0), v)
+    # Global flux balance: pin the outflow flux to the inflow flux with a
+    # uniform additive correction (apply_channel_bcs).  gi == 0 exists only
+    # on x-shard 0's halo ring (never replicated), so owned-ness there only
+    # needs the j restriction; gi == I interior cells are replicated into
+    # the next x-shard's halo under padding, hence the pos_i restriction.
+    pos_i = lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    pos_j = lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    own_j = (pos_j >= 1) & (pos_j <= u.shape[1] - 2)
+    own_i = (pos_i >= 1) & (pos_i <= u.shape[0] - 2)
+    zero = jnp.zeros((), u.dtype)
+    q_in = lax.psum(
+        jnp.sum(jnp.where((gi == 0) & in_j & own_j, u, zero)), MESH_AXES)
+    q_out = lax.psum(
+        jnp.sum(jnp.where((gi == I) & in_j & own_i & own_j, u, zero)),
+        MESH_AXES)
+    u = jnp.where((gi == I) & in_j, u + (q_in - q_out) / J, u)
+    # BOTTOM/TOP no-slip walls (the cavity's BOTTOM / TOP with lid_u = 0).
+    v = jnp.where(in_i & (gj == 0), jnp.zeros_like(v), v)
+    u = jnp.where(in_i & (gj == 0), -jnp.roll(u, -1, 1), u)
+    v = jnp.where(in_i & (gj == J), jnp.zeros_like(v), v)
+    u = jnp.where(in_i & (gj == J + 1), -jnp.roll(u, 1, 1), u)
+    return u, v
+
+
 def _local_fg(u, v, dt, gamma, params: Params, gi, gj):
     """Tentative velocities on a local block (integration.c:73-96 math),
     masked by the *global* F/G domains, with F=u / G=v on the walls."""
@@ -168,11 +220,14 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
     )
     gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
 
-    if params.problem == 1:
-        lid_u = jnp.asarray(1.0, t.dtype)
+    if params.problem == 3:
+        u, v = _apply_channel_bcs_sharded(u, v, params)
     else:
-        lid_u = jnp.sin(params.f * t)
-    u, v = _apply_bcs_sharded(u, v, lid_u, params)
+        if params.problem == 1:
+            lid_u = jnp.asarray(1.0, t.dtype)
+        else:
+            lid_u = jnp.sin(params.f * t)
+        u, v = _apply_bcs_sharded(u, v, lid_u, params)
 
     F, G = _local_fg(u, v, dt, gamma, params, gi, gj)
     rhs_int = mask_pad(
@@ -204,6 +259,13 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
     def l2_fn(arr):
         return jnp.sqrt(lax.psum(jnp.sum(arr * arr), MESH_AXES) / n_cells)
 
+    def mean_fn(arr):
+        # Global interior mean for the problem-3 constant-mode deflation
+        # (ops/sor.py).  `arr` is an interior-shaped local defect (no halo
+        # ring, pad cells already masked to zero), so a plain psum'd sum
+        # over the true cell count is exact.
+        return lax.psum(jnp.sum(arr), MESH_AXES) / n_cells
+
     if pressure_method == "mg":
         # Sharded multigrid: V-cycles on local blocks (local restriction/
         # prolongation, ppermute-halo smoothing) inside the same f64
@@ -216,6 +278,7 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             method="rb_sor",
             ghost_fn=ghost_fn,
             l2_fn=l2_fn,
+            mean_fn=mean_fn,
             parity=(ox + oy) % 2,
             inner_fn=mgmod.make_sharded_inner(params, li, lj),
         )
@@ -232,6 +295,7 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             method="rb_sor",
             ghost_fn=ghost_fn,
             l2_fn=l2_fn,
+            mean_fn=mean_fn,
             parity=(ox + oy) % 2,
             inner_fn=fftmod.make_sharded_inner(params, li, lj),
         )
@@ -247,6 +311,7 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             method="rb_sor",
             ghost_fn=ghost_fn,
             l2_fn=l2_fn,
+            mean_fn=mean_fn,
             parity=(ox + oy) % 2,
             inner_fn=mgmod.make_sharded_cg_inner(params, li, lj),
             valid_mask=valid,
@@ -269,6 +334,7 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             method="rb_sor",
             ghost_fn=ghost_fn,
             l2_fn=l2_fn,
+            mean_fn=mean_fn,
             parity=(ox + oy) % 2,
             inner_fn=deep_halo.make_deep_inner(
                 params, li, lj,
@@ -292,6 +358,7 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             method=method,
             ghost_fn=ghost_fn,
             l2_fn=l2_fn,
+            mean_fn=mean_fn,
             parity=(ox + oy) % 2,
             valid_mask=valid,
         )
@@ -407,15 +474,6 @@ def _gather_blocks(blocks, px: int, py: int, li: int, lj: int, shape):
 
 
 def _check_method(params: Params, mesh: Mesh, pressure_method: str):
-    if params.problem == 3:
-        # The shard_map step uses its own roll-masked BC twin
-        # (_apply_bcs_sharded), which implements the enclosed problems 1-2
-        # only; the channel's inflow/outflow + global flux balance need a
-        # psum'd cross-shard sum it doesn't carry.  The GSPMD backend
-        # shards the channel unmodified (it reuses solver.step).
-        raise ValueError(
-            "problem 3 (plane channel) is not supported by the shard_map "
-            "backend — use --backend gspmd (auto-sharded) or single-chip")
     if params.obstacles:
         raise ValueError(
             "obstacle domains are not supported by the shard_map backend "

@@ -160,22 +160,90 @@ def test_channel_oracle_contract():
                                res_o.v, atol=1e-4)
 
 
-def test_channel_sharded_rejected_gspmd_supported():
-    """shard_map backend rejects problem 3 with a clear error (its BC twin
-    is cavity-only); the GSPMD backend runs it unmodified over the mesh."""
-    import jax
-
+def test_channel_sharded_and_gspmd_match_single_chip():
+    """Both multi-chip backends run problem 3: the shard_map BC twin
+    (psum'd flux balance + global-mean defect deflation,
+    parallel/sharded.py::_apply_channel_bcs_sharded) and the GSPMD backend
+    (which reuses solver.step unmodified) must match the single-chip
+    solve."""
     from navierstokes_parallel_tpu import solver
-    from navierstokes_parallel_tpu.models import channel
     from navierstokes_parallel_tpu.parallel import gspmd, sharded
     from navierstokes_parallel_tpu.parallel.topology import make_grid_mesh
 
     prm = _channel(8, T=0.1)
     mesh = make_grid_mesh(8, prm.i_max, prm.j_max)
-    with pytest.raises(ValueError, match="plane channel"):
-        sharded.solve_sharded(prm, mesh=mesh)
-    g_state, g_stats = gspmd.solve_gspmd(prm, mesh=mesh)
     s_state, s_stats = solver.solve(prm.replace(disable_pallas=True))
+    sh_state, sh_stats = sharded.solve_sharded(prm, mesh=mesh)
+    assert int(sh_stats.steps) == int(s_stats.steps)
+    assert int(sh_stats.sor_failures) == 0
+    np.testing.assert_allclose(np.asarray(sh_state.u[1:-1, 1:-1]),
+                               np.asarray(s_state.u[1:-1, 1:-1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_state.v[1:-1, 1:-1]),
+                               np.asarray(s_state.v[1:-1, 1:-1]), atol=1e-5)
+    g_state, g_stats = gspmd.solve_gspmd(prm, mesh=mesh)
     assert int(g_stats.sor_failures) == int(s_stats.sor_failures)
     np.testing.assert_allclose(np.asarray(g_state.u), np.asarray(s_state.u),
                                atol=1e-5)
+
+
+def test_channel_sharded_oracle_contract():
+    """The 1e-4 reference-comparator contract holds for the shard_map
+    channel end to end (vs the float64 NumPy oracle)."""
+    from navierstokes_parallel_tpu import oracle
+    from navierstokes_parallel_tpu.parallel import sharded
+    from navierstokes_parallel_tpu.parallel.topology import make_grid_mesh
+
+    prm = _channel(8, T=0.05, max_it=2000)
+    mesh = make_grid_mesh(8, prm.i_max, prm.j_max)
+    res_o = oracle.oracle_solve(prm.replace(dtype="float64"))
+    sh_state, sh_stats = sharded.solve_sharded(prm, mesh=mesh)
+    assert int(sh_stats.steps) == res_o.steps
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u[1:-1, 1:-1], dtype=np.float64),
+        res_o.u[1:-1, 1:-1], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sh_state.v[1:-1, 1:-1], dtype=np.float64),
+        res_o.v[1:-1, 1:-1], atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["mg", "fft"])
+def test_channel_sharded_mg_fft(method):
+    """The sharded multigrid and pencil-spectral inners converge on the
+    channel too (the outflow constant mode is deflated with the psum'd
+    global mean each outer pass)."""
+    from navierstokes_parallel_tpu import solver
+    from navierstokes_parallel_tpu.parallel import sharded
+    from navierstokes_parallel_tpu.parallel.topology import make_grid_mesh
+
+    prm = _channel(8, T=0.1)
+    mesh = make_grid_mesh(8, prm.i_max, prm.j_max)
+    s_state, s_stats = solver.solve(prm.replace(disable_pallas=True),
+                                    pressure_method=method)
+    sh_state, sh_stats = sharded.solve_sharded(prm, mesh=mesh,
+                                               pressure_method=method)
+    assert int(sh_stats.steps) == int(s_stats.steps)
+    assert int(sh_stats.sor_failures) == 0
+    np.testing.assert_allclose(np.asarray(sh_state.u[1:-1, 1:-1]),
+                               np.asarray(s_state.u[1:-1, 1:-1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_state.v[1:-1, 1:-1]),
+                               np.asarray(s_state.v[1:-1, 1:-1]), atol=1e-5)
+
+
+def test_channel_sharded_padded_grid():
+    """Pad-to-divisible sharding on the channel: a 14x7 grid over an
+    (4, 2) mesh pads both axes; the flux-balance psums and the masked
+    deflation must ignore pad cells (results bit-independent of the pad)."""
+    from navierstokes_parallel_tpu import solver
+    from navierstokes_parallel_tpu.parallel import sharded
+    from navierstokes_parallel_tpu.parallel.topology import make_grid_mesh
+
+    prm = _channel(7, T=0.1)
+    assert prm.i_max == 14 and prm.j_max == 7
+    mesh = make_grid_mesh(8, prm.i_max, prm.j_max)
+    s_state, s_stats = solver.solve(prm.replace(disable_pallas=True))
+    sh_state, sh_stats = sharded.solve_sharded(prm, mesh=mesh)
+    assert int(sh_stats.steps) == int(s_stats.steps)
+    np.testing.assert_allclose(np.asarray(sh_state.u[1:-1, 1:-1]),
+                               np.asarray(s_state.u[1:-1, 1:-1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_state.v[1:-1, 1:-1]),
+                               np.asarray(s_state.v[1:-1, 1:-1]), atol=1e-5)
