@@ -189,18 +189,32 @@ def main(argv=None):
                          "transform cost up to ~6x; the refinement outer "
                          "absorbs the per-solve error as extra direct "
                          "solves (contract unchanged)")
-    ap.add_argument("--outer", choices=["float64", "compensated"],
-                    default="float64",
+    ap.add_argument("--outer", choices=["auto", "float64", "compensated"],
+                    default="auto",
                     help="refinement-outer precision: the f64 defect/L2/"
                          "master pass (TPU-emulated) or the compensated "
                          "two-float f32 outer (ops/compensated.py) — same "
-                         "convergence contract; A/B at large grids where "
-                         "the outer rivals the inner (step_breakdown.py)")
+                         "convergence contract.  auto = compensated at "
+                         "2048^2+ for the converging methods (measured on "
+                         "v5e: 8.6 vs 27.7 ms/pass; fft 1.64 vs 1.81 s, mg "
+                         "2.40 vs 3.04 s at 2048^2), f64 elsewhere")
     ap.add_argument("--fft-solves", type=int, default=0,
                     help="fft method: direct solves chained per f64 "
                          "refinement pass (Params.fft_solves_per_outer; "
                          "0 = default 1).  >1 amortizes the TPU-emulated "
                          "f64 outer pass at large grids")
+    ap.add_argument("--dispatch",
+                    choices=["auto", "monolithic", "segmented", "stepwise"],
+                    default="auto",
+                    help="single-chip dispatch granularity: one jitted "
+                         "while_loop program (monolithic), "
+                         "--dispatch-steps steps per dispatch (segmented), "
+                         "or one step per dispatch (stepwise).  auto = "
+                         "monolithic for the converging methods up to "
+                         "2048^2, stepwise at 4096^2 (long dispatches "
+                         "crash the tunneled TPU worker)")
+    ap.add_argument("--dispatch-steps", type=int, default=8,
+                    help="steps per dispatch for --dispatch segmented")
     ap.add_argument("--mg-cycles", type=int, default=0,
                     help="mg method: V-cycles chained per f64 refinement "
                          "pass (Params.mg_cycles_per_outer; 0 = default 1). "
@@ -230,23 +244,42 @@ def main(argv=None):
     if args.refine_every < 0:
         ap.error(f"--refine-every must be >= 0 (0 = tuned default), got "
                  f"{args.refine_every}")
+    if args.dispatch_steps < 1:
+        ap.error(f"--dispatch-steps must be >= 1, got {args.dispatch_steps}")
     try:
         if args.fft_solves:
             params = params.replace(fft_solves_per_outer=args.fft_solves)
         if args.mg_cycles:
             params = params.replace(mg_cycles_per_outer=args.mg_cycles)
-        if args.outer != "float64":
-            params = params.replace(outer_precision=args.outer)
+        elif args.method == "mg" and params.i_max >= 2048:
+            # Chained V-cycles amortize the outer pass at large grids:
+            # 2048^2 compensated measured 2.23 s at c=3 vs 2.40 s at c=1
+            # (burst2 2026-08-18; f64 outer: 2.51 vs 3.04 s at c=3/c=1).
+            params = params.replace(mg_cycles_per_outer=3)
+        outer = args.outer
+        if outer == "auto":
+            # Compensated two-float outer measured faster at 2048^2+ for
+            # both converging methods (burst 2026-08-18: fft 1.64 vs
+            # 1.81 s, mg 2.40 vs 3.04 s; 4096^2 fft 104 vs 114.6 s same
+            # session) — the TPU-emulated f64 pass costs 27.7 ms vs 8.6
+            # compensated at 2048^2.  Parity modes keep the f64 outer
+            # (reference-comparison runs stay knob-free).
+            outer = ("compensated"
+                     if params.i_max >= 2048
+                     and args.method in ("auto", "fft", "mg")
+                     else "float64")
+        if outer != "float64":
+            params = params.replace(outer_precision=outer)
         if args.fft_precision != "highest":
             params = params.replace(fft_precision=args.fft_precision)
     except ValueError as e:
         ap.error(str(e))
-    mesh_shape = None
+    mesh_arg = None
     if args.mesh is not None:
         from navierstokes_parallel_tpu.cli import parse_mesh_arg
 
         try:
-            mesh_shape = parse_mesh_arg(args.mesh)
+            mesh_arg = parse_mesh_arg(args.mesh)
         except ValueError as e:
             ap.error(str(e))
     if args.method in ("auto", "rb_sor", "pallas_sor"):
@@ -262,21 +295,34 @@ def main(argv=None):
         return _bench_ensemble(params, args)
 
     if args.backend == "sharded":
-        # Honor --method: auto takes mg at 2048^2+ (converging and far
-        # faster than rb_sor there); fft runs the pencil-decomposed
-        # all_to_all DCT (ops/fft.py::make_sharded_inner, divisible grids);
-        # pallas_sor runs the per-shard VMEM kernel inside the
-        # communication-avoiding deep-halo inner.
+        # Honor --method: auto takes the pencil-decomposed all_to_all DCT
+        # (ops/fft.py::make_sharded_inner) at 2048^2+ when the grid tiles
+        # the mesh (measured 0.92 s vs mg's ~2.4 s at 2048^2 on a 1x1
+        # mesh, burst2 2026-08-18), mg when it doesn't; pallas_sor runs
+        # the per-shard VMEM kernel inside the communication-avoiding
+        # deep-halo inner.
         if args.method != "auto":
             sharded_method = args.method
+        elif params.i_max >= 2048:
+            from navierstokes_parallel_tpu.parallel.topology import (
+                local_block_dims, make_grid_mesh,
+            )
+
+            mesh = mesh_arg or make_grid_mesh(
+                i_max=params.i_max, j_max=params.j_max)
+            px, py = mesh.devices.shape
+            li, lj = local_block_dims((px, py), params.i_max, params.j_max)
+            pencil_ok = (px * li == params.i_max and py * lj == params.j_max
+                         and li % py == 0 and lj % px == 0)
+            sharded_method = "fft" if pencil_ok else "mg"
         else:
-            sharded_method = "mg" if params.i_max >= 2048 else "rb_sor"
+            sharded_method = "rb_sor"
         print(f"pressure solver: {sharded_method} (sharded)", file=sys.stderr)
         from navierstokes_parallel_tpu.parallel.sharded import (
             compile_sharded_solve,
         )
 
-        _runner = compile_sharded_solve(params, state, mesh_shape,
+        _runner = compile_sharded_solve(params, state, mesh_arg,
                                         pressure_method=sharded_method)
 
         def run():
@@ -303,7 +349,7 @@ def main(argv=None):
         print(f"pressure solver: {gspmd_method} (gspmd)", file=sys.stderr)
 
         def run():
-            return solve_gspmd(params, state, mesh_shape,
+            return solve_gspmd(params, state, mesh_arg,
                                pressure_method=gspmd_method)
     else:
         if args.method != "auto":
@@ -320,23 +366,33 @@ def main(argv=None):
         else:
             method = {"jnp": "rb_sor", "pallas": "pallas_sor"}[args.backend]
         print(f"pressure solver: {method}", file=sys.stderr)
-        if params.i_max >= 4096:
-            # 4096^2: even 8-step while_loop dispatches crash the remote
-            # TPU worker (reproduced; single-step dispatches run
-            # indefinitely) — drive the integration one step per dispatch.
+        dispatch = args.dispatch
+        if dispatch == "auto":
+            # 4096^2: long dispatches crash the remote TPU worker
+            # (reproduced) — one step per dispatch (~35 ms fence each;
+            # --dispatch segmented is the A/B candidate for fft, untested
+            # at this size).  2048^2: the converging methods finish in
+            # seconds, safely inside one while_loop program (segmenting
+            # fft cost 0.7 s of dispatch round-trips: sharded-monolithic
+            # 0.92 s vs segmented 1.64 s, burst2 2026-08-18); only the
+            # multi-minute fixed-work parity methods need segmenting.
+            if params.i_max >= 4096:
+                dispatch = "stepwise"
+            elif params.i_max >= 2048 and method not in ("mg", "fft"):
+                dispatch = "segmented"
+            else:
+                dispatch = "monolithic"
+        if dispatch == "stepwise":
             from navierstokes_parallel_tpu.solver import solve_stepwise
 
             def run():
                 return solve_stepwise(params, state, pressure_method=method)
-        elif params.i_max >= 2048 and method != "mg":
-            # Large fixed-work grids: segmented dispatches (a single
-            # monolithic multi-minute dispatch crashes the remote TPU
-            # worker; observed at 2048^2 parity).
+        elif dispatch == "segmented":
             from navierstokes_parallel_tpu.solver import solve_segmented
 
             def run():
                 return solve_segmented(params, state, pressure_method=method,
-                                       steps_per_dispatch=8)
+                                       steps_per_dispatch=args.dispatch_steps)
         else:
             # AOT-compile so the timed run excludes compilation (the C
             # reference has no JIT; its harness times only the solver loop,
