@@ -1,0 +1,203 @@
+"""Differentiable solver path: reverse-mode gradients THROUGH the flow.
+
+A capability the CUDA/C reference cannot express at all: because every op
+here is a JAX transform target, a whole n-step integration is a pure
+function of its inputs and `jax.grad` of any scalar loss w.r.t. the
+initial state, the lid speed, or the body force is exact — enabling
+gradient-based flow control, parameter estimation, and design
+optimization on TPU.
+
+Two pieces make it work:
+
+* **Adjoint pressure solve** (`pressure_solve_ift`): the production solvers
+  iterate inside `lax.while_loop`, which has no reverse rule — and
+  unrolling thousands of SOR sweeps through AD would be absurd on TPU
+  anyway.  Instead the converged solve is wrapped in `jax.custom_vjp`
+  using the implicit function theorem: A p = rhs with A the (symmetric)
+  Neumann 5-point Laplacian, so the VJP of p w.r.t. rhs is just ANOTHER
+  pressure solve, A lambda = p_bar — same converged machinery forward and
+  backward, O(1) memory.  (This is the standard adjoint method; the
+  reference's imperative in-place SOR could never be transposed this way.)
+
+* **Rematerialized time stepping** (`solve_n_steps`): `lax.scan` over a
+  `jax.checkpoint`-wrapped step — activations for the backward pass are
+  recomputed per step instead of stored, so gradient memory is O(1) in
+  the number of steps (HBM is the scarce resource; FLOPs are cheap on
+  the MXU/VPU).
+
+Contract and scope:
+
+* Gradients are exact (to solver tolerance) for losses that are invariant
+  to the pressure CONSTANT mode — i.e. every physically meaningful loss:
+  only grad(p) enters the dynamics.  The cotangent flowing into the next
+  step's initial pressure guess is dropped (the converged solution does
+  not depend on the guess, except through that constant mode).
+* The forward solve must actually converge (use `mg`/`fft`/`cg`, or tight
+  budgets with `rb_sor`); the IFT error is O(residual).
+* Problems 1-3; obstacle domains are not wired up here yet.
+* The jnp formulations are used throughout (the fused Pallas momentum
+  kernel carries no VJP); numerics are otherwise identical to
+  `solver.step` (reference main.c:86-146).
+* Gradients are exact at GENERIC states.  The donor-cell stencils take
+  |u| (integration.c:17-28), so states sitting exactly on a kink manifold
+  get a subgradient: notably the untouched from-rest cavity is exactly
+  mirror-symmetric (u = 0 along the centerline), where AD's sign(0) = 0
+  differs from the true one-sided slopes.  Validated by the FD tests in
+  tests/test_diff.py, which break the symmetry first.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import Params
+from .grid import State
+from .ops import boundary, momentum, sor
+
+
+def _safe_dt_gamma(u, v, params: Params):
+    """adaptive_dt_gamma (reference main.c:89-92) with AD-safe CFL terms.
+
+    The production form divides by |u_max|: at rest that is x/0 = inf —
+    correct forward (inf drops out of the min, C float semantics) but its
+    reverse rule emits 0 * inf = NaN through the unselected min branch.
+    Clamping the denominator to a tiny positive floor keeps the forward
+    value effectively identical (dx/tiny >> visc never wins the min) and
+    the gradient exact wherever |max| > tiny."""
+    from .ops import stencils as st
+
+    dx, dy, Re, tau = params.dx, params.dy, params.Re, params.tau
+    u_max = st.max_interior(u)
+    v_max = st.max_interior(v)
+    tiny = jnp.asarray(jnp.finfo(u.dtype).tiny ** 0.5, u.dtype)
+    visc = Re / 2.0 / (1.0 / (dx * dx) + 1.0 / (dy * dy))
+    dt = tau * jnp.minimum(
+        visc,
+        jnp.minimum(dx / jnp.maximum(jnp.abs(u_max), tiny),
+                    dy / jnp.maximum(jnp.abs(v_max), tiny)),
+    )
+    gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+    return dt, gamma
+
+
+class Controls(NamedTuple):
+    """Traced control inputs a gradient can flow into.
+
+    lid_scale multiplies the lid velocity (problems 1-2; the channel's
+    inflow profile is static); g_x/g_y override the body force."""
+    lid_scale: jax.Array
+    g_x: jax.Array
+    g_y: jax.Array
+
+
+def default_controls(params: Params, dtype=None) -> Controls:
+    dt = jnp.dtype(dtype or params.dtype)
+    return Controls(
+        lid_scale=jnp.asarray(1.0, dt),
+        g_x=jnp.asarray(params.g_x, dt),
+        g_y=jnp.asarray(params.g_y, dt),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pressure_solve_ift(p0, rhs, params: Params, method: str):
+    """Converged pressure solve with an implicit-function-theorem VJP.
+
+    Forward: `sor.solve_pressure` (opaque to AD — the while_loop never
+    gets differentiated).  Backward: A is symmetric, so
+    rhs_bar = A^+ @ (transpose-of-ghost-fill @ p_bar), i.e. one more
+    pressure solve on the (compatibility-deflated) output cotangent."""
+    return sor.solve_pressure(p0, rhs, params, method=method).p
+
+
+def _ift_fwd(p0, rhs, params, method):
+    return pressure_solve_ift(p0, rhs, params, method), None
+
+
+def _ift_bwd(params, method, _residuals, p_bar):
+    # The primal output is ghost_fill(embed(p_int)) — pull the cotangent
+    # through that (linear) ghost fill first so ghost-cell cotangents fold
+    # back onto their interior sources.
+    def fill(q_int):
+        full = jnp.zeros(p_bar.shape, p_bar.dtype).at[1:-1, 1:-1].set(q_int)
+        return sor.ghost_fill(full)
+
+    zero_int = jnp.zeros((p_bar.shape[0] - 2, p_bar.shape[1] - 2),
+                         p_bar.dtype)
+    _, fill_vjp = jax.vjp(fill, zero_int)
+    (y_int,) = fill_vjp(p_bar)
+    # Neumann compatibility: A is singular (constant null space); project
+    # the adjoint RHS onto the compatible subspace.  Exact for every loss
+    # that is invariant to the pressure constant mode (module docstring).
+    y_int = y_int - jnp.mean(y_int)
+    lam = sor.solve_pressure(
+        jnp.zeros_like(p_bar),
+        jnp.zeros_like(p_bar).at[1:-1, 1:-1].set(y_int),
+        params, method=method,
+    ).p
+    lam_int = lam[1:-1, 1:-1]
+    lam_int = lam_int - jnp.mean(lam_int)
+    rhs_bar = jnp.zeros_like(p_bar).at[1:-1, 1:-1].set(lam_int)
+    # Converged solution is independent of the initial guess (modulo the
+    # dropped constant mode) — no cotangent into p0.
+    return jnp.zeros_like(p_bar), rhs_bar
+
+
+pressure_solve_ift.defvjp(_ift_fwd, _ift_bwd)
+
+
+def diff_step(state: State, params: Params, controls: Optional[Controls]
+              = None, pressure_method: str = "mg") -> Tuple[State, jax.Array]:
+    """One differentiable time step (solver.step's math, reference
+    main.c:86-146, with the adjoint pressure solve).  Returns
+    (new_state, dt)."""
+    if params.obstacles:
+        raise NotImplementedError(
+            "the differentiable path does not carry obstacle masks yet")
+    if controls is None:
+        controls = default_controls(params)
+    u, v, p, t, n = state
+
+    dt, gamma = _safe_dt_gamma(u, v, params)
+    if params.problem == 3:
+        u, v = boundary.apply_channel_bcs(u, v, params)
+    else:
+        lid = boundary.lid_velocity(params.problem, params.f, t)
+        u, v = boundary.apply_cavity_bcs(u, v, lid * controls.lid_scale)
+    F, G = momentum.compute_fg(u, v, dt, gamma, params,
+                               g_x=controls.g_x, g_y=controls.g_y)
+    rhs = momentum.compute_rhs(F, G, dt, params)
+    p_new = pressure_solve_ift(p, rhs, params, pressure_method)
+    u, v = momentum.project_velocities(u, v, F, G, p_new, dt, params)
+    new_state = State(u=u, v=v, p=p_new, t=t + dt, n=n + 1)
+    return new_state, dt
+
+
+def solve_n_steps(params: Params, state: State, n_steps: int, *,
+                  controls: Optional[Controls] = None,
+                  pressure_method: str = "mg",
+                  remat: bool = True) -> Tuple[State, jax.Array]:
+    """n differentiable time steps via `lax.scan`; with `remat` each step
+    is `jax.checkpoint`-wrapped so backward-pass memory is O(1) in
+    n_steps (activations recomputed, not stored).  Returns
+    (final_state, dts)."""
+    if controls is None:
+        controls = default_controls(params)
+
+    def one(s, c):
+        return diff_step(s, params, controls=c,
+                         pressure_method=pressure_method)
+
+    if remat:
+        one = jax.checkpoint(one)
+
+    def body(carry, _):
+        new_state, dt = one(carry, controls)
+        return new_state, dt
+
+    return lax.scan(body, state, None, length=n_steps)

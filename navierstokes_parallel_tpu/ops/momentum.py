@@ -26,6 +26,8 @@ def compute_fg(
     dt,
     gamma,
     params: Params,
+    g_x=None,
+    g_y=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Tentative velocities (reference integration.c:73-96).
 
@@ -39,14 +41,18 @@ def compute_fg(
     """
     dx, dy, Re = params.dx, params.dy, params.Re
     i_max, j_max = params.i_max, params.j_max
+    # Traced body-force overrides (the differentiable path, diff.py, takes
+    # gradients w.r.t. these; None = the static Params values).
+    g_x = params.g_x if g_x is None else g_x
+    g_y = params.g_y if g_y is None else g_y
 
     diff_u = (st.d2_dx2(u, dx) + st.d2_dy2(u, dy)) / Re
     conv_u = st.du2_dx(u, v, dx, gamma) + st.duv_dy(u, v, dy, gamma)
-    f_int = st.shifted(u, 0, 0) + dt * (diff_u - conv_u + params.g_x)
+    f_int = st.shifted(u, 0, 0) + dt * (diff_u - conv_u + g_x)
 
     diff_v = (st.d2_dx2(v, dx) + st.d2_dy2(v, dy)) / Re
     conv_v = st.duv_dx(u, v, dx, gamma) + st.dv2_dy(u, v, dy, gamma)
-    g_int = st.shifted(v, 0, 0) + dt * (diff_v - conv_v + params.g_y)
+    g_int = st.shifted(v, 0, 0) + dt * (diff_v - conv_v + g_y)
 
     F = jnp.zeros_like(u)
     G = jnp.zeros_like(v)
