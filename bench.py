@@ -258,14 +258,19 @@ def main(argv=None):
             params = params.replace(mg_cycles_per_outer=3)
         outer = args.outer
         if outer == "auto":
-            # Compensated two-float outer measured faster at 2048^2+ for
-            # both converging methods (burst 2026-08-18: fft 1.64 vs
-            # 1.81 s, mg 2.40 vs 3.04 s; 4096^2 fft 104 vs 114.6 s same
-            # session) — the TPU-emulated f64 pass costs 27.7 ms vs 8.6
-            # compensated at 2048^2.  Parity modes keep the f64 outer
+            # Compensated two-float outer measured faster at 1024^2+ for
+            # both converging methods (bursts 2026-08-18: fft 0.070 vs
+            # 0.080 s and mg 0.126 vs 0.146 s at 1024^2; fft 1.64 vs
+            # 1.81 s and mg 2.40 vs 3.04 s at 2048^2; 4096^2 fft 104 vs
+            # 114.6 s same session; a wash at 512^2: 0.0301 vs 0.0298) —
+            # the TPU-emulated f64 pass costs 27.7 ms vs 8.6 compensated
+            # at 2048^2.  Parity modes keep the f64 outer
             # (reference-comparison runs stay knob-free).
+            # (--method auto resolves to fft only at 2048^2+; below that
+            # it is a parity SOR mode, which keeps the f64 outer.)
+            threshold = 2048 if args.method == "auto" else 1024
             outer = ("compensated"
-                     if params.i_max >= 2048
+                     if params.i_max >= threshold
                      and args.method in ("auto", "fft", "mg")
                      else "float64")
         if outer != "float64":
@@ -369,15 +374,16 @@ def main(argv=None):
         dispatch = args.dispatch
         if dispatch == "auto":
             # 4096^2: long dispatches crash the remote TPU worker
-            # (reproduced) — one step per dispatch (~35 ms fence each;
-            # --dispatch segmented is the A/B candidate for fft, untested
-            # at this size).  2048^2: the converging methods finish in
-            # seconds, safely inside one while_loop program (segmenting
-            # fft cost 0.7 s of dispatch round-trips: sharded-monolithic
-            # 0.92 s vs segmented 1.64 s, burst2 2026-08-18); only the
-            # multi-minute fixed-work parity methods need segmenting.
+            # (reproduced at mg/parity) — but fft's ~0.4 s 8-step segments
+            # measured clean AND 24% faster than stepwise (31.94 s vs the
+            # 41.87 s record: ~672 x 35 ms of per-step fences saved;
+            # burst3 2026-08-18).  2048^2: the converging methods finish
+            # in seconds, safely inside one while_loop program (segmenting
+            # fft cost 0.7 s of dispatch round-trips: monolithic 0.92-0.99
+            # vs segmented 1.64 s); only the multi-minute fixed-work
+            # parity methods need segmenting.
             if params.i_max >= 4096:
-                dispatch = "stepwise"
+                dispatch = "segmented" if method == "fft" else "stepwise"
             elif params.i_max >= 2048 and method not in ("mg", "fft"):
                 dispatch = "segmented"
             else:
