@@ -373,17 +373,18 @@ def main(argv=None):
         print(f"pressure solver: {method}", file=sys.stderr)
         dispatch = args.dispatch
         if dispatch == "auto":
-            # 4096^2: long dispatches crash the remote TPU worker
-            # (reproduced at mg/parity) — but fft's ~0.4 s 8-step segments
-            # measured clean AND 24% faster than stepwise (31.94 s vs the
-            # 41.87 s record: ~672 x 35 ms of per-step fences saved;
-            # burst3 2026-08-18).  2048^2: the converging methods finish
-            # in seconds, safely inside one while_loop program (segmenting
-            # fft cost 0.7 s of dispatch round-trips: monolithic 0.92-0.99
-            # vs segmented 1.64 s); only the multi-minute fixed-work
-            # parity methods need segmenting.
+            # 4096^2: long dispatches crash the remote TPU worker for the
+            # mg/parity step programs (reproduced) — but the whole fft
+            # solve as ONE ~30 s while_loop program measured crash-free
+            # five times and fastest (29.61 s min-3 vs 31.94 segmented-8
+            # vs 41.87 stepwise: ~672 x 35 ms of per-step fences saved;
+            # bursts 3-4 2026-08-18).  2048^2: the converging methods
+            # finish in seconds, safely inside one while_loop program
+            # (segmenting fft cost 0.7 s of dispatch round-trips:
+            # monolithic 0.92-0.99 vs segmented 1.64 s); only the
+            # multi-minute fixed-work parity methods need segmenting.
             if params.i_max >= 4096:
-                dispatch = "segmented" if method == "fft" else "stepwise"
+                dispatch = "monolithic" if method == "fft" else "stepwise"
             elif params.i_max >= 2048 and method not in ("mg", "fft"):
                 dispatch = "segmented"
             else:
