@@ -25,6 +25,7 @@ differentiable end to end with diff.py's pressure wrapper if needed.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -123,10 +124,22 @@ def solve_convection(params: Params, cfg: ThermalConfig,
                      pressure_method: str = "mg",
                      steady_tol: float = 1e-6,
                      max_steps: int = 200_000,
-                     chunk: int = 200):
+                     chunk: int = 200,
+                     mesh=None):
     """Integrate to steady state: stop when max|dT|/dt of a step falls
     under steady_tol (or max_steps).  Jitted chunks; one scalar fetch
-    per chunk.  Returns (state, info dict)."""
+    per chunk.  Returns (state, info dict).
+
+    `mesh`: a 2D jax.sharding.Mesh makes the family multi-chip via the
+    GSPMD recipe (parallel/gspmd.py): the four grid fields are
+    boundary-padded and block-sharded, the UNMODIFIED thermal step is
+    jitted under those shardings, and XLA's partitioner inserts the
+    collectives — no thermal-specific communication code."""
+    if mesh is not None:
+        return _solve_convection_gspmd(
+            params, cfg, state, pressure_method=pressure_method,
+            steady_tol=steady_tol, max_steps=max_steps, chunk=chunk,
+            mesh=mesh)
     if state is None:
         state = allocate_thermal(params, cfg)
 
@@ -155,6 +168,82 @@ def solve_convection(params: Params, cfg: ThermalConfig,
         if rate < steady_tol:
             break
     return state, {"steps": steps, "dT_rate": rate,
+                   "sor_failures": failures,
+                   "steady": rate < steady_tol}
+
+
+def _solve_convection_gspmd(params: Params, cfg: ThermalConfig, state, *,
+                            pressure_method, steady_tol, max_steps, chunk,
+                            mesh):
+    """GSPMD multi-chip arm of solve_convection (see its docstring)."""
+    from ..parallel import gspmd
+
+    gspmd._check_mesh(mesh)
+    if pressure_method == "pallas_sor":
+        raise ValueError("gspmd convection cannot run pallas_sor "
+                         "(opaque to the SPMD partitioner)")
+    # Pin the jnp formulations + the matmul DCT route (the partitioner
+    # cannot shard Pallas calls; jnp.fft gathers).
+    params = params.replace(disable_pallas=True)
+    if state is None:
+        state = allocate_thermal(params, cfg)
+
+    grid, rep = gspmd._shardings(mesh)
+    ni, nj = params.shape
+    pi, pj = gspmd._padded_shape(mesh, (ni, nj))
+
+    def pad(a):
+        return jax.device_put(
+            jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(jnp.asarray(a)),
+            grid)
+
+    placed = ThermalState(u=pad(state.u), v=pad(state.v), p=pad(state.p),
+                          T=pad(state.T),
+                          t=jax.device_put(state.t, rep),
+                          n=jax.device_put(state.n, rep))
+
+    out_shardings = (ThermalState(u=grid, v=grid, p=grid, T=grid,
+                                  t=rep, n=rep), rep, rep)
+
+    @functools.partial(jax.jit, out_shardings=out_shardings)
+    def run_chunk(padded):
+        ts = ThermalState(u=padded.u[:ni, :nj], v=padded.v[:ni, :nj],
+                          p=padded.p[:ni, :nj], T=padded.T[:ni, :nj],
+                          t=padded.t, n=padded.n)
+
+        def body(carry, _):
+            ts, _, failed = carry
+            new, (dt, max_dT, res) = thermal_step(
+                ts, params, cfg, pressure_method=pressure_method)
+            return (new, max_dT / dt,
+                    failed + (~res.converged).astype(jnp.int32)), None
+
+        init = (ts, jnp.asarray(jnp.inf, ts.T.dtype),
+                jnp.zeros((), jnp.int32))
+        (ts, rate, failed), _ = lax.scan(body, init, None, length=chunk)
+
+        def repad(a):
+            return jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(a)
+
+        return (ThermalState(u=repad(ts.u), v=repad(ts.v), p=repad(ts.p),
+                             T=repad(ts.T), t=ts.t, n=ts.n), rate, failed)
+
+    steps = 0
+    failures = 0
+    rate = float("inf")
+    while steps < max_steps:
+        placed, rate_dev, failed = run_chunk(placed)
+        rate = float(rate_dev)
+        failures += int(failed)
+        steps += chunk
+        if rate < steady_tol:
+            break
+    final = ThermalState(u=jnp.asarray(placed.u[:ni, :nj]),
+                         v=jnp.asarray(placed.v[:ni, :nj]),
+                         p=jnp.asarray(placed.p[:ni, :nj]),
+                         T=jnp.asarray(placed.T[:ni, :nj]),
+                         t=placed.t, n=placed.n)
+    return final, {"steps": steps, "dT_rate": rate,
                    "sor_failures": failures,
                    "steady": rate < steady_tol}
 

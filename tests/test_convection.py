@@ -104,3 +104,24 @@ def test_buoyancy_preserves_pinned_fg():
     # ...and it must change the live interior.
     assert np.abs(np.asarray(F2) - np.asarray(F)).max() > 0
     assert np.abs(np.asarray(G2) - np.asarray(G)).max() > 0
+
+
+def test_convection_gspmd_matches_single_chip():
+    """The GSPMD multi-chip arm (XLA-partitioned thermal step over a 2D
+    mesh) must reproduce the single-chip steady state and Nusselt
+    number."""
+    from navierstokes_parallel_tpu.parallel.gspmd import _default_mesh
+
+    params, cfg = cv.convection_setup(1e3, n=24)
+    s1, info1 = cv.solve_convection(params, cfg, pressure_method="mg",
+                                    steady_tol=1e-5)
+    mesh = _default_mesh()
+    s2, info2 = cv.solve_convection(params, cfg, pressure_method="mg",
+                                    steady_tol=1e-5, mesh=mesh)
+    assert info2["steady"] and info1["steady"]
+    assert cv.nusselt_hot_wall(s2.T, params) == pytest.approx(
+        cv.nusselt_hot_wall(s1.T, params), rel=1e-3)
+    np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
+                               atol=2e-4)
