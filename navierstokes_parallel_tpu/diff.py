@@ -178,6 +178,64 @@ def diff_step(state: State, params: Params, controls: Optional[Controls]
     return new_state, dt
 
 
+def diff_thermal_step(ts, params: Params, cfg, pressure_method: str = "mg"):
+    """Differentiable Boussinesq step (models/convection.py::thermal_step
+    with the adjoint pressure solve and the AD-safe CFL terms).  Gradients
+    flow through the energy transport, the buoyant coupling, and the
+    converged pressure solve — e.g. d(Nusselt)/d(wall temperature).
+    Returns (new_state, dt)."""
+    from .models.convection import ThermalState
+    from .ops import energy
+
+    u, v, p, T, t, n = ts
+
+    dx, dy = params.dx, params.dy
+    from .ops import stencils as st
+
+    u_max = st.max_interior(u)
+    v_max = st.max_interior(v)
+    tiny = jnp.asarray(jnp.finfo(u.dtype).tiny ** 0.5, u.dtype)
+    visc = params.Re / 2.0 / (1.0 / (dx * dx) + 1.0 / (dy * dy))
+    dt = params.tau * jnp.minimum(
+        jnp.minimum(visc, energy.thermal_dt_limit(params, cfg.alpha)),
+        jnp.minimum(dx / jnp.maximum(jnp.abs(u_max), tiny),
+                    dy / jnp.maximum(jnp.abs(v_max), tiny)))
+    gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+
+    u, v = boundary.apply_cavity_bcs(u, v, jnp.zeros((), u.dtype))
+    T = energy.apply_temperature_bcs(T, params, cfg.t_left, cfg.t_right)
+    T_new = energy.advance_temperature(T, u, v, dt, gamma, params,
+                                       cfg.alpha)
+    T_new = energy.apply_temperature_bcs(T_new, params, cfg.t_left,
+                                         cfg.t_right)
+    F, G = momentum.compute_fg(u, v, dt, gamma, params)
+    F, G = energy.buoyant_fg(F, G, T_new, dt, cfg.beta_gx, cfg.beta_gy)
+    rhs = momentum.compute_rhs(F, G, dt, params)
+    p_new = pressure_solve_ift(p, rhs, params, pressure_method)
+    u, v = momentum.project_velocities(u, v, F, G, p_new, dt, params)
+    return ThermalState(u=u, v=v, p=p_new, T=T_new, t=t + dt, n=n + 1), dt
+
+
+def solve_thermal_n_steps(params: Params, ts, n_steps: int, cfg, *,
+                          pressure_method: str = "mg", remat: bool = True):
+    """n differentiable Boussinesq steps (remat scan, O(1) gradient
+    memory) — the thermal analogue of solve_n_steps.  `cfg` fields may be
+    traced scalars (differentiate w.r.t. wall temperatures or the
+    buoyancy coefficient)."""
+    def one(s, c):
+        return diff_thermal_step(s, params, c,
+                                 pressure_method=pressure_method)
+
+    if remat:
+        one = jax.checkpoint(one)
+
+    def body(carry, _):
+        new_state, dt = one(carry, cfg)
+        return new_state, dt
+
+    return lax.scan(body, ts, None, length=n_steps)
+
+
 def solve_n_steps(params: Params, state: State, n_steps: int, *,
                   controls: Optional[Controls] = None,
                   pressure_method: str = "mg",

@@ -73,11 +73,16 @@ def buoyant_fg(F, G, T, dt, beta_gx: float, beta_gy: float):
     positive expansion) makes hot fluid rise."""
     # Only the LIVE tentative-velocity entries get the force: F lives at
     # i in [1, i_max-1] (F = u pinned on the left/right wall edges,
-    # momentum.compute_fg), G at j in [1, j_max-1].
-    if beta_gx:
+    # momentum.compute_fg), G at j in [1, j_max-1].  The skip is for
+    # STATICALLY-zero coefficients only — traced scalars (the
+    # differentiable path takes d/d(beta)) always take the add.
+    def _static_zero(c):
+        return isinstance(c, (int, float)) and c == 0.0
+
+    if not _static_zero(beta_gx):
         T_face_x = (st.shifted(T, 0, 0) + st.shifted(T, 1, 0)) / 2.0
         F = F.at[1:-2, 1:-1].add(-dt * beta_gx * T_face_x[:-1, :])
-    if beta_gy:
+    if not _static_zero(beta_gy):
         T_face_y = (st.shifted(T, 0, 0) + st.shifted(T, 0, 1)) / 2.0
         G = G.at[1:-1, 1:-2].add(-dt * beta_gy * T_face_y[:, :-1])
     return F, G

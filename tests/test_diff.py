@@ -175,3 +175,64 @@ def test_diff_rejects_obstacles():
     state = allocate_state(params)
     with pytest.raises(NotImplementedError, match="obstacle"):
         diff.diff_step(state, params)
+
+
+def test_grad_thermal_wall_temperature():
+    """Differentiable Boussinesq path: d(loss)/d(t_left) through coupled
+    energy + momentum + adjoint pressure solves vs FD (the hot-wall
+    temperature drives the whole flow — real O(1) sensitivity)."""
+    from navierstokes_parallel_tpu import diff
+    from navierstokes_parallel_tpu.models import convection as cv
+
+    params, cfg = cv.convection_setup(1e4, n=12, dtype="float64",
+                                      epsilon=1e-9)
+    ts = cv.allocate_thermal(params, cfg)
+    # Break |u|/|v| kink manifolds (from-rest state) — see diff.py.
+    rng = np.random.default_rng(3)
+    bump_u = np.zeros(params.shape)
+    bump_u[1:-1, 1:-1] = 0.02 * rng.standard_normal((params.i_max,
+                                                     params.j_max))
+    bump_v = np.zeros(params.shape)
+    bump_v[1:-1, 1:-1] = 0.02 * rng.standard_normal((params.i_max,
+                                                     params.j_max))
+    ts = ts._replace(u=ts.u + jnp.asarray(bump_u),
+                     v=ts.v + jnp.asarray(bump_v))
+
+    def f(t_left):
+        c = cfg._replace(t_left=t_left)
+        final, _ = diff.solve_thermal_n_steps(params, ts, 3, c)
+        return jnp.sum(final.u[1:-1, 1:-1] ** 2) + \
+            jnp.sum(final.T[1:-1, 1:-1] ** 2)
+
+    g = float(jax.grad(f)(0.5))
+    h = 1e-5
+    fd = (float(f(0.5 + h)) - float(f(0.5 - h))) / (2 * h)
+    assert g == pytest.approx(fd, rel=1e-4)
+    assert abs(g) > 1e-3
+
+
+def test_grad_thermal_buoyancy_coefficient():
+    """d(loss)/d(beta_gy) — the coupling strength — vs FD."""
+    from navierstokes_parallel_tpu import diff
+    from navierstokes_parallel_tpu.models import convection as cv
+
+    params, cfg = cv.convection_setup(1e4, n=12, dtype="float64",
+                                      epsilon=1e-9)
+    ts = cv.allocate_thermal(params, cfg)
+    rng = np.random.default_rng(9)
+    bump = np.zeros(params.shape)
+    bump[1:-1, 1:-1] = 0.02 * rng.standard_normal((params.i_max,
+                                                   params.j_max))
+    ts = ts._replace(u=ts.u + jnp.asarray(bump),
+                     v=ts.v + jnp.asarray(bump))
+
+    def f(bgy):
+        c = cfg._replace(beta_gy=bgy)
+        final, _ = diff.solve_thermal_n_steps(params, ts, 3, c)
+        return jnp.sum(final.v[1:-1, 1:-1] ** 2)
+
+    g = float(jax.grad(f)(-1.0))
+    h = 1e-5
+    fd = (float(f(-1.0 + h)) - float(f(-1.0 - h))) / (2 * h)
+    assert g == pytest.approx(fd, rel=1e-4)
+    assert abs(g) > 1e-4
