@@ -34,7 +34,8 @@ Contract and scope:
   not depend on the guess, except through that constant mode).
 * The forward solve must actually converge (use `mg`/`fft`/`cg`, or tight
   budgets with `rb_sor`); the IFT error is O(residual).
-* Problems 1-3; obstacle domains are not wired up here yet.
+* Problems 1-3 and obstacle domains (the masked neighbor-weight
+  operator is symmetric on the fluid subspace; `_ift_bwd_masked`).
 * The jnp formulations are used throughout (the fused Pallas momentum
   kernel carries no VJP); numerics are otherwise identical to
   `solver.step` (reference main.c:86-146).
@@ -120,6 +121,8 @@ def _ift_fwd(p0, rhs, params, method):
 
 
 def _ift_bwd(params, method, _residuals, p_bar):
+    if params.obstacles:
+        return _ift_bwd_masked(params, method, p_bar)
     # The primal output is ghost_fill(embed(p_int)) — pull the cotangent
     # through that (linear) ghost fill first so ghost-cell cotangents fold
     # back onto their interior sources.
@@ -148,17 +151,41 @@ def _ift_bwd(params, method, _residuals, p_bar):
     return jnp.zeros_like(p_bar), rhs_bar
 
 
+def _ift_bwd_masked(params, method, p_bar):
+    """Obstacle-domain adjoint: the masked neighbor-weight operator
+    (ops/masked.py) is symmetric on the fluid subspace, so the VJP is one
+    more masked solve on the fluid-deflated cotangent.  The masked solver
+    never touches ghost or solid cells (p_out = p0 there — identity), so
+    those cotangents pass straight through to p0_bar."""
+    from .ops import masked
+
+    w = masked._weights(params)
+    fluid = jnp.asarray(w.fluid)
+    y_int = jnp.where(fluid, p_bar[1:-1, 1:-1], 0.0)
+    # Neumann-null deflation over the FLUID cells only.
+    y_int = jnp.where(fluid, y_int - jnp.sum(y_int) / w.n_fluid, 0.0)
+    lam = sor.solve_pressure(
+        jnp.zeros_like(p_bar),
+        jnp.zeros_like(p_bar).at[1:-1, 1:-1].set(y_int),
+        params, method=method,
+    ).p
+    lam_int = jnp.where(fluid, lam[1:-1, 1:-1], 0.0)
+    lam_int = jnp.where(fluid, lam_int - jnp.sum(lam_int) / w.n_fluid, 0.0)
+    rhs_bar = jnp.zeros_like(p_bar).at[1:-1, 1:-1].set(lam_int)
+    p0_bar = p_bar.at[1:-1, 1:-1].set(
+        jnp.where(fluid, jnp.zeros_like(y_int), p_bar[1:-1, 1:-1]))
+    return p0_bar, rhs_bar
+
+
 pressure_solve_ift.defvjp(_ift_fwd, _ift_bwd)
 
 
 def diff_step(state: State, params: Params, controls: Optional[Controls]
               = None, pressure_method: str = "mg") -> Tuple[State, jax.Array]:
     """One differentiable time step (solver.step's math, reference
-    main.c:86-146, with the adjoint pressure solve).  Returns
-    (new_state, dt)."""
-    if params.obstacles:
-        raise NotImplementedError(
-            "the differentiable path does not carry obstacle masks yet")
+    main.c:86-146, with the adjoint pressure solve).  Obstacle domains
+    run the masked solvers with the masked adjoint (`_ift_bwd_masked`).
+    Returns (new_state, dt)."""
     if controls is None:
         controls = default_controls(params)
     u, v, p, t, n = state
@@ -169,11 +196,21 @@ def diff_step(state: State, params: Params, controls: Optional[Controls]
     else:
         lid = boundary.lid_velocity(params.problem, params.f, t)
         u, v = boundary.apply_cavity_bcs(u, v, lid * controls.lid_scale)
+    if params.obstacles:
+        from .ops import obstacles as obs
+
+        u, v = obs.apply_obstacle_bcs(u, v, params)
     F, G = momentum.compute_fg(u, v, dt, gamma, params,
                                g_x=controls.g_x, g_y=controls.g_y)
+    if params.obstacles:
+        F, G = obs.pin_fg(F, G, u, v, params)
     rhs = momentum.compute_rhs(F, G, dt, params)
+    if params.obstacles:
+        rhs = obs.mask_rhs(rhs, params)
     p_new = pressure_solve_ift(p, rhs, params, pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, p_new, dt, params)
+    if params.obstacles:
+        u, v = obs.apply_obstacle_bcs(u, v, params)
     new_state = State(u=u, v=v, p=p_new, t=t + dt, n=n + 1)
     return new_state, dt
 

@@ -170,11 +170,37 @@ def test_diff_step_matches_solver_step():
     assert float(d_state.t) == pytest.approx(float(ref_state.t), rel=1e-12)
 
 
-def test_diff_rejects_obstacles():
-    params = _params(problem=3, obstacles=((4, 6, 4, 6),))
+def test_grad_obstacle_initial_state():
+    """Obstacle-domain adjoint (masked neighbor-weight operator,
+    _ift_bwd_masked): directional derivative w.r.t. the initial state on
+    a small backward-facing step vs FD."""
+    from navierstokes_parallel_tpu.models import step as bfs
+
+    params = bfs.backward_facing_step(Re=50.0, nx=16, ny=8, T=1.0,
+                                      dtype="float64", epsilon=1e-9)
     state = allocate_state(params)
-    with pytest.raises(NotImplementedError, match="obstacle"):
-        diff.diff_step(state, params)
+    rng = np.random.default_rng(11)
+    bump = np.zeros(params.shape)
+    bump[1:-1, 1:-1] = 0.02 * rng.standard_normal((params.i_max,
+                                                   params.j_max))
+    state = state._replace(u=state.u + jnp.asarray(bump),
+                           v=state.v + jnp.asarray(bump))
+    loss = _loss_fn(params, n_steps=2)
+    controls = diff.default_controls(params)
+
+    direction = np.zeros(params.shape)
+    direction[1:-1, 1:-1] = rng.standard_normal((params.i_max,
+                                                 params.j_max))
+    d = jnp.asarray(direction)
+    g_u = jax.grad(
+        lambda u0: loss(state._replace(u=u0), controls))(state.u)
+    directional = float(jnp.sum(g_u * d))
+    h = 1e-6
+    fd = (float(loss(state._replace(u=state.u + h * d), controls))
+          - float(loss(state._replace(u=state.u - h * d), controls))) \
+        / (2 * h)
+    assert directional == pytest.approx(fd, rel=1e-4)
+    assert abs(directional) > 1e-4
 
 
 def test_grad_thermal_wall_temperature():
