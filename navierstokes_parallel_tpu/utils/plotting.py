@@ -325,3 +325,43 @@ def plot_history(csv_path: str, out_path: str = "history.png"):
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
     return out_path
+
+
+def plot_convection(state, params: Params, nu_hot: float, Ra: float,
+                    out_path: str = "convection.png"):
+    """Temperature field + velocity streamlines of a steady natural-
+    convection solution (models/convection.py) — the standard de Vahl
+    Davis figure (isotherms bending from conduction-vertical to
+    convection-horizontal as Ra grows)."""
+    from . import diagnostics
+
+    plt = _mpl()
+    T = np.asarray(state.T)[1:-1, 1:-1]
+    psi = np.asarray(diagnostics.stream_function(state.u, params))
+    x = (np.arange(params.i_max) + 0.5) * params.dx
+    y = (np.arange(params.j_max) + 0.5) * params.dy
+    xc = np.arange(params.i_max + 1) * params.dx
+    yc = np.arange(params.j_max + 1) * params.dy
+
+    plt.figure(figsize=(5.4, 5))
+    im = plt.pcolormesh(x, y, T.T, cmap="coolwarm", shading="auto",
+                        vmin=-0.5, vmax=0.5)
+    plt.colorbar(im, label="$T$", shrink=0.85)
+    plt.contour(x, y, T.T, levels=np.linspace(-0.45, 0.45, 10),
+                colors="black", linewidths=0.5)
+    span = max(abs(psi.min()), abs(psi.max()), 1e-12)
+    plt.contour(xc, yc, psi.T, levels=np.linspace(-span, span, 13),
+                colors="white", linewidths=0.8, linestyles="solid")
+    plt.title(f"Ra={Ra:g}: $\\overline{{Nu}}$={nu_hot:.3f} "
+              f"(de Vahl Davis: "
+              f"{_DVD_NU.get(Ra, float('nan')):.3f})", fontsize=10)
+    plt.gca().set_aspect("equal")
+    plt.xlabel("$x$ (hot wall left)")
+    plt.ylabel("$y$")
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=150)
+    plt.close()
+    return out_path
+
+
+_DVD_NU = {1e3: 1.118, 1e4: 2.243, 1e5: 4.519, 1e6: 8.800}
