@@ -365,3 +365,48 @@ def plot_convection(state, params: Params, nu_hot: float, Ra: float,
 
 
 _DVD_NU = {1e3: 1.118, 1e4: 2.243, 1e5: 4.519, 1e6: 8.800}
+
+
+def plot_particle_paths(history, params: Params,
+                        out_path: str = "particles.png",
+                        mode: str = "paths"):
+    """Render a particle trajectory history (particles.trace_particles) —
+    the visualization stage the serial lineage's sect. 3.4 particle tracing
+    feeds (the reference repo has no particle post-processing at all).
+
+    `history` is (frames, capacity, 3) of (x, y, active).  mode="paths"
+    draws one polyline per particle over the frames where it was active
+    (pathlines); mode="points" scatters only the FINAL frame's active
+    particles (the streakline picture — with injection, the live set IS the
+    streak)."""
+    plt = _mpl()
+    hist = np.asarray(history, np.float64)
+    if hist.ndim != 3 or hist.shape[-1] != 3:
+        raise ValueError(f"history must be (frames, capacity, 3), "
+                         f"got {hist.shape}")
+    plt.figure(figsize=(5.2, 5.2 * params.b / params.a))
+    if mode == "paths":
+        for k in range(hist.shape[1]):
+            act = hist[:, k, 2] > 0.5
+            if not act.any():
+                continue
+            # Active prefix plus the seed frame before it (frozen after).
+            xs, ys = hist[act, k, 0], hist[act, k, 1]
+            plt.plot(xs, ys, lw=0.7, alpha=0.8)
+            plt.plot(xs[-1:], ys[-1:], "k.", ms=2.5)
+    elif mode == "points":
+        act = hist[-1, :, 2] > 0.5
+        plt.plot(hist[-1, act, 0], hist[-1, act, 1], "k.", ms=3)
+    else:
+        raise ValueError(f"unknown particle plot mode {mode!r}")
+    plt.xlim(0, params.a)
+    plt.ylim(0, params.b)
+    plt.gca().set_aspect("equal")
+    plt.xlabel("$x$")
+    plt.ylabel("$y$")
+    plt.title(f"{'pathlines' if mode == 'paths' else 'particles'} "
+              f"({hist.shape[0]} frames)", fontsize=10)
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=150)
+    plt.close()
+    return out_path
