@@ -1,0 +1,273 @@
+"""Free-surface (marker-and-cell) machinery: traced flag fields, surface
+boundary conditions, and the Dirichlet-anchored masked pressure solve.
+
+This restores the free-boundary capability of the serial lineage (Griebel
+et al. 1998 ch. 8: flag fields from marker particles, surface cells, the
+p=0 atmospheric condition) that the reference repo dropped entirely — and
+it is the "M" in MAC that `particles.py` makes possible.  The TPU-first
+formulation replaces the serial code's per-cell 16-way neighbor case
+analysis with three vectorized passes over static-shaped masks:
+
+  * The flag field is a *traced* bool array rebuilt every step from a
+    scatter-add of particle counts — so ONE compiled XLA program serves
+    the entire evolving geometry (the serial codes re-run branchy C over
+    new flags each step; a CUDA port would re-upload flag buffers).
+  * Surface-cell velocity BCs are a single divergence-zeroing correction:
+    each surface cell distributes its residual divergence equally over its
+    free faces (faces toward empty cells).  For one empty neighbor this IS
+    the book's discrete-continuity rule (eq. 8.10); for 2/3/4 empty
+    neighbors it is the symmetric generalization of the book's case table,
+    and it zeroes the cell divergence EXACTLY in every case (each free
+    face has a unique fluid owner, so corrections never collide).
+  * The pressure Poisson problem keeps only BULK fluid cells (fluid cells
+    with no empty neighbor) as unknowns; surface cells carry the Dirichlet
+    atmospheric condition p = 0 (Griebel eq. 8.8 with surface tension and
+    the viscous normal stress neglected).  The Dirichlet anchor removes
+    the Neumann null space, so the solve needs no deflation.  The operator
+    is ops/masked.py's neighbor-weight form with TRACED weights — the
+    masked red-black sweeps, residual, and the f64-master/f32-correction
+    refinement outer are reused verbatim (they only ever jnp.asarray the
+    weight fields, so numpy constants and traced arrays both work).
+
+Obstacle flag fields (Params.obstacles) are not composed with free
+surfaces yet — solve_pressure_free rejects them.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import Params
+from .sor import NORM_OFFSET, SORResult, _checkerboard
+from . import masked
+
+
+class Flags(NamedTuple):
+    """Per-step cell classification, all padded (i_max+2, j_max+2) bools.
+    The ghost ring is neither fluid nor empty (walls)."""
+
+    fluid: jax.Array    # interior cell containing >= 1 active particle
+    empty: jax.Array    # interior cell with no particle
+    surface: jax.Array  # fluid cell with >= 1 empty 4-neighbor
+    bulk: jax.Array     # fluid cell with no empty neighbor (pressure unknown)
+
+
+def cell_flags(x: jax.Array, y: jax.Array, active: jax.Array,
+               params: Params) -> Flags:
+    """Flag field from particle positions (Griebel sect. 8.1: a cell is
+    fluid iff it contains a marker particle).  One scatter-add over all
+    particles; inactive particles do not count."""
+    nx, ny = params.i_max + 2, params.j_max + 2
+    ci = jnp.clip(jnp.floor(x / params.dx).astype(jnp.int32) + 1,
+                  1, params.i_max)
+    cj = jnp.clip(jnp.floor(y / params.dy).astype(jnp.int32) + 1,
+                  1, params.j_max)
+    counts = jnp.zeros(nx * ny, jnp.int32).at[ci * ny + cj].add(
+        active.astype(jnp.int32))
+    interior = jnp.zeros((nx, ny), bool).at[1:-1, 1:-1].set(True)
+    fluid = (counts.reshape(nx, ny) > 0) & interior
+    return classify(fluid, interior)
+
+
+def classify(fluid: jax.Array, interior=None) -> Flags:
+    """Surface/bulk split of a padded fluid mask.  'Empty neighbor' counts
+    only interior non-fluid cells — ghost (wall) neighbors never make a
+    cell a surface cell."""
+    if interior is None:
+        interior = jnp.zeros_like(fluid).at[1:-1, 1:-1].set(True)
+    empty = interior & ~fluid
+    near_empty = jnp.zeros_like(fluid)
+    near_empty = near_empty.at[1:-1, 1:-1].set(
+        empty[2:, 1:-1] | empty[:-2, 1:-1]
+        | empty[1:-1, 2:] | empty[1:-1, :-2])
+    surface = fluid & near_empty
+    return Flags(fluid=fluid, empty=empty, surface=surface,
+                 bulk=fluid & ~near_empty)
+
+
+def _interior_divergence(u, v, params: Params):
+    """(i_max, j_max) cell divergences from padded face arrays."""
+    du = (u[1:-1, 1:-1] - u[:-2, 1:-1]) / params.dx
+    dv = (v[1:-1, 1:-1] - v[1:-1, :-2]) / params.dy
+    return du + dv
+
+
+def apply_surface_bcs(u: jax.Array, v: jax.Array, flags: Flags,
+                      params: Params) -> Tuple[jax.Array, jax.Array]:
+    """Free-surface velocity conditions, two vectorized passes.
+
+    Pass 1 (continuity, Griebel eq. 8.10 generalized): every surface cell
+    zeroes its discrete divergence by correcting its free faces equally.
+    A free face (fluid cell -> empty neighbor) has exactly one fluid
+    owner, so the four scatter-adds below never write one face twice.
+
+    Pass 2 (velocity continuation into the empty region): faces BETWEEN
+    two empty cells take the average of their defined 4-neighbor faces
+    (defined = adjacent to at least one fluid cell, or a wall face); empty
+    faces with no defined neighbor are zeroed.  Only the first empty layer
+    matters — it is what near-surface particle interpolation touches and
+    what seeds the momentum eq. when the front advances a cell."""
+    fl, em, surf = flags.fluid, flags.empty, flags.surface
+    si = surf[1:-1, 1:-1]
+    e_free = si & em[2:, 1:-1]
+    w_free = si & em[:-2, 1:-1]
+    n_free = si & em[1:-1, 2:]
+    s_free = si & em[1:-1, :-2]
+    k = (e_free.astype(u.dtype) + w_free + n_free + s_free)
+    div = _interior_divergence(u, v, params)
+    share = jnp.where(k > 0, div / jnp.maximum(k, 1), 0.0)
+    dx, dy = params.dx, params.dy
+    # East face of cell (i,j) is u[i, j] (padded); west face is u[i-1, j].
+    u = u.at[1:-1, 1:-1].add(jnp.where(e_free, -share * dx, 0.0))
+    u = u.at[0:-2, 1:-1].add(jnp.where(w_free, share * dx, 0.0))
+    v = v.at[1:-1, 1:-1].add(jnp.where(n_free, -share * dy, 0.0))
+    v = v.at[1:-1, 0:-2].add(jnp.where(s_free, share * dy, 0.0))
+
+    # Pass 2: continuation.  u face (i, j) sits between cells (i, j) and
+    # (i+1, j): empty-empty iff both are empty (ghost-adjacent faces are
+    # wall faces, never redefined).
+    u_ee = jnp.zeros_like(fl).at[1:-2, 1:-1].set(
+        em[1:-2, 1:-1] & em[2:-1, 1:-1])
+    v_ee = jnp.zeros_like(fl).at[1:-1, 1:-2].set(
+        em[1:-1, 1:-2] & em[1:-1, 2:-1])
+    u = _extend(u, u_ee)
+    v = _extend(v, v_ee)
+    return u, v
+
+
+def _extend(a: jax.Array, undef: jax.Array) -> jax.Array:
+    """One Jacobi continuation pass: undefined entries take the mean of
+    their defined 4-neighbors (zero if none)."""
+    defined = (~undef).astype(a.dtype)
+    av = jnp.where(undef, 0.0, a)
+
+    def nb(arr):
+        return (jnp.roll(arr, 1, 0) + jnp.roll(arr, -1, 0)
+                + jnp.roll(arr, 1, 1) + jnp.roll(arr, -1, 1))
+
+    num = nb(av)
+    den = nb(defined)
+    return jnp.where(undef, jnp.where(den > 0, num / jnp.maximum(den, 1), 0.0),
+                     a)
+
+
+def _traced_weights(flags: Flags, params: Params) -> masked._Weights:
+    """Neighbor-weight operator for the free-surface Poisson problem,
+    shaped exactly like ops/masked.py's _Weights but TRACED: unknowns are
+    bulk cells; a fluid neighbor (bulk or surface) keeps its geometric
+    weight — surface neighbors are Dirichlet p=0, so their weight lives in
+    the diagonal while their off-diagonal term vanishes numerically
+    because the pressure array holds 0 there; ghost (wall) neighbors are
+    dropped from both (homogeneous Neumann), exactly as in masked.py."""
+    dx2_inv = 1.0 / (params.dx * params.dx)
+    dy2_inv = 1.0 / (params.dy * params.dy)
+    fl, bulk = flags.fluid, flags.bulk
+    bi = bulk[1:-1, 1:-1]
+    w_e = jnp.where(bi & fl[2:, 1:-1], dx2_inv, 0.0)
+    w_w = jnp.where(bi & fl[:-2, 1:-1], dx2_inv, 0.0)
+    w_n = jnp.where(bi & fl[1:-1, 2:], dy2_inv, 0.0)
+    w_s = jnp.where(bi & fl[1:-1, :-2], dy2_inv, 0.0)
+    diag = w_e + w_w + w_n + w_s
+    diag = jnp.where(diag > 0.0, diag, 1.0)
+    return masked._Weights(w_e=w_e, w_w=w_w, w_n=w_n, w_s=w_s, diag=diag,
+                           fluid=bi, n_fluid=jnp.maximum(jnp.sum(bi), 1))
+
+
+def mask_pressure(p: jax.Array, flags: Flags) -> jax.Array:
+    """Impose the atmospheric Dirichlet condition: p = 0 outside bulk
+    cells (surface, empty, and ghosts — the weights never read ghosts,
+    but a clean field keeps output frames meaningful)."""
+    return jnp.where(flags.bulk, p, jnp.zeros_like(p))
+
+
+def solve_pressure_free(p: jax.Array, rhs: jax.Array, flags: Flags,
+                        params: Params) -> SORResult:
+    """Pressure solve on the traced free-surface geometry: ops/masked.py's
+    f64-master / f32-correction refinement outer over the traced-weight
+    operator.  The surface Dirichlet cells anchor the solution, so there
+    is no null space and no deflation hook.  Requires x64 like every
+    refined solve (CLI/bench enable it)."""
+    if params.obstacles:
+        raise ValueError("free-surface runs do not compose with "
+                         "Params.obstacles yet")
+    if not jax.config.jax_enable_x64:
+        raise ValueError("free-surface runs need jax x64 for the f64 "
+                         "refinement master (CLI/bench enable it)")
+    f64, f32 = jnp.float64, jnp.float32
+    w = _traced_weights(flags, params)
+    omega32 = jnp.asarray(params.omega, f32)
+    shape_int = (params.i_max, params.j_max)
+    red = _checkerboard(shape_int, 0) & w.fluid
+    black = _checkerboard(shape_int, 1) & w.fluid
+    K = max(1, params.sor_refine_every)
+
+    def inner(neg_r32, n_inner):
+        def sweep(_, d):
+            return masked.masked_rb_iteration(d, neg_r32, omega32, w,
+                                              red, black)
+        return lax.fori_loop(0, n_inner, sweep,
+                             jnp.zeros(params.shape, f32))
+
+    p64 = mask_pressure(p.astype(f64), flags)
+    rhs_int64 = jnp.where(w.fluid, rhs[1:-1, 1:-1].astype(f64), 0.0)
+    norm_p0 = masked._l2_fluid(jnp.where(w.fluid, p64[1:-1, 1:-1], 0.0), w)
+    threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
+
+    def defect(p64):
+        return masked.masked_residual(p64, rhs_int64, w)
+
+    def cond(carry):
+        _, _, it, res_norm = carry
+        return jnp.logical_and(it < params.max_it, res_norm > threshold)
+
+    def body(carry):
+        p64, r64, it, _ = carry
+        n_inner = jnp.minimum(K, params.max_it - it)
+        delta = inner(-r64.astype(f32), n_inner)
+        p64 = p64.at[1:-1, 1:-1].add(
+            jnp.where(w.fluid, delta[1:-1, 1:-1].astype(f64), 0.0))
+        r64 = defect(p64)
+        return p64, r64, it + n_inner, masked._l2_fluid(r64, w)
+
+    r64_0 = defect(p64)
+    init = (p64, r64_0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, f64))
+    p64, _, it, res_norm = lax.while_loop(cond, body, init)
+    return SORResult(
+        p=p64.astype(p.dtype),
+        iterations=it,
+        res_norm=res_norm.astype(p.dtype),
+        converged=res_norm <= threshold,
+    )
+
+
+def fluid_face_masks(flags: Flags) -> Tuple[jax.Array, jax.Array]:
+    """Interior-update-aligned masks of momentum faces: u faces between
+    two FLUID cells (shape (i_max-1, j_max), matching the slice
+    momentum.project_velocities writes, u[1:i_max, 1:-1]) and likewise for
+    v.  Non-fluid faces keep their BC/continuation values through both the
+    tentative-velocity pin and the projection."""
+    fl = flags.fluid
+    u_ff = fl[1:-2, 1:-1] & fl[2:-1, 1:-1]
+    v_ff = fl[1:-1, 1:-2] & fl[1:-1, 2:-1]
+    return u_ff, v_ff
+
+
+def pin_fg(F: jax.Array, G: jax.Array, u: jax.Array, v: jax.Array,
+           flags: Flags) -> Tuple[jax.Array, jax.Array]:
+    """F = u / G = v on every face that is not fluid-fluid (Griebel eq.
+    8.11's boundary treatment): the Poisson RHS then sees the surface-BC
+    face values, and the projection leaves them untouched."""
+    u_ff, v_ff = fluid_face_masks(flags)
+    F = F.at[1:-2, 1:-1].set(jnp.where(u_ff, F[1:-2, 1:-1], u[1:-2, 1:-1]))
+    G = G.at[1:-1, 1:-2].set(jnp.where(v_ff, G[1:-1, 1:-2], v[1:-1, 1:-2]))
+    # Faces outside the interior update region always carry F=u/G=v
+    # (momentum.compute_fg already sets the walls; empty-region faces too).
+    F = jnp.where(jnp.zeros_like(F, bool).at[1:-2, 1:-1].set(True), F,
+                  u.astype(F.dtype))
+    G = jnp.where(jnp.zeros_like(G, bool).at[1:-1, 1:-2].set(True), G,
+                  v.astype(G.dtype))
+    return F, G

@@ -1,0 +1,232 @@
+"""Free-surface (MAC) validation: flag classification, exact surface-cell
+continuity, the Dirichlet-anchored pressure solve, hydrostatic equilibrium,
+free-fall kinematics, and dam-break physics (ops/surface.py +
+models/freesurface.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from navierstokes_parallel_tpu import particles as P
+from navierstokes_parallel_tpu.config import Params
+from navierstokes_parallel_tpu.grid import allocate_state
+from navierstokes_parallel_tpu.models import freesurface as FS
+from navierstokes_parallel_tpu.ops import surface as surf
+
+
+def _params(n=16, **kw):
+    base = dict(problem=1, i_max=n, j_max=n, a=1.0, b=1.0, T=0.05,
+                Re=100.0, tau=0.4, omega=1.7, epsilon=1e-6, max_it=2000,
+                dtype="float64")
+    base.update(kw)
+    return Params(**base)
+
+
+def _flags_from_mask(fluid_interior: np.ndarray) -> surf.Flags:
+    nx, ny = fluid_interior.shape[0] + 2, fluid_interior.shape[1] + 2
+    fl = np.zeros((nx, ny), bool)
+    fl[1:-1, 1:-1] = fluid_interior
+    return surf.classify(jnp.asarray(fl))
+
+
+def test_cell_flags_from_particles():
+    params = _params(n=8)
+    # One particle in cell (2, 3): x in ((2-1)dx, 2dx), y likewise.
+    pset = P.init_particles([[1.6 / 8, 2.4 / 8], [0.5, 0.99]],
+                            dtype=jnp.float64)
+    flags = surf.cell_flags(pset.x, pset.y, pset.active, params)
+    fl = np.asarray(flags.fluid)
+    assert fl[2, 3] and fl[5, 8]
+    assert fl.sum() == 2
+    # Inactive particles do not count.
+    pset2 = P.ParticleSet(pset.x, pset.y, jnp.asarray([False, True]))
+    flags2 = surf.cell_flags(pset2.x, pset2.y, pset2.active, params)
+    assert np.asarray(flags2.fluid).sum() == 1
+
+
+def test_classify_surface_and_bulk():
+    # 6x6 interior, fluid in rows j=1..3 (a liquid layer).
+    fl = np.zeros((6, 6), bool)
+    fl[:, 0:3] = True
+    flags = _flags_from_mask(fl)
+    s = np.asarray(flags.surface)[1:-1, 1:-1]
+    b = np.asarray(flags.bulk)[1:-1, 1:-1]
+    # Top fluid row (j index 2) touches empty above -> surface.
+    assert s[:, 2].all() and not s[:, 0:2].any()
+    assert b[:, 0:2].all() and not b[:, 2].any()
+    # Walls never make surface: bottom row is bulk despite ghost below.
+    assert b[0, 0] and b[5, 0]
+
+
+def test_surface_bcs_zero_divergence_exactly():
+    """After apply_surface_bcs every surface cell has machine-zero discrete
+    divergence, for an adversarial random field and a geometry with 1-, 2-,
+    and 3-empty-neighbor surface cells."""
+    params = _params(n=10)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=params.shape))
+    v = jnp.asarray(rng.normal(size=params.shape))
+    fl = np.zeros((10, 10), bool)
+    fl[:, 0:4] = True          # layer
+    fl[4, 4] = True            # bump (3 empty neighbors)
+    fl[7:9, 4:7] = True        # tower (corners have 2 empty neighbors)
+    flags = _flags_from_mask(fl)
+    u2, v2 = surf.apply_surface_bcs(u, v, flags, params)
+    div = np.asarray(surf._interior_divergence(u2, v2, params))
+    s = np.asarray(flags.surface)[1:-1, 1:-1]
+    assert s.sum() >= 12
+    assert np.max(np.abs(div[s])) < 1e-12
+    # Fluid-fluid faces are untouched: a bulk cell whose neighbors are all
+    # bulk keeps its divergence bit-for-bit.
+    div0 = np.asarray(surf._interior_divergence(u, v, params))
+    b = np.asarray(flags.bulk)[1:-1, 1:-1]
+    deep = b.copy()
+    deep[1:, :] &= b[:-1, :]
+    deep[:-1, :] &= b[1:, :]
+    deep[:, 1:] &= b[:, :-1]
+    deep[:, :-1] &= b[:, 1:]
+    assert deep.any()
+    np.testing.assert_array_equal(div[deep], div0[deep])
+
+
+def test_surface_bcs_zero_divergence_single_free_face_matches_book():
+    """One empty neighbor (east): the correction must reproduce the
+    discrete-continuity rule u_e = u_w - dx*(v_n - v_s)/dy (Griebel eq.
+    8.10)."""
+    params = _params(n=6)
+    rng = np.random.default_rng(5)
+    u = rng.normal(size=params.shape)
+    v = rng.normal(size=params.shape)
+    fl = np.ones((6, 6), bool)
+    fl[3, 2] = False   # empty cell east of fluid cell (3, 3) in padded idx
+    flags = _flags_from_mask(fl)
+    # Fluid cell (padded) (3, 3): east empty -> u[3, 3] set by continuity.
+    u2, v2 = surf.apply_surface_bcs(jnp.asarray(u), jnp.asarray(v),
+                                    flags, params)
+    i, j = 3, 3
+    expect = u[i - 1, j] - params.dx / params.dy * (v[i, j] - v[i, j - 1])
+    assert abs(float(u2[i, j]) - expect) < 1e-12
+
+
+def test_pressure_solve_contract_and_dirichlet():
+    params = _params(n=16, epsilon=1e-8)
+    fl = np.zeros((16, 16), bool)
+    fl[:, 0:8] = True
+    flags = _flags_from_mask(fl)
+    rng = np.random.default_rng(7)
+    rhs = jnp.zeros(params.shape).at[1:-1, 1:-1].set(
+        rng.normal(size=(16, 16)))
+    p0 = jnp.zeros(params.shape)
+    res = surf.solve_pressure_free(p0, rhs, flags, params)
+    assert bool(res.converged)
+    p = np.asarray(res.p)
+    bulk = np.asarray(flags.bulk)
+    assert np.all(p[~bulk] == 0.0)          # Dirichlet + masking
+    # Residual on bulk cells really is below the contract threshold.
+    w = surf._traced_weights(flags, params)
+    from navierstokes_parallel_tpu.ops import masked
+    r = np.asarray(masked.masked_residual(jnp.asarray(p),
+                                          rhs[1:-1, 1:-1], w))
+    l2 = np.sqrt((r ** 2).sum() / float(w.n_fluid))
+    assert l2 <= params.epsilon * 1.5 + 1e-12
+
+
+def test_hydrostatic_equilibrium():
+    """Liquid at rest under gravity: velocities stay at rounding level and
+    the pressure relaxes to the exact discrete hydrostatic profile
+    p(y_j) = g * (y_surface_center - y_j) (p = 0 at the surface cell)."""
+    params, fs = FS.filled_box(n=24, T=0.1)
+    fs2, stats = FS.solve_free(params, fs)
+    assert int(stats.sor_failures) == 0
+    assert float(jnp.max(jnp.abs(fs2.state.u))) < 1e-10
+    assert float(jnp.max(jnp.abs(fs2.state.v))) < 1e-10
+    p = np.asarray(fs2.state.p)
+    # depth 0.5 at n=24 -> fluid cells j=1..12, surface row j=12.
+    j_surf = 12
+    for j in range(1, j_surf + 1):
+        expect = (j_surf - j) * params.dy
+        np.testing.assert_allclose(p[1:-1, j], expect, atol=1e-9)
+
+
+def test_drop_free_fall_com():
+    """Airborne blob: COM follows y0 - g t^2/2 up to the O(dt) splitting
+    bias of advecting with the end-of-step field (err ~ -g*t*dt/2), and
+    the bias halves with dt.  x-COM must not drift."""
+    params, fs = FS.drop(n=32, T=0.3)
+    cx0, cy0 = FS.center_of_mass(fs)
+    fs2, _ = FS.solve_free(params, fs)
+    t = float(fs2.state.t)
+    cx, cy = FS.center_of_mass(fs2)
+    assert abs(cx - cx0) < 1e-10
+    err = cy - (cy0 - 0.5 * t * t)
+    dt = t / 3  # three equal gravity-capped steps
+    assert abs(err + 0.5 * t * dt) < 0.2 * abs(0.5 * t * dt)
+    # Halve dt via tau: bias halves (first-order in dt, as analyzed).
+    params2, fsb = FS.drop(n=32, T=0.3, tau=0.2)
+    fs3, _ = FS.solve_free(params2, fsb)
+    t3 = float(fs3.state.t)
+    _, cy3 = FS.center_of_mass(fs3)
+    err3 = cy3 - (cy0 - 0.5 * t3 * t3)
+    assert abs(err3) < 0.65 * abs(err)
+
+
+def test_dam_break_physics():
+    """Column collapse: the front accelerates out but never beats the
+    shallow-water (Ritter) bound 2*sqrt(g h); the residual column height
+    decreases; fluid volume is conserved to a few percent of the flag-
+    field quantization; no pressure solve fails."""
+    params, fs = FS.dam_break(n=16, T=1.0, width=1.0, height=2.0,
+                              a=4.0, b=3.0)
+    v0 = FS.fluid_volume(fs, params)
+    h0 = FS.column_height(fs)
+    f0 = FS.front_position(fs)
+    fs2, stats = FS.solve_free(params, fs)
+    assert int(stats.sor_failures) == 0
+    t = float(fs2.state.t)
+    front = FS.front_position(fs2)
+    # Moving out, below the inviscid bound x0 + 2 sqrt(gh) t.
+    g, h = 1.0, 2.0
+    assert f0 + 0.25 * np.sqrt(g * h) * t < front < f0 + 2.0 * np.sqrt(
+        g * h) * t
+    assert FS.column_height(fs2) < h0 - 0.05
+    assert abs(FS.fluid_volume(fs2, params) - v0) / v0 < 0.08
+    # All particles stay in the box (none deactivated).
+    assert bool(jnp.all(fs2.pset.active))
+
+
+def test_free_step_jits_once_across_geometry():
+    """The flag field is traced: stepping two DIFFERENT geometries through
+    the same params hits one compiled program (the whole point of the
+    vectorized surface treatment)."""
+    params = _params(n=12, T=0.01)
+    fs_a = FS.FreeSurfaceState(allocate_state(params),
+                               FS.fill_region(params, 0, 1, 0, 0.4))
+    fs_b = FS.FreeSurfaceState(allocate_state(params),
+                               FS.fill_region(params, 0, 0.4, 0, 1))
+    step = FS.make_free_step_fn(params)
+    step(fs_a)  # compile
+    n0 = step._cache_size()
+    step(fs_b)
+    assert step._cache_size() == n0 == 1
+
+
+def test_trace_free_matches_device_loop():
+    params, fs = FS.dam_break(n=8, T=0.3, width=1.0, height=1.5,
+                              a=2.0, b=2.0)
+    fs_d, stats_d = FS.solve_free(params, fs)
+    fs_h, stats_h, frames = FS.trace_free(params, fs)
+    assert int(stats_d.steps) == int(stats_h.steps)
+    np.testing.assert_array_equal(np.asarray(fs_d.pset.x),
+                                  np.asarray(fs_h.pset.x))
+    np.testing.assert_array_equal(np.asarray(fs_d.state.u),
+                                  np.asarray(fs_h.state.u))
+    assert frames.shape[0] == int(stats_h.steps) + 1
+
+
+def test_rejects_obstacles_and_x32():
+    params = _params(n=8, obstacles=((3, 4, 3, 4),))
+    flags = _flags_from_mask(np.ones((8, 8), bool))
+    with pytest.raises(ValueError, match="obstacles"):
+        surf.solve_pressure_free(jnp.zeros(params.shape),
+                                 jnp.zeros(params.shape), flags, params)
