@@ -52,16 +52,23 @@ class FreeSurfaceState(NamedTuple):
     pset: P.ParticleSet
 
 
-def _box_bcs(u, v):
-    """No-slip on all four container walls."""
-    u, v = boundary.set_noslip(u, v, Side.LEFT)
-    u, v = boundary.set_noslip(u, v, Side.RIGHT)
-    u, v = boundary.set_noslip(u, v, Side.BOTTOM)
-    u, v = boundary.set_noslip(u, v, Side.TOP)
+def _box_bcs(u, v, wall: str = "noslip"):
+    """Container walls: no-slip (reference semantics) or free-slip (the
+    standard dam-break setting — no-slip pins a particle film to the
+    walls)."""
+    if wall not in ("noslip", "freeslip"):
+        raise ValueError(f"unknown wall condition {wall!r}")
+    set_wall = (boundary.set_noslip if wall == "noslip"
+                else boundary.set_freeslip)
+    u, v = set_wall(u, v, Side.LEFT)
+    u, v = set_wall(u, v, Side.RIGHT)
+    u, v = set_wall(u, v, Side.BOTTOM)
+    u, v = set_wall(u, v, Side.TOP)
     return u, v
 
 
-def free_step(fs: FreeSurfaceState, params: Params,
+def free_step(fs: FreeSurfaceState, params: Params, *,
+              wall: str = "noslip",
               ) -> Tuple[FreeSurfaceState, _solver.StepDiagnostics]:
     """One free-surface time step.  Pure; jit over `fs` (the flag field is
     traced data, so geometry changes never retrace)."""
@@ -80,7 +87,7 @@ def free_step(fs: FreeSurfaceState, params: Params,
         scale = jnp.minimum(1.0, cap / dt)
         dt = dt * scale
         gamma = gamma * scale
-    u, v = _box_bcs(u, v)
+    u, v = _box_bcs(u, v, wall)
     flags = surf.cell_flags(fs.pset.x, fs.pset.y, fs.pset.active, params)
     u, v = surf.apply_surface_bcs(u, v, flags, params)
 
@@ -106,15 +113,15 @@ def free_step(fs: FreeSurfaceState, params: Params,
 
 
 @functools.lru_cache(maxsize=32)
-def make_free_step_fn(params: Params):
+def make_free_step_fn(params: Params, wall: str = "noslip"):
     @jax.jit
     def _step(fs: FreeSurfaceState):
-        return free_step(fs, params)
+        return free_step(fs, params, wall=wall)
     return _step
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _solve_free(params: Params, fs: FreeSurfaceState):
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _solve_free(params: Params, fs: FreeSurfaceState, wall: str):
     T = jnp.asarray(params.T, fs.state.t.dtype)
 
     def cond(carry):
@@ -123,7 +130,7 @@ def _solve_free(params: Params, fs: FreeSurfaceState):
 
     def body(carry):
         fs, stats = carry
-        fs, diag = free_step(fs, params)
+        fs, diag = free_step(fs, params, wall=wall)
         stats = _solver.SolveStats(
             steps=stats.steps + 1,
             total_sor_iterations=(stats.total_sor_iterations
@@ -142,17 +149,18 @@ def _solve_free(params: Params, fs: FreeSurfaceState):
     return fs, stats
 
 
-def solve_free(params: Params, fs: FreeSurfaceState,
+def solve_free(params: Params, fs: FreeSurfaceState, *,
+               wall: str = "noslip",
                ) -> Tuple[FreeSurfaceState, _solver.SolveStats]:
     """Integrate to t >= T in one on-device while_loop."""
-    return _solve_free(params, fs)
+    return _solve_free(params, fs, wall)
 
 
 def trace_free(params: Params, fs: FreeSurfaceState, *,
-               record_every: int = 1):
+               wall: str = "noslip", record_every: int = 1):
     """Host-loop twin recording particle-history frames for
     plot_particle_paths / animation; bitwise-identical stepping."""
-    step_fn = make_free_step_fn(params)
+    step_fn = make_free_step_fn(params, wall)
     frames = [P._snapshot(fs.pset)]
     steps = iters = fails = 0
     last = 0.0

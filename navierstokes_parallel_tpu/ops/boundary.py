@@ -71,6 +71,31 @@ def set_noslip(u: jax.Array, v: jax.Array, side: Side) -> Tuple[jax.Array, jax.A
     return set_inflow(u, v, side, 0.0, 0.0)
 
 
+def set_freeslip(u: jax.Array, v: jax.Array, side: Side) -> Tuple[jax.Array, jax.Array]:
+    """Free-slip wall (Griebel et al. sect. 3.3, 'slip condition'): zero
+    normal velocity on the wall edge, zero normal GRADIENT of the
+    tangential component — the ghost copies the first interior node
+    instead of negating it.  No reference analogue (its problems are all
+    no-slip); the free-surface container walls use it (the standard
+    dam-break setting — no-slip pins a spurious particle film to the
+    walls)."""
+    if side is Side.TOP:
+        v = v.at[1:-1, -2].set(0.0)
+        u = u.at[1:-1, -1].set(u[1:-1, -2])
+    elif side is Side.BOTTOM:
+        v = v.at[1:-1, 0].set(0.0)
+        u = u.at[1:-1, 0].set(u[1:-1, 1])
+    elif side is Side.LEFT:
+        u = u.at[0, 1:-1].set(0.0)
+        v = v.at[0, 1:-1].set(v[1, 1:-1])
+    elif side is Side.RIGHT:
+        u = u.at[-2, 1:-1].set(0.0)
+        v = v.at[-1, 1:-1].set(v[-2, 1:-1])
+    else:  # pragma: no cover
+        raise ValueError(f"unknown side {side}")
+    return u, v
+
+
 def apply_cavity_bcs(u, v, lid_u) -> Tuple[jax.Array, jax.Array]:
     """No-slip left/right/bottom walls + moving lid on top.
 

@@ -172,16 +172,17 @@ def test_drop_free_fall_com():
 
 
 def test_dam_break_physics():
-    """Column collapse: the front accelerates out but never beats the
-    shallow-water (Ritter) bound 2*sqrt(g h); the residual column height
-    decreases; fluid volume is conserved to a few percent of the flag-
-    field quantization; no pressure solve fails."""
+    """Column collapse (free-slip container, the classic setting): the
+    front accelerates out but never beats the shallow-water (Ritter)
+    bound 2*sqrt(g h); the residual column height decreases; fluid volume
+    is conserved to a few percent of the flag-field quantization; no
+    pressure solve fails."""
     params, fs = FS.dam_break(n=16, T=1.0, width=1.0, height=2.0,
                               a=4.0, b=3.0)
     v0 = FS.fluid_volume(fs, params)
     h0 = FS.column_height(fs)
     f0 = FS.front_position(fs)
-    fs2, stats = FS.solve_free(params, fs)
+    fs2, stats = FS.solve_free(params, fs, wall="freeslip")
     assert int(stats.sor_failures) == 0
     t = float(fs2.state.t)
     front = FS.front_position(fs2)
@@ -189,10 +190,39 @@ def test_dam_break_physics():
     g, h = 1.0, 2.0
     assert f0 + 0.25 * np.sqrt(g * h) * t < front < f0 + 2.0 * np.sqrt(
         g * h) * t
-    assert FS.column_height(fs2) < h0 - 0.05
+    # Free-slip walls drain the column (no pinned wall film).
+    assert FS.column_height(fs2) < h0 - 0.1
     assert abs(FS.fluid_volume(fs2, params) - v0) / v0 < 0.08
     # All particles stay in the box (none deactivated).
     assert bool(jnp.all(fs2.pset.active))
+
+
+def test_freeslip_wall_semantics():
+    """set_freeslip: zero normal edge velocity, tangential ghost COPIES
+    the interior node (zero normal gradient) — vs set_noslip's negation."""
+    from navierstokes_parallel_tpu.ops import boundary
+    params = _params(n=8)
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.normal(size=params.shape))
+    v = jnp.asarray(rng.normal(size=params.shape))
+    u2, v2 = boundary.set_freeslip(u, v, boundary.Side.LEFT)
+    assert np.all(np.asarray(u2)[0, 1:-1] == 0.0)
+    np.testing.assert_array_equal(np.asarray(v2)[0, 1:-1],
+                                  np.asarray(v)[1, 1:-1])
+    u3, v3 = boundary.set_freeslip(u, v, boundary.Side.TOP)
+    assert np.all(np.asarray(v3)[1:-1, -2] == 0.0)
+    np.testing.assert_array_equal(np.asarray(u3)[1:-1, -1],
+                                  np.asarray(u)[1:-1, -2])
+    # A wall-parallel uniform stream is a fixed point of free-slip BCs
+    # (it would be destroyed by no-slip).
+    us = jnp.ones(params.shape)
+    vs = jnp.zeros(params.shape)
+    uf, vf = FS._box_bcs(us, vs, "freeslip")
+    np.testing.assert_array_equal(np.asarray(uf)[1:-2, :],
+                                  np.asarray(us)[1:-2, :])
+    np.testing.assert_array_equal(np.asarray(vf), np.asarray(vs))
+    with pytest.raises(ValueError, match="wall"):
+        FS._box_bcs(us, vs, "slippery")
 
 
 def test_free_step_jits_once_across_geometry():
