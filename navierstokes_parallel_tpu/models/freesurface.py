@@ -14,18 +14,22 @@ machinery of ops/surface.py.  One time step (Griebel alg. 8.1):
      cells + velocity continuation into the first empty layer),
   5. tentative F/G with gravity, pinned to u/v on non-fluid-fluid faces,
      RHS masked to bulk cells,
-  6. pressure solve with p = 0 Dirichlet on surface cells (no null
-     space); because every non-bulk cell holds p = 0, the unmasked
-     projection is automatically a no-op on non-fluid-fluid faces,
-  7. re-impose the surface correction on the projected field,
+  6. pressure solve with the Dirichlet surface condition (no null
+     space) — by default the sub-cell SUMMAC interpolated condition
+     (ops/surface.py::interp_coeffs; `p_surface` selects variants),
+  7. project fluid-fluid faces, then re-impose the surface correction
+     (+ gravity on free faces) on the projected field,
   8. advect the particles through the end-of-step field (Heun).
 
 Setups: `dam_break` (liquid column collapse — THE free-surface benchmark,
 Martin & Moyce 1952), `drop` (free-falling blob), `filled_box` (hydro-
-static column).  Validations in tests/test_freesurface.py: exact surface-
-cell divergence, hydrostatic equilibrium pressure profile, free-fall
-center-of-mass kinematics, dam-break front-speed bounds + volume
-conservation.
+static column), `sloshing` (standing gravity wave — the sharp
+quantitative validation: measured period within 1% of the finite-depth
+dispersion relation omega^2 = g k tanh(k h) at 2-cell amplitude).
+Validations in tests/test_freesurface.py: exact surface-cell divergence,
+hydrostatic equilibrium pressure profile, free-fall center-of-mass
+kinematics, dam-break front-speed bounds + volume conservation, sloshing
+dispersion.
 """
 
 from __future__ import annotations
@@ -68,12 +72,42 @@ def _box_bcs(u, v, wall: str = "noslip"):
 
 
 def free_step(fs: FreeSurfaceState, params: Params, *,
-              wall: str = "noslip",
+              wall: str = "noslip", ppc: int = 3,
+              p_surface: str = "interpolated",
               ) -> Tuple[FreeSurfaceState, _solver.StepDiagnostics]:
     """One free-surface time step.  Pure; jit over `fs` (the flag field is
-    traced data, so geometry changes never retrace)."""
+    traced data, so geometry changes never retrace).
+
+    p_surface: "interpolated" (default) is the SUMMAC condition (Chan &
+    Street 1970, ops/surface.py::interp_coeffs): the surface cell's
+    pressure is tied IMPLICITLY to its vertical fluid neighbor so the
+    linear interpolant vanishes at the sub-cell surface position read
+    from the particle fill fraction — exact hydrostatic equilibrium at
+    any surface height, and the only variant that propagates gravity
+    waves of near-cell amplitude (sloshing period within 1% of the
+    dispersion relation at 2-cell amplitude, test_sloshing_dispersion).
+    "atmospheric" is plain MAC's p = 0 at the surface cell center (waves
+    below ~4 cells of amplitude lock onto the flag-field staircase and
+    die).  "hydrostatic" sets an EXPLICIT column-mass Dirichlet — kept as
+    a measured-negative record: the stiff explicit surface-pressure
+    feedback pumps the sloshing eigenmode until the flow shreds (umax 6x
+    the wave scale within 2 periods).  `ppc` must match the seeding
+    density for the fill fractions to normalize correctly; sub-cell wave
+    dynamics needs the fill resolution 1/ppc^2 finer than the
+    column-to-column elevation increment (the sloshing validation seeds
+    ppc=6)."""
     u, v, p, t, n = fs.state
-    dt, gamma = momentum.adaptive_dt_gamma(u, v, params)
+    flags = surf.cell_flags(fs.pset.x, fs.pset.y, fs.pset.active, params,
+                            ppc=ppc)
+    # CFL over FLUID-ADJACENT faces only: the empty region carries
+    # continuation values with no physics behind them — letting them into
+    # the max would throttle dt for the whole run (and nothing advects
+    # there: particles live in fluid cells).
+    fl = flags.fluid
+    u_act = fl | jnp.zeros_like(fl).at[:-1, :].set(fl[1:, :])
+    v_act = fl | jnp.zeros_like(fl).at[:, :-1].set(fl[:, 1:])
+    dt, gamma = momentum.adaptive_dt_gamma(
+        jnp.where(u_act, u, 0.0), jnp.where(v_act, v, 0.0), params)
     # Gravity CFL: the reference formula bounds dt by the CURRENT velocity
     # maxima, which is vacuous from rest — with a body force the velocity
     # gained within the step must also move particles less than one cell
@@ -88,15 +122,38 @@ def free_step(fs: FreeSurfaceState, params: Params, *,
         dt = dt * scale
         gamma = gamma * scale
     u, v = _box_bcs(u, v, wall)
-    flags = surf.cell_flags(fs.pset.x, fs.pset.y, fs.pset.active, params)
     u, v = surf.apply_surface_bcs(u, v, flags, params)
 
     F, G = momentum.compute_fg(u, v, dt, gamma, params)
     F, G = surf.pin_fg(F, G, u, v, flags)
     rhs = momentum.compute_rhs(F, G, dt, params)
-    result = surf.solve_pressure_free(p, rhs, flags, params)
-    u, v = momentum.project_velocities(u, v, F, G, result.p, dt, params)
-    u, v = surf.apply_surface_bcs(u, v, flags, params)
+    interpolated = p_surface == "interpolated"
+    if p_surface == "hydrostatic":
+        p_surf = surf.surface_pressure(flags, params)
+    elif p_surface in ("atmospheric", "interpolated"):
+        p_surf = None
+    else:
+        raise ValueError(f"unknown p_surface {p_surface!r}")
+    result = surf.solve_pressure_free(p, rhs, flags, params, p_surf,
+                                      interpolated=interpolated)
+    # Project on fluid-fluid faces ONLY: free faces keep their BC values.
+    # (With the plain p=0 surface condition the unmasked projection is
+    # automatically a no-op there, but the sub-cell hydrostatic p_surf is
+    # nonzero on surface cells and would kick fluid-empty faces by
+    # dt*grad(p_s) — double-counting the gravity the surface pass adds.)
+    u_p, v_p = momentum.project_velocities(u, v, F, G, result.p, dt, params)
+    u_ff, v_ff = surf.fluid_face_masks(flags)
+    i_max, j_max = params.i_max, params.j_max
+    u = u.at[1:i_max, 1:-1].set(
+        jnp.where(u_ff, u_p[1:i_max, 1:-1], u[1:i_max, 1:-1]))
+    v = v.at[1:-1, 1:j_max].set(
+        jnp.where(v_ff, v_p[1:-1, 1:j_max], v[1:-1, 1:j_max]))
+    # Post-projection surface pass: re-zero surface-cell divergence AND
+    # integrate the body force into the free faces (dt=dt), which the
+    # pinned momentum equation skips — without it detached droplets hang
+    # in the air and crest faces never feel gravity.
+    u, v = _box_bcs(u, v, wall)
+    u, v = surf.apply_surface_bcs(u, v, flags, params, dt=dt)
 
     pset = P.advect(fs.pset, u, v, dt, params, method="heun")
     new = FreeSurfaceState(
@@ -113,15 +170,18 @@ def free_step(fs: FreeSurfaceState, params: Params, *,
 
 
 @functools.lru_cache(maxsize=32)
-def make_free_step_fn(params: Params, wall: str = "noslip"):
+def make_free_step_fn(params: Params, wall: str = "noslip", ppc: int = 3,
+                      p_surface: str = "interpolated"):
     @jax.jit
     def _step(fs: FreeSurfaceState):
-        return free_step(fs, params, wall=wall)
+        return free_step(fs, params, wall=wall, ppc=ppc,
+                         p_surface=p_surface)
     return _step
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _solve_free(params: Params, fs: FreeSurfaceState, wall: str):
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _solve_free(params: Params, fs: FreeSurfaceState, wall: str,
+                ppc: int, p_surface: str):
     T = jnp.asarray(params.T, fs.state.t.dtype)
 
     def cond(carry):
@@ -130,7 +190,8 @@ def _solve_free(params: Params, fs: FreeSurfaceState, wall: str):
 
     def body(carry):
         fs, stats = carry
-        fs, diag = free_step(fs, params, wall=wall)
+        fs, diag = free_step(fs, params, wall=wall, ppc=ppc,
+                             p_surface=p_surface)
         stats = _solver.SolveStats(
             steps=stats.steps + 1,
             total_sor_iterations=(stats.total_sor_iterations
@@ -150,17 +211,19 @@ def _solve_free(params: Params, fs: FreeSurfaceState, wall: str):
 
 
 def solve_free(params: Params, fs: FreeSurfaceState, *,
-               wall: str = "noslip",
+               wall: str = "noslip", ppc: int = 3,
+               p_surface: str = "interpolated",
                ) -> Tuple[FreeSurfaceState, _solver.SolveStats]:
     """Integrate to t >= T in one on-device while_loop."""
-    return _solve_free(params, fs, wall)
+    return _solve_free(params, fs, wall, ppc, p_surface)
 
 
 def trace_free(params: Params, fs: FreeSurfaceState, *,
-               wall: str = "noslip", record_every: int = 1):
+               wall: str = "noslip", ppc: int = 3,
+               p_surface: str = "interpolated", record_every: int = 1):
     """Host-loop twin recording particle-history frames for
     plot_particle_paths / animation; bitwise-identical stepping."""
-    step_fn = make_free_step_fn(params, wall)
+    step_fn = make_free_step_fn(params, wall, ppc, p_surface)
     frames = [P._snapshot(fs.pset)]
     steps = iters = fails = 0
     last = 0.0
@@ -256,6 +319,49 @@ def drop(n: int = 48, *, cx: float = 0.5, cy: float = 0.7, half: float = 0.15,
     return params, FreeSurfaceState(state=allocate_state(params), pset=pset)
 
 
+def sloshing(n: int = 64, *, depth: float = 0.5, amp: float = 0.04,
+             mode: int = 1, Re: float = 5000.0, g: float = 1.0,
+             T: float = 8.0, ppc: int = 6, epsilon: float = 1e-5,
+             max_it: int = 3000, tau: float = 0.4,
+             ) -> Tuple[Params, FreeSurfaceState]:
+    """Standing gravity wave in the unit box: liquid of mean depth `depth`
+    with a cosine surface perturbation eta(x) = amp*cos(mode*pi*x).
+
+    With free-slip walls the mode-k standing wave (k = mode*pi/a) is an
+    eigenmode whose frequency obeys the finite-depth dispersion relation
+    omega^2 = g k tanh(k h) — the sharp quantitative free-surface
+    validation (the dam break only has experimental bounds).  Initialize
+    via particle columns: each per-cell lattice column keeps particles
+    below depth + eta(x), so the initial elevation is sub-cell accurate.
+
+    Run with wall="freeslip" and the default p_surface="interpolated":
+    the plain-MAC atmospheric condition cannot restore sub-cell column
+    differences (the wave locks onto the flag-field staircase and dies
+    below ~4-cell amplitudes), and the explicit hydrostatic Dirichlet is
+    unstable — see ops/surface.py.  `ppc` defaults to 6 here (not
+    free_step's 3): the restoring force reads fill differences of order
+    amp*pi*dx/dy cells, which ppc=3's 1/9-cell fill quantization cannot
+    resolve at the default amplitude (measured: period error 0.8% at
+    ppc=6 vs a noise-locked wave at ppc=3).  Pass the same ppc to
+    free_step/solve_free."""
+    params = Params(problem=1, i_max=n, j_max=n, a=1.0, b=1.0, T=T, Re=Re,
+                    g_x=0.0, g_y=-g, tau=tau, omega=1.7, epsilon=epsilon,
+                    max_it=max_it,
+                    dtype="float64" if jax.config.jax_enable_x64
+                    else "float32")
+    sx = params.dx / ppc
+    sy = params.dy / ppc
+    xs = np.arange(sx / 2, params.a, sx)
+    ys = np.arange(sy / 2, params.b, sy)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    eta = depth + amp * np.cos(mode * np.pi * xs / params.a)
+    keep = gy <= eta[:, None]
+    pts = np.stack([gx[keep], gy[keep]], -1)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pset = P.init_particles(pts, dtype=dtype)
+    return params, FreeSurfaceState(state=allocate_state(params), pset=pset)
+
+
 # ---------------------------------------------------------------------------
 # Diagnostics.
 # ---------------------------------------------------------------------------
@@ -279,6 +385,20 @@ def column_height(fs: FreeSurfaceState) -> float:
     wall for the dam-break geometry)."""
     y = jnp.where(fs.pset.active, fs.pset.y, -jnp.inf)
     return float(jnp.max(y))
+
+
+def surface_elevation(fs: FreeSurfaceState, params: Params,
+                      ppc: int = 3) -> np.ndarray:
+    """Per-column fluid height from particle mass: each particle stands
+    for dx*dy/ppc^2 of fluid area, so column i's height is
+    count_i * dy / ppc^2 — sub-cell accurate (resolution dy/ppc^2), unlike
+    the flag field's dy quantization.  `ppc` must match the seeding
+    density (fill_region/sloshing default 3)."""
+    ci = jnp.clip(jnp.floor(fs.pset.x / params.dx).astype(jnp.int32),
+                  0, params.i_max - 1)
+    counts = jnp.zeros(params.i_max, jnp.int32).at[ci].add(
+        fs.pset.active.astype(jnp.int32))
+    return np.asarray(counts) * params.dy / ppc ** 2
 
 
 def center_of_mass(fs: FreeSurfaceState) -> Tuple[float, float]:

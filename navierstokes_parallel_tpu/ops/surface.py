@@ -35,7 +35,7 @@ surfaces yet — solve_pressure_free rejects them.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,38 +47,48 @@ from . import masked
 
 
 class Flags(NamedTuple):
-    """Per-step cell classification, all padded (i_max+2, j_max+2) bools.
+    """Per-step cell classification, padded (i_max+2, j_max+2) arrays.
     The ghost ring is neither fluid nor empty (walls)."""
 
     fluid: jax.Array    # interior cell containing >= 1 active particle
     empty: jax.Array    # interior cell with no particle
     surface: jax.Array  # fluid cell with >= 1 empty 4-neighbor
     bulk: jax.Array     # fluid cell with no empty neighbor (pressure unknown)
+    fill: jax.Array     # fraction of the cell occupied by fluid, in [0, 1]
 
 
 def cell_flags(x: jax.Array, y: jax.Array, active: jax.Array,
-               params: Params) -> Flags:
+               params: Params, ppc: int = 3,
+               min_count: int = 1) -> Flags:
     """Flag field from particle positions (Griebel sect. 8.1: a cell is
     fluid iff it contains a marker particle).  One scatter-add over all
-    particles; inactive particles do not count."""
+    particles; inactive particles do not count.  `ppc` is the seeding
+    density (particles per cell AXIS, fill_region's knob): count/ppc^2
+    estimates the cell's fill fraction, the sub-cell surface position the
+    hydrostatic surface-pressure condition reads.  `min_count` > 1 culls
+    near-empty cells (spray: a lone particle otherwise makes a "fluid"
+    cell whose pinned faces carry unphysical frozen velocities)."""
     nx, ny = params.i_max + 2, params.j_max + 2
     ci = jnp.clip(jnp.floor(x / params.dx).astype(jnp.int32) + 1,
                   1, params.i_max)
     cj = jnp.clip(jnp.floor(y / params.dy).astype(jnp.int32) + 1,
                   1, params.j_max)
     counts = jnp.zeros(nx * ny, jnp.int32).at[ci * ny + cj].add(
-        active.astype(jnp.int32))
+        active.astype(jnp.int32)).reshape(nx, ny)
     interior = jnp.zeros((nx, ny), bool).at[1:-1, 1:-1].set(True)
-    fluid = (counts.reshape(nx, ny) > 0) & interior
-    return classify(fluid, interior)
+    fluid = (counts >= min_count) & interior
+    fill = jnp.clip(counts / float(ppc * ppc), 0.0, 1.0)
+    return classify(fluid, interior, fill)
 
 
-def classify(fluid: jax.Array, interior=None) -> Flags:
+def classify(fluid: jax.Array, interior=None, fill=None) -> Flags:
     """Surface/bulk split of a padded fluid mask.  'Empty neighbor' counts
     only interior non-fluid cells — ghost (wall) neighbors never make a
     cell a surface cell."""
     if interior is None:
         interior = jnp.zeros_like(fluid).at[1:-1, 1:-1].set(True)
+    if fill is None:
+        fill = fluid.astype(jnp.float32)
     empty = interior & ~fluid
     near_empty = jnp.zeros_like(fluid)
     near_empty = near_empty.at[1:-1, 1:-1].set(
@@ -86,7 +96,7 @@ def classify(fluid: jax.Array, interior=None) -> Flags:
         | empty[1:-1, 2:] | empty[1:-1, :-2])
     surface = fluid & near_empty
     return Flags(fluid=fluid, empty=empty, surface=surface,
-                 bulk=fluid & ~near_empty)
+                 bulk=fluid & ~near_empty, fill=fill)
 
 
 def _interior_divergence(u, v, params: Params):
@@ -97,13 +107,21 @@ def _interior_divergence(u, v, params: Params):
 
 
 def apply_surface_bcs(u: jax.Array, v: jax.Array, flags: Flags,
-                      params: Params) -> Tuple[jax.Array, jax.Array]:
+                      params: Params, dt=None) -> Tuple[jax.Array, jax.Array]:
     """Free-surface velocity conditions, two vectorized passes.
 
     Pass 1 (continuity, Griebel eq. 8.10 generalized): every surface cell
     zeroes its discrete divergence by correcting its free faces equally.
     A free face (fluid cell -> empty neighbor) has exactly one fluid
     owner, so the four scatter-adds below never write one face twice.
+    When `dt` is given, the body force is integrated into the free faces
+    FIRST (the serial lineage's SET_UVP_SURFACE does the same): free
+    faces are pinned out of the momentum equation, so without this a
+    detached droplet never falls and the crest faces never feel gravity.
+    The continuity correction runs on the post-gravity field, so cell
+    divergence is still zeroed exactly, and on a flat resting surface
+    (one free face per cell) the correction cancels the gravity add
+    bit-for-bit — hydrostatic equilibrium is untouched.
 
     Pass 2 (velocity continuation into the empty region): faces BETWEEN
     two empty cells take the average of their defined 4-neighbor faces
@@ -118,6 +136,13 @@ def apply_surface_bcs(u: jax.Array, v: jax.Array, flags: Flags,
     n_free = si & em[1:-1, 2:]
     s_free = si & em[1:-1, :-2]
     k = (e_free.astype(u.dtype) + w_free + n_free + s_free)
+    if dt is not None:
+        gx = dt * params.g_x
+        gy = dt * params.g_y
+        u = u.at[1:-1, 1:-1].add(jnp.where(e_free, gx, 0.0))
+        u = u.at[0:-2, 1:-1].add(jnp.where(w_free, gx, 0.0))
+        v = v.at[1:-1, 1:-1].add(jnp.where(n_free, gy, 0.0))
+        v = v.at[1:-1, 0:-2].add(jnp.where(s_free, gy, 0.0))
     div = _interior_divergence(u, v, params)
     share = jnp.where(k > 0, div / jnp.maximum(k, 1), 0.0)
     dx, dy = params.dx, params.dy
@@ -177,19 +202,116 @@ def _traced_weights(flags: Flags, params: Params) -> masked._Weights:
                            fluid=bi, n_fluid=jnp.maximum(jnp.sum(bi), 1))
 
 
-def mask_pressure(p: jax.Array, flags: Flags) -> jax.Array:
-    """Impose the atmospheric Dirichlet condition: p = 0 outside bulk
-    cells (surface, empty, and ghosts — the weights never read ghosts,
-    but a clean field keeps output frames meaningful)."""
-    return jnp.where(flags.bulk, p, jnp.zeros_like(p))
+def surface_pressure(flags: Flags, params: Params) -> jax.Array:
+    """EXPLICIT sub-cell hydrostatic Dirichlet values for surface cells.
+    Kept as a measured-NEGATIVE record — use the implicit SUMMAC
+    condition (interp_coeffs, p_surface="interpolated") instead.
+
+      * GROUNDED top-of-column surface cells (no fluid anywhere above in
+        their column AND no empty cell below — fluid contiguous to the
+        floor, so the column elevation IS their surface position) use the
+        COLUMN elevation eta_i = dy * sum_j fill[i, j]:
+        p_c = |g_y| * (eta_i - y_c).
+      * Other surface cells (blob undersides, cavity ceilings, AND the
+        top of any detached blob — its column height counts only the
+        blob's thickness, not its altitude, so the columnar value would
+        put a large spurious suction on an airborne drop, measured: the
+        free-fall COM bias grows 4.5x) use the local fill fraction:
+        p_c = |g_y| * dy * (fill - 1/2), exact for a surface crossing
+        that cell horizontally.
+
+    The measured failure: hydrostatic equilibrium is exact (the profile
+    references the true top face), but on the mode-1 sloshing eigenmode
+    the column-mass -> full-hydrostatic-pressure feedback is STIFF and
+    time-EXPLICIT — the wave amplitude grows ~4x per period until the
+    flow shreds (umax 0.45 vs the 0.07 linear-wave scale by t = 2
+    periods; horizontally pre-smoothing eta does not save it).  The
+    interpolated condition gets the same equilibrium exactness with the
+    feedback solved implicitly in the pressure iteration, and is stable
+    (tests/test_freesurface.py::test_sloshing_dispersion)."""
+    g = abs(params.g_y)
+    dy = params.dy
+    fill_int = flags.fill[1:-1, 1:-1]
+    fluid_int = flags.fluid[1:-1, 1:-1]
+    eta = dy * jnp.sum(fill_int, axis=1, keepdims=True)     # (i_max, 1)
+    # Any fluid strictly above (i, j) in the column?  Reverse cumsum.
+    above = jnp.flip(jnp.cumsum(
+        jnp.flip(fluid_int.astype(jnp.int32), axis=1), axis=1), axis=1)
+    above_excl = above - fluid_int.astype(jnp.int32)
+    empty_int = flags.empty[1:-1, 1:-1].astype(jnp.int32)
+    empty_below_excl = jnp.cumsum(empty_int, axis=1) - empty_int
+    top = (flags.surface[1:-1, 1:-1] & (above_excl == 0)
+           & (empty_below_excl == 0))
+    y_c = (jnp.arange(params.j_max, dtype=eta.dtype) + 0.5) * dy
+    p_col = g * (eta - y_c[None, :])
+    p_loc = g * dy * (fill_int - 0.5)
+    p_int = jnp.where(top, p_col,
+                      jnp.where(flags.surface[1:-1, 1:-1], p_loc, 0.0))
+    return jnp.zeros(flags.fill.shape, p_int.dtype).at[1:-1, 1:-1].set(p_int)
+
+
+def interp_coeffs(flags: Flags) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Coefficients of the SUMMAC interpolated surface condition (Chan &
+    Street 1970): the pressure is linear in y through the surface cell's
+    center and its vertical FLUID neighbor, and vanishes at the sub-cell
+    surface position read from the fill fraction.  Eliminating the
+    surface position gives p_c = alpha * p_ref with
+
+        alpha = t / (1 + t),   t = fill - 1/2,
+
+    for BOTH orientations (fluid below with the surface in the upper half,
+    t > 0, and fluid above a blob underside, by symmetry) — full cell
+    (t = 1/2) gives p_c = p_ref/3, i.e. the exact hydrostatic top-face
+    reference, and a half-full cell gives plain MAC's p_c = 0.  Unlike a
+    column-mass hydrostatic Dirichlet (measured: unstable — the stiff
+    explicit surface-pressure feedback pumps the sloshing eigenmode until
+    the flow shreds), p_ref is the SOLVED field, so the condition is
+    implicit in the pressure and only the geometry is time-explicit.
+
+    Returns (use_below, use_above, alpha) interior (i_max, j_max) arrays:
+    vertical-only interpolation where exactly one vertical neighbor is
+    fluid; side-surface cells (both vertical neighbors fluid) and
+    one-cell sheets (both empty) fall back to p_c = 0.  t is clipped to
+    [-0.45, 0.5]: near-empty cells would send alpha -> -1 (extrapolation,
+    not interpolation) and amplify sweep noise."""
+    si = flags.surface[1:-1, 1:-1]
+    fl = flags.fluid
+    below_fl = fl[1:-1, :-2]
+    above_fl = fl[1:-1, 2:]
+    use_below = si & below_fl & ~above_fl
+    use_above = si & above_fl & ~below_fl
+    t = jnp.clip(flags.fill[1:-1, 1:-1] - 0.5, -0.45, 0.5)
+    alpha = t / (1.0 + t)
+    return use_below, use_above, alpha
+
+
+def mask_pressure(p: jax.Array, flags: Flags,
+                  p_surf: Optional[jax.Array] = None) -> jax.Array:
+    """Impose the Dirichlet conditions: p_surf (default 0) on surface
+    cells, 0 on empty cells and ghosts; bulk values pass through."""
+    out = jnp.where(flags.bulk, p, jnp.zeros_like(p))
+    if p_surf is not None:
+        out = jnp.where(flags.surface, p_surf.astype(p.dtype), out)
+    return out
 
 
 def solve_pressure_free(p: jax.Array, rhs: jax.Array, flags: Flags,
-                        params: Params) -> SORResult:
+                        params: Params,
+                        p_surf: Optional[jax.Array] = None,
+                        interpolated: bool = False) -> SORResult:
     """Pressure solve on the traced free-surface geometry: ops/masked.py's
     f64-master / f32-correction refinement outer over the traced-weight
-    operator.  The surface Dirichlet cells anchor the solution, so there
-    is no null space and no deflation hook.  Requires x64 like every
+    operator.  The surface Dirichlet cells (value `p_surf`, default 0)
+    anchor the solution, so there is no null space and no deflation hook.
+    The Dirichlet values ride in the pressure ARRAY: sweeps only update
+    bulk cells, so the neighbor sums pick surface values up with their
+    geometric weight — no separate rhs fold.  With `interpolated=True`
+    the surface values are instead the SUMMAC condition p_c = alpha *
+    p_ref (interp_coeffs): a refresh from the current field runs once per
+    refinement outer, a Picard fixed point that contracts with factor
+    |alpha| <= 0.82 per outer on top of the defect correction (the
+    residual is only measured over bulk cells, whose equations see the
+    refreshed values).  Requires x64 like every
     refined solve (CLI/bench enable it)."""
     if params.obstacles:
         raise ValueError("free-surface runs do not compose with "
@@ -212,7 +334,19 @@ def solve_pressure_free(p: jax.Array, rhs: jax.Array, flags: Flags,
         return lax.fori_loop(0, n_inner, sweep,
                              jnp.zeros(params.shape, f32))
 
-    p64 = mask_pressure(p.astype(f64), flags)
+    if interpolated:
+        use_below, use_above, alpha = interp_coeffs(flags)
+        refresh_mask = use_below | use_above
+
+        def refresh(p64):
+            ref = jnp.where(use_below, p64[1:-1, :-2], p64[1:-1, 2:])
+            return p64.at[1:-1, 1:-1].set(
+                jnp.where(refresh_mask, alpha * ref, p64[1:-1, 1:-1]))
+    else:
+        def refresh(p64):
+            return p64
+
+    p64 = refresh(mask_pressure(p.astype(f64), flags, p_surf))
     rhs_int64 = jnp.where(w.fluid, rhs[1:-1, 1:-1].astype(f64), 0.0)
     norm_p0 = masked._l2_fluid(jnp.where(w.fluid, p64[1:-1, 1:-1], 0.0), w)
     threshold = params.epsilon * (norm_p0 + NORM_OFFSET)
@@ -230,6 +364,7 @@ def solve_pressure_free(p: jax.Array, rhs: jax.Array, flags: Flags,
         delta = inner(-r64.astype(f32), n_inner)
         p64 = p64.at[1:-1, 1:-1].add(
             jnp.where(w.fluid, delta[1:-1, 1:-1].astype(f64), 0.0))
+        p64 = refresh(p64)
         r64 = defect(p64)
         return p64, r64, it + n_inner, masked._l2_fluid(r64, w)
 

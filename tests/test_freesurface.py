@@ -134,19 +134,33 @@ def test_pressure_solve_contract_and_dirichlet():
 
 def test_hydrostatic_equilibrium():
     """Liquid at rest under gravity: velocities stay at rounding level and
-    the pressure relaxes to the exact discrete hydrostatic profile
-    p(y_j) = g * (y_surface_center - y_j) (p = 0 at the surface cell)."""
+    the pressure relaxes to the exact discrete hydrostatic profile of the
+    TRUE surface position p(y_j) = g * (y_surface - y_j): the default
+    SUMMAC interpolated condition (ops/surface.py::interp_coeffs) puts
+    the full surface cell's p at p_below/3 = g*dy/2, so the profile
+    references the top face — exact for any sub-cell surface height,
+    where the plain-MAC p=0 carries an O(dy/2) offset."""
     params, fs = FS.filled_box(n=24, T=0.1)
     fs2, stats = FS.solve_free(params, fs)
     assert int(stats.sor_failures) == 0
-    assert float(jnp.max(jnp.abs(fs2.state.u))) < 1e-10
-    assert float(jnp.max(jnp.abs(fs2.state.v))) < 1e-10
+    # Bound at the pressure-solve tolerance scale: the interpolated
+    # surface refresh runs once per refinement outer, so the converged
+    # field carries O(eps) rather than pure-rounding velocities.
+    assert float(jnp.max(jnp.abs(fs2.state.u))) < 1e-9
+    assert float(jnp.max(jnp.abs(fs2.state.v))) < 1e-9
     p = np.asarray(fs2.state.p)
-    # depth 0.5 at n=24 -> fluid cells j=1..12, surface row j=12.
+    # depth 0.5 at n=24 -> fluid cells j=1..12 (all FULL: fill=1), surface
+    # row j=12, true surface at its top face.
     j_surf = 12
     for j in range(1, j_surf + 1):
-        expect = (j_surf - j) * params.dy
+        expect = (j_surf - j + 0.5) * params.dy
         np.testing.assert_allclose(p[1:-1, j], expect, atol=1e-9)
+    # Plain-MAC variant still available and exact w.r.t. the CELL CENTER.
+    fs3, _ = FS.solve_free(params, fs, p_surface="atmospheric")
+    p3 = np.asarray(fs3.state.p)
+    np.testing.assert_allclose(p3[1:-1, 1], (j_surf - 1) * params.dy,
+                               atol=1e-9)
+    assert float(jnp.max(jnp.abs(fs3.state.v))) < 1e-10
 
 
 def test_drop_free_fall_com():
@@ -260,3 +274,38 @@ def test_rejects_obstacles_and_x32():
     with pytest.raises(ValueError, match="obstacles"):
         surf.solve_pressure_free(jnp.zeros(params.shape),
                                  jnp.zeros(params.shape), flags, params)
+
+
+def test_sloshing_dispersion():
+    """Standing gravity wave (mode 1, depth 0.5): measured period within
+    5% of the finite-depth dispersion relation omega^2 = g k tanh(k h),
+    amplitude sustained (not staircase-locked), volume conserved.  The
+    sharp quantitative free-surface validation — requires the implicit
+    SUMMAC interpolated surface condition; the amplitude here is ~2 cells
+    (sub-flag-field), where plain MAC's p=0 locks and dies."""
+    n, depth, amp, g, ppc = 48, 0.5, 0.04, 1.0, 6
+    params, fs = FS.sloshing(n=n, depth=depth, amp=amp, g=g, T=5.6,
+                             ppc=ppc)
+    step = FS.make_free_step_fn(params, "freeslip", ppc, "interpolated")
+    ts, es = [], []
+    while float(fs.state.t) < params.T:
+        fs, diag = step(fs)
+        el = FS.surface_elevation(fs, params, ppc=ppc)
+        ts.append(float(fs.state.t))
+        es.append(el[0] - el[-1])   # antinode difference: 2x amplitude
+    ts, es = np.array(ts), np.array(es)
+    idx = np.where(np.diff(np.sign(es)) != 0)[0]
+    cross = np.array([ts[i] - es[i] * (ts[i + 1] - ts[i])
+                      / (es[i + 1] - es[i]) for i in idx])
+    assert len(cross) >= 3, f"wave locked: only {len(cross)} crossings"
+    period = cross[2] - cross[0]
+    k = np.pi / params.a
+    expected = 2 * np.pi / np.sqrt(g * k * np.tanh(k * depth))
+    assert abs(period - expected) / expected < 0.05, (period, expected)
+    # Amplitude sustained through the measured cycle (initial signal
+    # 2*amp = 0.08; a dead/staircase-locked wave decays well below half).
+    second_peak = np.max(np.abs(es[idx[1]:idx[2] + 1]))
+    assert second_peak > 0.5 * 2 * amp
+    # Volume conserved (flag-field quantization level).
+    v_end = FS.fluid_volume(fs, params)
+    assert abs(v_end - depth * params.a) / (depth * params.a) < 0.05
