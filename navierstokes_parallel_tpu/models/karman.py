@@ -1,0 +1,275 @@
+"""Kármán vortex street — flow past a cylinder (problem 3 + flag-field
+obstacle).  No reference analogue: the reference ships only the enclosed
+cavity problems (main.c:95-108); this is the classic unsteady benchmark
+the NaSt2D lineage (Griebel et al. 1998, sect. 9.5 "flow past an
+obstacle") uses its obstacle machinery for.
+
+Geometry: the Schäfer-Turek 2D-2 benchmark (Schäfer & Turek 1996,
+"Benchmark computations of laminar flow around a cylinder"), scaled to
+cylinder-diameter units: channel 22 x 4.1, cylinder of diameter 1
+centered at (2.0, 2.0) — 0.05 BELOW the centerline, the deliberate
+asymmetry that seeds the shedding instability.  Parabolic inflow
+(problem-3 BCs, peak u = 1, mean 2/3), so the benchmark Reynolds number
+Re_D = u_mean * D / nu = 100 maps to params.Re = 1/nu = 1.5 * Re_D.
+
+The cylinder is rasterized onto the cell grid as a union of row
+rectangles (`circle_rects`) compatible with `Params.obstacles`
+(ops/obstacles.py): cell-center-inside sampling, then an iterative
+erosion of any cell that would violate the >= 2-cell thin-wall rule, so
+the staircase disk always passes the mask builder's geometry checks.
+
+Measurement: `shedding_signal` runs the jitted step in a host loop
+recording the cross-stream velocity at a wake probe; `strouhal` extracts
+the shedding frequency from the zero crossings of the saturated limit
+cycle (robust under the adaptive-dt nonuniform sampling).  Benchmark
+target: St = f * D / u_mean in [0.2950, 0.3050] (Schäfer-Turek table 4,
+fine-grid band); the staircase cylinder converges into that band from
+BELOW, first order in dx (the staircase enlarges the effective diameter
+and thickens the boundary layer, slowing the shedding): measured
+0.2616 / 0.2791 / 0.2861 / 0.2904 at 10/20/30/40 cells per diameter,
+Richardson limit 0.3033 (artifacts/karman_strouhal.csv, TPU v5e).
+Validated in tests/test_karman.py (rasterizer geometry, synthetic-signal
+frequency extraction, and an end-to-end square-cylinder shedding run);
+the fine-grid circle numbers are TPU artifacts
+(artifacts/karman_strouhal.csv, scripts/karman_artifact.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Params
+from ..grid import State, allocate_state
+from .. import solver as _solver
+
+
+def circle_cells(cx: float, cy: float, d: float, dx: float, dy: float,
+                 i_max: int, j_max: int) -> np.ndarray:
+    """Interior solid mask (i_max, j_max) of the rasterized disk: cell
+    centers inside radius d/2, eroded to satisfy the obstacle geometry
+    rules (no solid cell with fluid on both opposite sides — ops/
+    obstacles.py::_check_geometry's thin-wall rule).  Erosion of an
+    offending cell can expose a new one, so iterate to a fixed point;
+    for a convex disk this only shaves the 1-cell-thin extreme rows and
+    columns (a flat staircase cap, indistinguishable from any other
+    staircase error at the same resolution)."""
+    xi = (np.arange(1, i_max + 1) - 0.5) * dx
+    yj = (np.arange(1, j_max + 1) - 0.5) * dy
+    solid = ((xi[:, None] - cx) ** 2 + (yj[None, :] - cy) ** 2
+             <= (0.5 * d) ** 2)
+    if not solid.any():
+        raise ValueError(f"cylinder d={d} rasterizes to zero cells at "
+                         f"dx={dx}, dy={dy} — refine the grid")
+    while True:
+        pad = np.zeros((i_max + 2, j_max + 2), bool)
+        pad[1:-1, 1:-1] = solid
+        fl = ~pad
+        thin_ew = solid & fl[2:, 1:-1] & fl[:-2, 1:-1]
+        thin_ns = solid & fl[1:-1, 2:] & fl[1:-1, :-2]
+        thin = thin_ew | thin_ns
+        if not thin.any():
+            return solid
+        solid = solid & ~thin
+
+
+def circle_rects(cx: float, cy: float, d: float, dx: float, dy: float,
+                 i_max: int, j_max: int) -> Tuple[Tuple[int, int, int, int],
+                                                  ...]:
+    """`Params.obstacles` rectangles (1-based inclusive cell indices) for
+    the rasterized disk: one rect per contiguous solid run per row."""
+    solid = circle_cells(cx, cy, d, dx, dy, i_max, j_max)
+    rects = []
+    for j in range(j_max):
+        row = solid[:, j]
+        i = 0
+        while i < i_max:
+            if not row[i]:
+                i += 1
+                continue
+            k = i
+            while k < i_max and row[k]:
+                k += 1
+            rects.append((i + 1, k, j + 1, j + 1))
+            i = k
+    return tuple(rects)
+
+
+def schafer_turek(n_per_d: int = 10, Re_D: float = 100.0, T: float = 50.0,
+                  **overrides) -> Params:
+    """Schäfer-Turek 2D-2 in diameter units: 22 x 4.1 channel, unit
+    cylinder at (2.0, 2.0).  `n_per_d` cells across the diameter must be
+    a multiple of 10 so 4.1 * n_per_d is a whole cell count."""
+    if n_per_d % 10 != 0:
+        raise ValueError(f"n_per_d must be a multiple of 10 (4.1 * n "
+                         f"cells across the channel), got {n_per_d}")
+    a, b, cx, cy, d = 22.0, 4.1, 2.0, 2.0, 1.0
+    nx = int(round(a * n_per_d))
+    ny = int(round(b * n_per_d))
+    dx, dy = a / nx, b / ny
+    rects = circle_rects(cx, cy, d, dx, dy, nx, ny)
+    defaults = dict(problem=3, i_max=nx, j_max=ny, a=a, b=b, T=T,
+                    Re=1.5 * Re_D, tau=0.5, omega=1.7, epsilon=1e-4,
+                    max_it=20000, obstacles=rects)
+    defaults.update(overrides)
+    return Params(**defaults)
+
+
+def square_cylinder(n_per_d: int = 8, Re_D: float = 100.0, T: float = 60.0,
+                    a_over_d: float = 20.0, blockage: float = 8.0,
+                    x_front: float = 5.0, offset_frac: float = 0.05,
+                    **overrides) -> Params:
+    """Confined square cylinder (Breuer et al. 2000 setup, diameter
+    units): channel `a_over_d` x `blockage`, unit square with its front
+    face at x = `x_front`, centered `offset_frac` below the channel
+    centerline (the Schäfer-Turek asymmetry trick — Breuer's symmetric
+    geometry sheds too, but onset from an impulsive start takes far
+    longer).  Exactly resolvable at any grid (no staircase), so it is the
+    cheap CPU-testable shedding workload; Breuer's blockage-1/8 St(Re_D =
+    100) is ~0.135-0.14."""
+    d_cells = n_per_d
+    nx = int(round(a_over_d * n_per_d))
+    ny = int(round(blockage * n_per_d))
+    a, b = float(a_over_d), float(blockage)
+    dy = b / ny
+    i0 = int(round(x_front * n_per_d)) + 1
+    cy = 0.5 * b - offset_frac
+    j0 = int(round((cy - 0.5) / dy)) + 1
+    rect = (i0, i0 + d_cells - 1, j0, j0 + d_cells - 1)
+    defaults = dict(problem=3, i_max=nx, j_max=ny, a=a, b=b, T=T,
+                    Re=1.5 * Re_D, tau=0.5, omega=1.7, epsilon=1e-4,
+                    max_it=20000, obstacles=rect and (rect,))
+    defaults.update(overrides)
+    return Params(**defaults)
+
+
+def cylinder_extent(params: Params) -> Tuple[float, float, float, float]:
+    """(x0, x1, y0, y1) bounding box of the obstacle cells, physical."""
+    rs = np.array(params.obstacles)
+    return (float((rs[:, 0].min() - 1) * params.dx),
+            float(rs[:, 1].max() * params.dx),
+            float((rs[:, 2].min() - 1) * params.dy),
+            float(rs[:, 3].max() * params.dy))
+
+
+def initial_state(params: Params, perturb: float = 0.3) -> State:
+    """Impulsive start: the parabolic inflow profile filled across the
+    whole channel (masked to fluid columns by the first BC pass), plus a
+    one-sided cross-stream kick just behind the cylinder to cut the
+    onset transient — the kick projects onto the shedding eigenmode, so
+    the limit cycle saturates in ~1/3 the time the geometric asymmetry
+    alone needs (the saturated cycle is identical; only onset changes)."""
+    from ..ops.obstacles import inflow_profile
+    import jax.numpy as jnp
+
+    state = allocate_state(params)
+    prof = inflow_profile(params)
+    u = np.zeros(params.shape, np.float64)
+    u[:, 1:-1] = prof[None, :]
+    v = np.zeros(params.shape, np.float64)
+    if perturb and params.obstacles:
+        x0, x1, y0, y1 = cylinder_extent(params)
+        d = max(x1 - x0, y1 - y0)
+        xi = (np.arange(params.i_max + 2) - 0.5) * params.dx
+        yj = (np.arange(params.j_max + 2) - 0.5) * params.dy
+        blob = (np.exp(-(((xi[:, None] - (x1 + d)) / d) ** 2
+                         + ((yj[None, :] - 0.5 * (y0 + y1)) / d) ** 2))
+                * perturb)
+        v += blob
+    return state._replace(u=state.u + jnp.asarray(u, state.u.dtype),
+                          v=state.v + jnp.asarray(v, state.v.dtype))
+
+
+class SheddingTrace(NamedTuple):
+    t: np.ndarray        # sample times (end of each step; nonuniform dt)
+    v: np.ndarray        # cross-stream velocity at the wake probe
+    state: State         # final state
+    stats: _solver.SolveStats
+
+
+@functools.lru_cache(maxsize=16)
+def _make_chunk_fn(params: Params, method: str, chunk: int,
+                   pi: int, pj: int):
+    """`chunk` steps per dispatch, probe history recorded ON DEVICE via
+    lax.scan — one dispatch + one small-array fetch per chunk, instead of
+    a scalar D2H fence per step (~30 ms over the TPU tunnel, which would
+    dominate these small unsteady grids)."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def _chunk(state: State):
+        def body(s, _):
+            s2, d = _solver.step(s, params, pressure_method=method)
+            return s2, (s2.t, s2.v[pi, pj], d.sor_iterations,
+                        (~d.sor_converged).astype(jnp.int32),
+                        d.sor_res_norm)
+        return lax.scan(body, state, None, length=chunk)
+
+    return _chunk
+
+
+def shedding_signal(params: Params, state: Optional[State] = None, *,
+                    method: str = "rb_sor", probe: Optional[Tuple[float,
+                    float]] = None, perturb: float = 0.3,
+                    chunk: int = 64) -> SheddingTrace:
+    """Integrate past params.T recording v at the wake probe every step.
+
+    Default probe: one diameter behind the cylinder's rear face, on its
+    horizontal midline.  Steps run in `chunk`-sized on-device lax.scan
+    dispatches (see _make_chunk_fn), so the final state may overshoot T
+    by up to chunk - 1 steps — irrelevant for spectral measurements, and
+    the trace itself is returned untrimmed with its exact times."""
+    if state is None:
+        state = initial_state(params, perturb=perturb)
+    if probe is None:
+        x0, x1, y0, y1 = cylinder_extent(params)
+        probe = (x1 + max(x1 - x0, y1 - y0), 0.5 * (y0 + y1))
+    # v node (i, j) lives at ((i - 1/2) dx, j dy) in padded indexing.
+    pi = int(np.clip(round(probe[0] / params.dx + 0.5), 1, params.i_max))
+    pj = int(np.clip(round(probe[1] / params.dy), 1, params.j_max - 1))
+    fn = _make_chunk_fn(params, method, chunk, pi, pj)
+    ts, vs = [], []
+    steps = iters = fails = 0
+    last = 0.0
+    t_end = float(np.asarray(params.T, np.asarray(state.t).dtype))
+    while float(state.t) < t_end:
+        state, (ct, cv, cit, cfl, cres) = fn(state)
+        ts.append(np.asarray(ct))
+        vs.append(np.asarray(cv))
+        steps += chunk
+        iters += int(np.sum(cit))
+        fails += int(np.sum(cfl))
+        last = float(np.asarray(cres)[-1])
+    stats = _solver.SolveStats(steps=steps, total_sor_iterations=iters,
+                               sor_failures=fails, last_res_norm=last)
+    return SheddingTrace(t=np.concatenate(ts), v=np.concatenate(vs),
+                         state=state, stats=stats)
+
+
+def strouhal(t: np.ndarray, signal: np.ndarray, *, d: float = 1.0,
+             u_mean: float = 2.0 / 3.0, skip_frac: float = 0.5,
+             min_crossings: int = 5) -> Tuple[float, float]:
+    """(St, amplitude) of the saturated limit cycle.
+
+    Uses the tail `1 - skip_frac` of the record: mean-removed zero
+    crossings, linearly interpolated in time (exact under nonuniform
+    adaptive-dt sampling, unlike an FFT), averaged over all full periods
+    = (n_crossings - 1) half-periods.  Amplitude is half the tail's
+    peak-to-peak — 0 for a dead (non-shedding) wake."""
+    i0 = int(len(t) * skip_frac)
+    tt, ss = np.asarray(t[i0:], float), np.asarray(signal[i0:], float)
+    if len(tt) < 4:
+        raise ValueError("signal too short")
+    ss = ss - np.mean(ss)
+    amp = 0.5 * (np.max(ss) - np.min(ss))
+    idx = np.flatnonzero(np.diff(np.sign(ss)) != 0)
+    if len(idx) < min_crossings:
+        return 0.0, amp
+    cross = tt[idx] - ss[idx] * (tt[idx + 1] - tt[idx]) / (ss[idx + 1]
+                                                           - ss[idx])
+    period = 2.0 * (cross[-1] - cross[0]) / (len(cross) - 1)
+    return d / (u_mean * period), amp

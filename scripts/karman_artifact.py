@@ -1,0 +1,119 @@
+"""Kármán vortex street artifact: Schäfer-Turek 2D-2 resolution study.
+
+Runs the circular-cylinder channel (models/karman.py) at a ladder of
+resolutions, extracts the Strouhal number of the saturated limit cycle,
+Richardson-extrapolates the staircase-cylinder sequence (1st order in
+dx — the staircase boundary dominates), and writes:
+
+  artifacts/karman_strouhal.csv   n_per_d, grid, steps, St, amplitude,
+                                  wall seconds (+ an `extrapolated` row)
+  artifacts/karman_street.png     spanwise-vorticity snapshot of the
+                                  saturated street at the finest grid,
+                                  cylinder mask overlaid
+
+Published target: St in [0.2950, 0.3050] (Schäfer & Turek 1996, table 4).
+
+Usage: python scripts/karman_artifact.py [--resolutions 10,20,30]
+       [--T 150] [--method mg] [--out artifacts] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resolutions", default="10,20,30",
+                    help="comma list of cells per diameter (multiples of 10)")
+    ap.add_argument("--T", type=float, default=150.0)
+    ap.add_argument("--method", default="mg", choices=["mg", "rb_sor"])
+    ap.add_argument("--out", default="artifacts")
+    ap.add_argument("--chunk", type=int, default=128,
+                    help="steps per on-device scan dispatch")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from navierstokes_parallel_tpu.models import karman as K
+
+    ns = [int(s) for s in args.resolutions.split(",")]
+    os.makedirs(args.out, exist_ok=True)
+    rows = []
+    finest = None
+    for n in ns:
+        params = K.schafer_turek(n_per_d=n, T=args.T)
+        t0 = time.perf_counter()
+        trace = K.shedding_signal(params, method=args.method,
+                                  chunk=args.chunk)
+        wall = time.perf_counter() - t0
+        st, amp = K.strouhal(trace.t, trace.v, skip_frac=0.7)
+        rows.append((n, f"{params.i_max}x{params.j_max}",
+                     trace.stats.steps, st, amp, wall))
+        finest = (params, trace)
+        print(f"n_per_d={n}: grid {params.i_max}x{params.j_max} "
+              f"steps={trace.stats.steps} St={st:.4f} amp={amp:.3f} "
+              f"fails={trace.stats.sor_failures} wall={wall:.0f}s",
+              flush=True)
+
+    csv = os.path.join(args.out, "karman_strouhal.csv")
+    with open(csv, "w") as f:
+        f.write("n_per_d,grid,steps,strouhal,amplitude,wall_seconds\n")
+        for r in rows:
+            f.write(f"{r[0]},{r[1]},{r[2]},{r[3]:.4f},{r[4]:.4f},"
+                    f"{r[5]:.1f}\n")
+        if len(rows) >= 2:
+            # 1st-order Richardson (staircase boundary => O(dx)) on the
+            # finest pair: St_inf = (n2 St2 - n1 St1) / (n2 - n1).
+            (n1, *_, st1, _, _), (n2, *_, st2, _, _) = rows[-2], rows[-1]
+            st_ex = (n2 * st2 - n1 * st1) / (n2 - n1)
+            f.write(f"extrapolated,-,-,{st_ex:.4f},-,-\n")
+            print(f"Richardson-extrapolated St = {st_ex:.4f} "
+                  f"(published band 0.2950-0.3050)")
+    print(f"wrote {csv}")
+
+    params, trace = finest
+    _plot_street(params, trace, os.path.join(args.out, "karman_street.png"))
+
+
+def _plot_street(params, trace, out_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from navierstokes_parallel_tpu.ops import obstacles as obs
+
+    u = np.asarray(trace.state.u)
+    v = np.asarray(trace.state.v)
+    # Spanwise vorticity at cell corners (i dx, j dy): dv/dx - du/dy.
+    om = ((v[1:, :-1] - v[:-1, :-1]) / params.dx
+          - (u[:-1, 1:] - u[:-1, :-1]) / params.dy)
+    x = np.arange(om.shape[0]) * params.dx
+    y = np.arange(om.shape[1]) * params.dy
+    fl = obs.masks(params).fluid[1:-1, 1:-1]
+    lim = np.percentile(np.abs(om), 99)
+    fig, ax = plt.subplots(figsize=(10, 10 * params.b / params.a + 0.8))
+    ax.pcolormesh(x, y, om.T, cmap="RdBu_r", vmin=-lim, vmax=lim,
+                  rasterized=True)
+    ax.contourf(
+        (np.arange(params.i_max) + 0.5) * params.dx,
+        (np.arange(params.j_max) + 0.5) * params.dy,
+        np.where(fl, np.nan, 1.0).T, levels=[0.5, 1.5], colors=["0.2"])
+    ax.set_aspect("equal")
+    ax.set_title(f"Kármán street, Schäfer-Turek 2D-2 (Re_D=100), "
+                 f"{params.i_max}x{params.j_max}, t={float(trace.t[-1]):.0f}")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
