@@ -18,10 +18,15 @@ rectangles (`circle_rects`) compatible with `Params.obstacles`
 erosion of any cell that would violate the >= 2-cell thin-wall rule, so
 the staircase disk always passes the mask builder's geometry checks.
 
-Measurement: `shedding_signal` runs the jitted step in a host loop
-recording the cross-stream velocity at a wake probe; `strouhal` extracts
-the shedding frequency from the zero crossings of the saturated limit
-cycle (robust under the adaptive-dt nonuniform sampling).  Benchmark
+Measurement: `shedding_signal` runs chunked on-device lax.scan
+dispatches recording per-step diagnostics — the cross-stream velocity at
+a wake probe by default, or the control-volume force balance
+(`force_record_fn`: surface momentum/stress integrals + CV momentum,
+from which `coefficients` forms drag/lift/pressure-drop — exact for any
+box around the body, sidestepping staircase-boundary stress
+integration); `strouhal` extracts the shedding frequency from the zero
+crossings of the saturated limit cycle (robust under the adaptive-dt
+nonuniform sampling).  Benchmark
 target: St = f * D / u_mean in [0.2950, 0.3050] (Schäfer-Turek table 4,
 fine-grid band); the staircase cylinder converges into that band from
 BELOW, first order in dx (the staircase enlarges the effective diameter
@@ -188,15 +193,38 @@ class SheddingTrace(NamedTuple):
     v: np.ndarray        # cross-stream velocity at the wake probe
     state: State         # final state
     stats: _solver.SolveStats
+    rec: dict            # extra per-step records ({} unless record_fn)
+
+
+def probe_node(params: Params, probe: Optional[Tuple[float, float]] = None
+               ) -> Tuple[int, int]:
+    """Padded v-node indices nearest the probe point (default: one
+    diameter behind the cylinder's rear face, on its horizontal
+    midline).  v node (i, j) lives at ((i - 1/2) dx, j dy)."""
+    if probe is None:
+        x0, x1, y0, y1 = cylinder_extent(params)
+        probe = (x1 + max(x1 - x0, y1 - y0), 0.5 * (y0 + y1))
+    pi = int(np.clip(round(probe[0] / params.dx + 0.5), 1, params.i_max))
+    pj = int(np.clip(round(probe[1] / params.dy), 1, params.j_max - 1))
+    return pi, pj
 
 
 @functools.lru_cache(maxsize=16)
-def _make_chunk_fn(params: Params, method: str, chunk: int,
-                   pi: int, pj: int):
-    """`chunk` steps per dispatch, probe history recorded ON DEVICE via
-    lax.scan — one dispatch + one small-array fetch per chunk, instead of
-    a scalar D2H fence per step (~30 ms over the TPU tunnel, which would
-    dominate these small unsteady grids)."""
+def _probe_record_fn(params: Params, pi: int, pj: int):
+    """Default per-step record: v at the wake probe node."""
+    def rec(state: State):
+        return {"v": state.v[pi, pj]}
+    return rec
+
+
+@functools.lru_cache(maxsize=16)
+def _make_chunk_fn(params: Params, method: str, chunk: int, record_fn):
+    """`chunk` steps per dispatch, per-step diagnostics recorded ON
+    DEVICE via lax.scan — one dispatch + one small-array fetch per chunk,
+    instead of a scalar D2H fence per step (~30 ms over the TPU tunnel,
+    which would dominate these small unsteady grids).  `record_fn(state)
+    -> dict of scalars` runs inside the scan body; keep it cached /
+    identity-stable or every call retraces."""
     import jax
     from jax import lax
 
@@ -204,7 +232,7 @@ def _make_chunk_fn(params: Params, method: str, chunk: int,
     def _chunk(state: State):
         def body(s, _):
             s2, d = _solver.step(s, params, pressure_method=method)
-            return s2, (s2.t, s2.v[pi, pj], d.sor_iterations,
+            return s2, (s2.t, record_fn(s2), d.sor_iterations,
                         (~d.sor_converged).astype(jnp.int32),
                         d.sor_res_norm)
         return lax.scan(body, state, None, length=chunk)
@@ -215,39 +243,162 @@ def _make_chunk_fn(params: Params, method: str, chunk: int,
 def shedding_signal(params: Params, state: Optional[State] = None, *,
                     method: str = "rb_sor", probe: Optional[Tuple[float,
                     float]] = None, perturb: float = 0.3,
-                    chunk: int = 64) -> SheddingTrace:
-    """Integrate past params.T recording v at the wake probe every step.
+                    chunk: int = 64, record_fn=None) -> SheddingTrace:
+    """Integrate past params.T recording per-step wake diagnostics.
 
-    Default probe: one diameter behind the cylinder's rear face, on its
-    horizontal midline.  Steps run in `chunk`-sized on-device lax.scan
+    Default record: v at the probe, one diameter behind the cylinder's
+    rear face on its horizontal midline; pass `record_fn(state) -> dict`
+    (e.g. `force_record_fn`) for more — a "v" key, if present, also
+    populates trace.v.  Steps run in `chunk`-sized on-device lax.scan
     dispatches (see _make_chunk_fn), so the final state may overshoot T
     by up to chunk - 1 steps — irrelevant for spectral measurements, and
     the trace itself is returned untrimmed with its exact times."""
     if state is None:
         state = initial_state(params, perturb=perturb)
-    if probe is None:
-        x0, x1, y0, y1 = cylinder_extent(params)
-        probe = (x1 + max(x1 - x0, y1 - y0), 0.5 * (y0 + y1))
-    # v node (i, j) lives at ((i - 1/2) dx, j dy) in padded indexing.
-    pi = int(np.clip(round(probe[0] / params.dx + 0.5), 1, params.i_max))
-    pj = int(np.clip(round(probe[1] / params.dy), 1, params.j_max - 1))
-    fn = _make_chunk_fn(params, method, chunk, pi, pj)
-    ts, vs = [], []
+    if record_fn is None:
+        record_fn = _probe_record_fn(params, *probe_node(params, probe))
+    fn = _make_chunk_fn(params, method, chunk, record_fn)
+    ts, recs = [], []
     steps = iters = fails = 0
     last = 0.0
     t_end = float(np.asarray(params.T, np.asarray(state.t).dtype))
     while float(state.t) < t_end:
-        state, (ct, cv, cit, cfl, cres) = fn(state)
+        state, (ct, crec, cit, cfl, cres) = fn(state)
         ts.append(np.asarray(ct))
-        vs.append(np.asarray(cv))
+        recs.append({k: np.asarray(a) for k, a in crec.items()})
         steps += chunk
         iters += int(np.sum(cit))
         fails += int(np.sum(cfl))
         last = float(np.asarray(cres)[-1])
     stats = _solver.SolveStats(steps=steps, total_sor_iterations=iters,
                                sor_failures=fails, last_res_norm=last)
-    return SheddingTrace(t=np.concatenate(ts), v=np.concatenate(vs),
-                         state=state, stats=stats)
+    rec = {k: np.concatenate([r[k] for r in recs]) for k in recs[0]}
+    v = rec.get("v", np.zeros(0))
+    return SheddingTrace(t=np.concatenate(ts), v=v, state=state,
+                         stats=stats, rec=rec)
+
+
+def control_volume(params: Params, margin: int = 5
+                   ) -> Tuple[int, int, int, int]:
+    """(I0, I1, J0, J1) interior cell indices of a rectangular control
+    volume: the obstacle bounding box padded by `margin` cells, clamped
+    so every CV boundary face (and the stencils evaluated on it) stays
+    strictly inside the domain."""
+    rs = np.array(params.obstacles)
+    I0 = max(int(rs[:, 0].min()) - margin, 2)
+    I1 = min(int(rs[:, 1].max()) + margin, params.i_max - 1)
+    J0 = max(int(rs[:, 2].min()) - margin, 2)
+    J1 = min(int(rs[:, 3].max()) + margin, params.j_max - 2)
+    return I0, I1, J0, J1
+
+
+@functools.lru_cache(maxsize=16)
+def force_record_fn(params: Params, margin: int = 5,
+                    pi: int = 0, pj: int = 0):
+    """Per-step record for force coefficients: the control-volume
+    momentum balance
+
+        F_body(t) = oint_dCV [ -u (u.n) - p n + nu (grad u + grad u^T) n ] dS
+                    - d/dt int_CV u dV
+
+    evaluated as staggered-grid slice reductions — the surface integral
+    S = (sx, sy) and the CV fluid momentum M = (mx, my) are recorded on
+    device each step; `coefficients` differentiates M in time on the
+    host and forms F = S - dM/dt.  This is exact for ANY control volume
+    enclosing the body, so it sidesteps integrating pressure + shear
+    over the staircase boundary (where the cell-by-cell normals are
+    noise).  Also records the Schäfer-Turek front/back pressure
+    difference `dp` (cylinder midline poles) and the wake probe `v`
+    (node (pi, pj), 0 = skip)."""
+    I0, I1, J0, J1 = control_volume(params, margin)
+    dx, dy, nu = params.dx, params.dy, 1.0 / params.Re
+    from ..ops.obstacles import fluid_mask
+    fl = jnp.asarray(fluid_mask(params)[I0:I1 + 1, J0:J1 + 1])
+    # Schäfer-Turek pressure poles: cell just west of the obstacle bbox
+    # front face / just east of its rear face, midline cells straddling
+    # the obstacle's vertical center.
+    rs = np.array(params.obstacles)
+    i_f, i_b = int(rs[:, 0].min()) - 1, int(rs[:, 1].max()) + 1
+    jc = int(round(0.5 * (rs[:, 2].min() - 1 + rs[:, 3].max())))
+
+    def rec(state: State):
+        u, v, p = state.u, state.v, state.p
+        js = slice(J0, J1 + 1)          # cell rows J0..J1
+        ii = slice(I0, I1 + 1)          # cell cols I0..I1
+        # --- x-momentum, east/west faces (u-edges I1 / I0-1) ---
+        def fx_vert(I, sign):
+            uf = u[I, js]
+            pf = 0.5 * (p[I, js] + p[I + 1, js])
+            dudx = (u[I + 1, js] - u[I - 1, js]) / (2 * dx)
+            return sign * jnp.sum(-uf * uf - pf + 2 * nu * dudx) * dy
+        # --- x-momentum, north/south faces (v-edges J1 / J0-1) ---
+        def fx_horiz(J, sign):
+            vf = v[ii, J]
+            uc = 0.25 * (u[I0 - 1:I1, J] + u[ii, J]
+                         + u[I0 - 1:I1, J + 1] + u[ii, J + 1])
+            dudy = (0.5 * (u[I0 - 1:I1, J + 1] + u[ii, J + 1])
+                    - 0.5 * (u[I0 - 1:I1, J] + u[ii, J])) / dy
+            dvdx = (v[I0 + 1:I1 + 2, J] - v[I0 - 1:I1, J]) / (2 * dx)
+            return sign * jnp.sum(-uc * vf + nu * (dudy + dvdx)) * dx
+        # --- y-momentum, east/west faces ---
+        def fy_vert(I, sign):
+            uf = u[I, js]
+            vc = 0.25 * (v[I, J0 - 1:J1] + v[I, js]
+                         + v[I + 1, J0 - 1:J1] + v[I + 1, js])
+            dvdx = (0.5 * (v[I + 1, js] + v[I + 1, J0 - 1:J1])
+                    - 0.5 * (v[I, js] + v[I, J0 - 1:J1])) / dx
+            dudy = (u[I, J0 + 1:J1 + 2] - u[I, J0 - 1:J1]) / (2 * dy)
+            return sign * jnp.sum(-uf * vc + nu * (dvdx + dudy)) * dy
+        # --- y-momentum, north/south faces ---
+        def fy_horiz(J, sign):
+            vf = v[ii, J]
+            pf = 0.5 * (p[ii, J] + p[ii, J + 1])
+            dvdy = (v[ii, J + 1] - v[ii, J - 1]) / (2 * dy)
+            return sign * jnp.sum(-vf * vf - pf + 2 * nu * dvdy) * dx
+        sx = (fx_vert(I1, +1.0) + fx_vert(I0 - 1, -1.0)
+              + fx_horiz(J1, +1.0) + fx_horiz(J0 - 1, -1.0))
+        sy = (fy_vert(I1, +1.0) + fy_vert(I0 - 1, -1.0)
+              + fy_horiz(J1, +1.0) + fy_horiz(J0 - 1, -1.0))
+        # CV fluid momentum (cell-centered averages; solid cells hold
+        # reflection ghosts, so mask them out).
+        uc = 0.5 * (u[I0 - 1:I1, js] + u[ii, js])
+        vc = 0.5 * (v[ii, J0 - 1:J1] + v[ii, js])
+        mx = jnp.sum(jnp.where(fl, uc, 0.0)) * dx * dy
+        my = jnp.sum(jnp.where(fl, vc, 0.0)) * dx * dy
+        dp = (0.5 * (p[i_f, jc] + p[i_f, jc + 1])
+              - 0.5 * (p[i_b, jc] + p[i_b, jc + 1]))
+        out = {"sx": sx, "sy": sy, "mx": mx, "my": my, "dp": dp}
+        if pi:
+            out["v"] = v[pi, pj]
+        return out
+    return rec
+
+
+def coefficients(trace: SheddingTrace, params: Params, *,
+                 d: float = 1.0, u_mean: float = 2.0 / 3.0,
+                 skip_frac: float = 0.5) -> dict:
+    """Force coefficients of the saturated cycle from a force trace:
+    cD(t), cL(t) = 2 (S - dM/dt) / (u_mean^2 d), with dM/dt a centered
+    finite difference on the nonuniform sample times.  Returns mean/max
+    statistics over the tail plus the Schäfer-Turek normalized pressure
+    difference dp / u_mean^2.  Published 2D-2 targets: cD_max 3.22-3.24,
+    cL_max 0.99-1.01, dp 2.46-2.50."""
+    t = trace.t
+    scale = 2.0 / (u_mean * u_mean * d)
+    out = {}
+    for comp, name in (("x", "cd"), ("y", "cl")):
+        S = trace.rec["s" + comp]
+        M = trace.rec["m" + comp]
+        dMdt = np.gradient(M, t)
+        c = scale * (S - dMdt)
+        cc = c[int(len(c) * skip_frac):]
+        out[name + "_mean"] = float(np.mean(cc))
+        out[name + "_max"] = float(np.max(cc))
+        out[name + "_amp"] = float(0.5 * (np.max(cc) - np.min(cc)))
+    dp = trace.rec["dp"][int(len(t) * skip_frac):] / (u_mean * u_mean)
+    out["dp_mean"] = float(np.mean(dp))
+    out["dp_max"] = float(np.max(dp))
+    return out
 
 
 def strouhal(t: np.ndarray, signal: np.ndarray, *, d: float = 1.0,

@@ -52,33 +52,44 @@ def main():
     finest = None
     for n in ns:
         params = K.schafer_turek(n_per_d=n, T=args.T)
+        rec = K.force_record_fn(params, 5, *K.probe_node(params))
         t0 = time.perf_counter()
         trace = K.shedding_signal(params, method=args.method,
-                                  chunk=args.chunk)
+                                  chunk=args.chunk, record_fn=rec)
         wall = time.perf_counter() - t0
         st, amp = K.strouhal(trace.t, trace.v, skip_frac=0.7)
+        co = K.coefficients(trace, params, skip_frac=0.7)
         rows.append((n, f"{params.i_max}x{params.j_max}",
-                     trace.stats.steps, st, amp, wall))
+                     trace.stats.steps, st, amp, co["cd_max"],
+                     co["cl_max"], co["dp_mean"], wall))
         finest = (params, trace)
         print(f"n_per_d={n}: grid {params.i_max}x{params.j_max} "
               f"steps={trace.stats.steps} St={st:.4f} amp={amp:.3f} "
+              f"cd_max={co['cd_max']:.3f} cl_max={co['cl_max']:.3f} "
+              f"dp={co['dp_mean']:.3f} "
               f"fails={trace.stats.sor_failures} wall={wall:.0f}s",
               flush=True)
 
     csv = os.path.join(args.out, "karman_strouhal.csv")
     with open(csv, "w") as f:
-        f.write("n_per_d,grid,steps,strouhal,amplitude,wall_seconds\n")
+        f.write("n_per_d,grid,steps,strouhal,amplitude,cd_max,cl_max,"
+                "dp_mean,wall_seconds\n")
         for r in rows:
             f.write(f"{r[0]},{r[1]},{r[2]},{r[3]:.4f},{r[4]:.4f},"
-                    f"{r[5]:.1f}\n")
+                    f"{r[5]:.4f},{r[6]:.4f},{r[7]:.4f},{r[8]:.1f}\n")
         if len(rows) >= 2:
             # 1st-order Richardson (staircase boundary => O(dx)) on the
-            # finest pair: St_inf = (n2 St2 - n1 St1) / (n2 - n1).
-            (n1, *_, st1, _, _), (n2, *_, st2, _, _) = rows[-2], rows[-1]
-            st_ex = (n2 * st2 - n1 * st1) / (n2 - n1)
-            f.write(f"extrapolated,-,-,{st_ex:.4f},-,-\n")
-            print(f"Richardson-extrapolated St = {st_ex:.4f} "
-                  f"(published band 0.2950-0.3050)")
+            # finest pair: q_inf = (n2 q2 - n1 q1) / (n2 - n1).
+            r1, r2 = rows[-2], rows[-1]
+            n1, n2 = r1[0], r2[0]
+            ex = [(n2 * r2[k] - n1 * r1[k]) / (n2 - n1)
+                  for k in (3, 5, 6, 7)]
+            f.write(f"extrapolated,-,-,{ex[0]:.4f},-,{ex[1]:.4f},"
+                    f"{ex[2]:.4f},{ex[3]:.4f},-\n")
+            print(f"Richardson-extrapolated: St={ex[0]:.4f} "
+                  f"(band 0.2950-0.3050), cd_max={ex[1]:.4f} "
+                  f"(3.22-3.24), cl_max={ex[2]:.4f} (0.99-1.01), "
+                  f"dp={ex[3]:.4f} (2.46-2.50)")
     print(f"wrote {csv}")
 
     params, trace = finest

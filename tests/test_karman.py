@@ -73,21 +73,54 @@ def test_square_cylinder_sheds():
     assert 0.155 <= st <= 0.235, st
 
 
-def test_schafer_turek_circle_strouhal():
-    """Schäfer-Turek 2D-2 (circular cylinder, Re_D = 100): the published
-    fine-grid band is St in [0.2950, 0.3050] (Schäfer & Turek 1996,
-    table 4).  At 10 cells/D the staircase disk under-predicts by ~10%
-    (the staircase widens the effective cylinder and thickens the
-    boundary layer); the asserted band [0.25, 0.32] catches a dead wake,
-    a wrong normalization (u_max vs u_mean: 0.17), or a broken masked
-    solver, while the resolution study toward the published band is the
-    TPU artifact (scripts/karman_artifact.py)."""
+def test_schafer_turek_circle_strouhal_and_forces():
+    """Schäfer-Turek 2D-2 (circular cylinder, Re_D = 100): published
+    fine-grid bands are St in [0.2950, 0.3050], cd_max in [3.22, 3.24],
+    cl_max in [0.99, 1.01], dp in [2.46, 2.50] (Schäfer & Turek 1996,
+    table 4).  At 10 cells/D the staircase disk measures St 0.261,
+    cd_max 3.64, cl_max 0.64, dp 2.32, converging first-order toward
+    the bands (the resolution study is the TPU artifact,
+    artifacts/karman_strouhal.csv).  The asserted windows around the
+    coarse-grid values catch a dead wake, a wrong normalization (u_max
+    vs u_mean), a broken masked solver, or a sign/face error in the
+    control-volume force balance — each of which moves a quantity far
+    outside its window."""
     params = K.schafer_turek(n_per_d=10, T=110.0)
-    trace = K.shedding_signal(params, method="mg")
+    rec = K.force_record_fn(params, 5, *K.probe_node(params))
+    trace = K.shedding_signal(params, method="mg", record_fn=rec)
     assert trace.stats.sor_failures == 0
     st, amp = K.strouhal(trace.t, trace.v, skip_frac=0.7)
     assert amp > 0.2, f"wake never saturated (amp={amp})"
     assert 0.25 <= st <= 0.32, st
+    co = K.coefficients(trace, params, skip_frac=0.7)
+    assert 3.2 <= co["cd_max"] <= 4.1, co
+    assert 0.4 <= co["cl_max"] <= 1.1, co
+    assert abs(co["cl_mean"]) < 0.15, co        # lift oscillates about 0
+    assert 2.0 <= co["dp_mean"] <= 2.6, co
+
+
+def test_control_volume_force_zero_on_uniform_flow():
+    """On a uniform field (u = const, v = 0, p = 0) every control-volume
+    face integral cancels exactly and the CV momentum is constant —
+    catches any off-by-one asymmetry in the staggered face slices."""
+    from navierstokes_parallel_tpu.grid import allocate_state
+
+    params = K.schafer_turek(n_per_d=10, T=1.0)
+    rec = K.force_record_fn(params, 4, *K.probe_node(params))
+    state = allocate_state(params)
+    state = state._replace(u=state.u + 0.7)
+    out = rec(state)
+    assert abs(float(out["sx"])) < 1e-12
+    assert abs(float(out["sy"])) < 1e-12
+    assert abs(float(out["dp"])) < 1e-12
+    # Momentum = 0.7 * fluid area of the CV.
+    I0, I1, J0, J1 = K.control_volume(params, 4)
+    from navierstokes_parallel_tpu.ops.obstacles import fluid_mask
+    area = fluid_mask(params)[I0:I1 + 1, J0:J1 + 1].sum() \
+        * params.dx * params.dy
+    # f32 state by default -> pairwise-sum accumulation noise only.
+    np.testing.assert_allclose(float(out["mx"]), 0.7 * area, rtol=1e-5)
+    assert abs(float(out["my"])) < 1e-12
 
 
 def test_initial_state_perturbation_local():
