@@ -56,10 +56,11 @@ class FreeSurfaceState(NamedTuple):
     pset: P.ParticleSet
 
 
-def _box_bcs(u, v, wall: str = "noslip"):
+def _box_bcs(u, v, wall: str = "noslip", params: Params = None):
     """Container walls: no-slip (reference semantics) or free-slip (the
     standard dam-break setting — no-slip pins a particle film to the
-    walls)."""
+    walls).  Interior obstacles (params.obstacles) get their no-slip
+    flag-field BCs (ops/obstacles.py) in the same pass."""
     if wall not in ("noslip", "freeslip"):
         raise ValueError(f"unknown wall condition {wall!r}")
     set_wall = (boundary.set_noslip if wall == "noslip"
@@ -68,6 +69,9 @@ def _box_bcs(u, v, wall: str = "noslip"):
     u, v = set_wall(u, v, Side.RIGHT)
     u, v = set_wall(u, v, Side.BOTTOM)
     u, v = set_wall(u, v, Side.TOP)
+    if params is not None and params.obstacles:
+        from ..ops import obstacles as obs
+        u, v = obs.apply_obstacle_bcs(u, v, params)
     return u, v
 
 
@@ -121,7 +125,7 @@ def free_step(fs: FreeSurfaceState, params: Params, *,
         scale = jnp.minimum(1.0, cap / dt)
         dt = dt * scale
         gamma = gamma * scale
-    u, v = _box_bcs(u, v, wall)
+    u, v = _box_bcs(u, v, wall, params)
     u, v = surf.apply_surface_bcs(u, v, flags, params)
 
     F, G = momentum.compute_fg(u, v, dt, gamma, params)
@@ -152,7 +156,7 @@ def free_step(fs: FreeSurfaceState, params: Params, *,
     # integrate the body force into the free faces (dt=dt), which the
     # pinned momentum equation skips — without it detached droplets hang
     # in the air and crest faces never feel gravity.
-    u, v = _box_bcs(u, v, wall)
+    u, v = _box_bcs(u, v, wall, params)
     u, v = surf.apply_surface_bcs(u, v, flags, params, dt=dt)
 
     pset = P.advect(fs.pset, u, v, dt, params, method="heun")
@@ -261,6 +265,12 @@ def fill_region(params: Params, x0: float, x1: float, y0: float, y1: float,
     ys = np.arange(sy / 2, params.b, sy)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     keep = (gx >= x0) & (gx <= x1) & (gy >= y0) & (gy <= y1)
+    if params.obstacles:
+        from ..ops.obstacles import fluid_mask
+        fl = fluid_mask(params)
+        ci = np.clip((gx / dx).astype(int) + 1, 1, params.i_max)
+        cj = np.clip((gy / dy).astype(int) + 1, 1, params.j_max)
+        keep &= fl[ci, cj]
     pts = np.stack([gx[keep], gy[keep]], -1)
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

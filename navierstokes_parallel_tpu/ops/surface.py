@@ -29,8 +29,16 @@ analysis with three vectorized passes over static-shaped masks:
     refinement outer are reused verbatim (they only ever jnp.asarray the
     weight fields, so numpy constants and traced arrays both work).
 
-Obstacle flag fields (Params.obstacles) are not composed with free
-surfaces yet — solve_pressure_free rejects them.
+Obstacle flag fields (Params.obstacles) COMPOSE with free surfaces:
+obstacle cells are excluded from the interior in cell_flags, so they act
+exactly like the ghost ring (wall semantics) everywhere downstream — the
+traced pressure weights drop them (homogeneous Neumann), they never make
+a fluid neighbor a surface cell, and the continuation never redefines
+their faces.  models/freesurface.py applies the obstacle velocity BCs
+(ops/obstacles.py) alongside the container-wall BCs each step; particle
+advection deactivates markers that enter a solid cell (particles.py).
+Validated by exact domain equivalence (obstacle-blocked strip == smaller
+container) and submerged-block hydrostatics in tests/test_freesurface.py.
 """
 
 from __future__ import annotations
@@ -76,6 +84,14 @@ def cell_flags(x: jax.Array, y: jax.Array, active: jax.Array,
     counts = jnp.zeros(nx * ny, jnp.int32).at[ci * ny + cj].add(
         active.astype(jnp.int32)).reshape(nx, ny)
     interior = jnp.zeros((nx, ny), bool).at[1:-1, 1:-1].set(True)
+    if params.obstacles:
+        # Obstacle cells are neither fluid nor empty — they behave like
+        # the ghost ring (walls): they never make a neighbor a surface
+        # cell, their pressure weight is dropped (Neumann), and the
+        # velocity continuation never redefines their faces.  The
+        # static mask folds into the jit program as a constant.
+        from . import obstacles as obs
+        interior = interior & jnp.asarray(obs.fluid_mask(params))
     fluid = (counts >= min_count) & interior
     fill = jnp.clip(counts / float(ppc * ppc), 0.0, 1.0)
     return classify(fluid, interior, fill)
@@ -313,9 +329,6 @@ def solve_pressure_free(p: jax.Array, rhs: jax.Array, flags: Flags,
     residual is only measured over bulk cells, whose equations see the
     refreshed values).  Requires x64 like every
     refined solve (CLI/bench enable it)."""
-    if params.obstacles:
-        raise ValueError("free-surface runs do not compose with "
-                         "Params.obstacles yet")
     if not jax.config.jax_enable_x64:
         raise ValueError("free-surface runs need jax x64 for the f64 "
                          "refinement master (CLI/bench enable it)")

@@ -3,6 +3,8 @@ continuity, the Dirichlet-anchored pressure solve, hydrostatic equilibrium,
 free-fall kinematics, and dam-break physics (ops/surface.py +
 models/freesurface.py)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -268,12 +270,106 @@ def test_trace_free_matches_device_loop():
     assert frames.shape[0] == int(stats_h.steps) + 1
 
 
-def test_rejects_obstacles_and_x32():
-    params = _params(n=8, obstacles=((3, 4, 3, 4),))
+def test_obstacle_domain_equivalence():
+    """Exact composition check: a dam break in a 5 x 3 box whose right
+    fifth is blocked by an obstacle strip must evolve IDENTICALLY to the
+    same dam break in a 4 x 3 box — the obstacle faces carry the same
+    no-slip semantics as the domain wall, the traced pressure weights
+    drop the obstacle neighbors exactly as the ghost ring is dropped,
+    and the common fluid cells see the same equations, sweeps, and
+    thresholds.  Matches the masked-solver equivalence methodology
+    (tests/test_obstacles.py)."""
+    n = 8
+    pw, fw = FS.dam_break(n=n, a=5.0, b=3.0)      # wide + obstacle
+    pw = dataclasses.replace(
+        pw, obstacles=((4 * n + 1, 5 * n, 1, 3 * n),))
+    fw = FS.FreeSurfaceState(
+        state=allocate_state(pw),
+        pset=FS.fill_region(pw, 0.0, 1.0, 0.0, 2.0))
+    pn, fn = FS.dam_break(n=n, a=4.0, b=3.0)      # narrow, no obstacle
+    step_w = FS.make_free_step_fn(pw, "noslip")
+    step_n = FS.make_free_step_fn(pn, "noslip")
+    for _ in range(12):
+        fw, dw = step_w(fw)
+        fn, dn = step_n(fn)
+    np.testing.assert_allclose(float(fw.state.t), float(fn.state.t),
+                               rtol=1e-12)
+    # Common region: u edges 0..4n (the narrow wall edge IS the wide
+    # obstacle face, both 0), interior cells 1..4n for v and p.
+    ue = 4 * n + 1
+    np.testing.assert_allclose(np.asarray(fw.state.u)[:ue, :],
+                               np.asarray(fn.state.u)[:ue, :], atol=1e-11)
+    np.testing.assert_allclose(np.asarray(fw.state.v)[1:ue, :],
+                               np.asarray(fn.state.v)[1:ue, :], atol=1e-11)
+    np.testing.assert_allclose(np.asarray(fw.state.p)[1:ue, :],
+                               np.asarray(fn.state.p)[1:ue, :], atol=1e-9)
+    # Same particles, same trajectories.
+    assert int(jnp.sum(fw.pset.active)) == int(jnp.sum(fn.pset.active))
+    np.testing.assert_allclose(np.asarray(fw.pset.x), np.asarray(fn.pset.x),
+                               atol=1e-11)
+
+
+def test_obstacle_submerged_block_hydrostatic():
+    """Liquid at rest over a fully submerged block: the no-slip obstacle
+    faces and the dropped pressure weights must preserve the exact
+    discrete hydrostatic equilibrium (velocities at solver-tolerance
+    level, pressure profile of the true surface position in every fluid
+    column, including above the block)."""
+    n = 24
+    params, fs = FS.filled_box(n=n, T=0.1)
+    params = dataclasses.replace(params, obstacles=((8, 13, 3, 6),))
+    fs = FS.FreeSurfaceState(
+        state=allocate_state(params),
+        pset=FS.fill_region(params, 0.0, 1.0, 0.0, 0.5))
+    fs2, stats = FS.solve_free(params, fs)
+    assert int(stats.sor_failures) == 0
+    assert float(jnp.max(jnp.abs(fs2.state.u))) < 1e-9
+    assert float(jnp.max(jnp.abs(fs2.state.v))) < 1e-9
+    p = np.asarray(fs2.state.p)
+    from navierstokes_parallel_tpu.ops.obstacles import fluid_mask
+    fl = fluid_mask(params)
+    j_surf = 12
+    for j in range(1, j_surf + 1):
+        expect = (j_surf - j + 0.5) * params.dy
+        col = fl[1:-1, j]
+        np.testing.assert_allclose(p[1:-1, j][col], expect, atol=1e-9)
+
+
+def test_obstacle_no_particle_leakage():
+    """Dam break surging over a bottom block: active particles never end
+    up inside obstacle cells, and fluid volume is conserved up to the
+    deactivated markers."""
+    n = 8
+    params, _ = FS.dam_break(n=n, a=5.0, b=3.0, T=1.5)
+    params = dataclasses.replace(
+        params, obstacles=((2 * n + 1, 3 * n, 1, n // 2),))
+    fs = FS.FreeSurfaceState(
+        state=allocate_state(params),
+        pset=FS.fill_region(params, 0.0, 1.0, 0.0, 2.0))
+    n0 = int(jnp.sum(fs.pset.active))
+    fs2, stats = FS.solve_free(params, fs, wall="freeslip")
+    from navierstokes_parallel_tpu.ops.obstacles import fluid_mask
+    fl = fluid_mask(params)
+    ci = np.clip(np.floor(np.asarray(fs2.pset.x) / params.dx).astype(int)
+                 + 1, 1, params.i_max)
+    cj = np.clip(np.floor(np.asarray(fs2.pset.y) / params.dy).astype(int)
+                 + 1, 1, params.j_max)
+    act = np.asarray(fs2.pset.active)
+    assert fl[ci, cj][act].all(), "active particle inside an obstacle"
+    n1 = int(act.sum())
+    assert n1 >= 0.97 * n0, (n0, n1)
+
+
+def test_rejects_x32():
+    """The refined free-surface solve needs the f64 master (like every
+    refined solve); without x64 it must refuse loudly, not drift."""
+    params = _params(n=8)
     flags = _flags_from_mask(np.ones((8, 8), bool))
-    with pytest.raises(ValueError, match="obstacles"):
-        surf.solve_pressure_free(jnp.zeros(params.shape),
-                                 jnp.zeros(params.shape), flags, params)
+    with jax.enable_x64(False):
+        with pytest.raises(ValueError, match="x64"):
+            surf.solve_pressure_free(
+                jnp.zeros(params.shape, jnp.float32),
+                jnp.zeros(params.shape, jnp.float32), flags, params)
 
 
 def test_sloshing_dispersion():
