@@ -10,7 +10,8 @@ File format (one value per line, ``#`` comments ignored):
 
     1  problem   (int)    1 = lid-driven cavity, 2 = oscillating lid,
                           3 = plane channel (beyond-reference,
-                          models/channel.py)
+                          models/channel.py), 4 = free-slip box
+                          (beyond-reference, models/taylorgreen.py)
     2  f         (float)  lid oscillation frequency (problem 2 only)
     3  i_max     (int)    interior cells in x
     4  j_max     (int)    interior cells in y
@@ -157,10 +158,10 @@ class Params:
     obstacles: tuple = ()
 
     def __post_init__(self):
-        if self.problem not in (1, 2, 3):
+        if self.problem not in (1, 2, 3, 4):
             raise ValueError(
                 f"unknown problem type {self.problem} (expected 1: cavity, "
-                f"2: oscillating lid, 3: plane channel)")
+                f"2: oscillating lid, 3: plane channel, 4: free-slip box)")
         if self.i_max < 2 or self.j_max < 2:
             raise ValueError("grid must be at least 2x2 interior cells")
         if not (0.0 < self.omega < 2.0):

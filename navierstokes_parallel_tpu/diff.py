@@ -193,6 +193,8 @@ def diff_step(state: State, params: Params, controls: Optional[Controls]
     dt, gamma = _safe_dt_gamma(u, v, params)
     if params.problem == 3:
         u, v = boundary.apply_channel_bcs(u, v, params)
+    elif params.problem == 4:
+        u, v = boundary.apply_freeslip_box(u, v)
     else:
         lid = boundary.lid_velocity(params.problem, params.f, t)
         u, v = boundary.apply_cavity_bcs(u, v, lid * controls.lid_scale)

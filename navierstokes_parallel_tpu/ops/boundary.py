@@ -121,6 +121,22 @@ def lid_velocity(problem: int, f: float, t):
     raise ValueError(f"unknown problem type {problem}")
 
 
+def apply_freeslip_box(u: jax.Array, v: jax.Array) -> Tuple[jax.Array,
+                                                            jax.Array]:
+    """Free-slip (no-stress) walls on all four sides — problem 4, the
+    Taylor-Green box (models/taylorgreen.py).  No reference analogue (its
+    problems are all no-slip); side order follows the free-surface
+    container (models/freesurface.py::_box_bcs): the writes commute here
+    (every wall-normal edge is set to the constant 0 and every tangential
+    ghost copies an interior node no other side writes), unlike the
+    cavity's load-bearing RIGHT-before-TOP order."""
+    u, v = set_freeslip(u, v, Side.LEFT)
+    u, v = set_freeslip(u, v, Side.RIGHT)
+    u, v = set_freeslip(u, v, Side.BOTTOM)
+    u, v = set_freeslip(u, v, Side.TOP)
+    return u, v
+
+
 def set_outflow(u: jax.Array, v: jax.Array, side: Side) -> Tuple[jax.Array, jax.Array]:
     """Zero-gradient outflow (Griebel et al. sect. 3.3, 'outflow'): copy the
     wall-normal edge velocity from its upstream interior neighbor and

@@ -52,6 +52,24 @@ def _apply_bcs(u, v, i_max, j_max, lid_u):
     u[1 : i_max + 1, j_max + 1] = 2.0 * lid_u - u[1 : i_max + 1, j_max]
 
 
+def _apply_freeslip_bcs(u, v, i_max, j_max):
+    """Free-slip box (problem 4, beyond-reference — ops/boundary.py
+    apply_freeslip_box): zero normal velocity, zero-gradient tangential
+    ghost on all four walls.  Writes commute (see apply_freeslip_box)."""
+    # LEFT
+    u[0, 1 : j_max + 1] = 0.0
+    v[0, 1 : j_max + 1] = v[1, 1 : j_max + 1]
+    # RIGHT
+    u[i_max, 1 : j_max + 1] = 0.0
+    v[i_max + 1, 1 : j_max + 1] = v[i_max, 1 : j_max + 1]
+    # BOTTOM
+    v[1 : i_max + 1, 0] = 0.0
+    u[1 : i_max + 1, 0] = u[1 : i_max + 1, 1]
+    # TOP
+    v[1 : i_max + 1, j_max] = 0.0
+    u[1 : i_max + 1, j_max + 1] = u[1 : i_max + 1, j_max]
+
+
 def _apply_channel_bcs(u, v, i_max, j_max, prm: Params):
     """Channel BCs (problem 3, beyond-reference — ops/boundary.py
     apply_channel_bcs): parabolic inflow left, flux-balanced zero-gradient
@@ -191,6 +209,8 @@ def oracle_step(u, v, p, t, prm: Params) -> Tuple[float, int]:
                          "instead (tests/test_obstacles.py)")
     if prm.problem == 3:
         _apply_channel_bcs(u, v, i_max, j_max, prm)
+    elif prm.problem == 4:
+        _apply_freeslip_bcs(u, v, i_max, j_max)
     else:
         lid_u = 1.0 if prm.problem == 1 else np.sin(prm.f * t)
         _apply_bcs(u, v, i_max, j_max, lid_u)
@@ -221,12 +241,21 @@ def oracle_step(u, v, p, t, prm: Params) -> Tuple[float, int]:
     return dt, iters
 
 
-def oracle_solve(prm: Params, max_steps: int = 10**9) -> OracleResult:
-    """Full serial integration `while t < T` (main.c:86-147), float64."""
+def oracle_solve(prm: Params, max_steps: int = 10**9,
+                 initial=None) -> OracleResult:
+    """Full serial integration `while t < T` (main.c:86-147), float64.
+    `initial` optionally seeds (u, v[, p]) — nonzero-initial-condition
+    model families (e.g. the Taylor-Green box) pass their staggered
+    samples; the reference always starts from calloc zeros."""
     shape = (prm.i_max + 2, prm.j_max + 2)
     u = np.zeros(shape)
     v = np.zeros(shape)
     p = np.zeros(shape)
+    if initial is not None:
+        u[:] = np.asarray(initial[0], np.float64)
+        v[:] = np.asarray(initial[1], np.float64)
+        if len(initial) > 2:
+            p[:] = np.asarray(initial[2], np.float64)
     t, steps, total_iters = 0.0, 0, 0
     while t < prm.T and steps < max_steps:
         dt, iters = oracle_step(u, v, p, t, prm)

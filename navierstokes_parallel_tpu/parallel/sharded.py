@@ -113,6 +113,31 @@ def _apply_bcs_sharded(u, v, lid_u, params: Params):
     return u, v
 
 
+def _apply_freeslip_bcs_sharded(u, v, params: Params):
+    """Free-slip box BCs (problem 4, ops/boundary.py::apply_freeslip_box)
+    on padded local blocks — the no-slip twin above with the tangential
+    ghost reflection sign flipped (zero-gradient copy instead of
+    negation) and no lid.  Writes commute; the halo-consistency argument
+    is identical."""
+    I, J = params.i_max, params.j_max
+    u = halo.exchange_halo(u)
+    v = halo.exchange_halo(v)
+    gi, gj = halo.padded_global_indices(u.shape)
+    in_j = (gj >= 1) & (gj <= J)
+    in_i = (gi >= 1) & (gi <= I)
+    # LEFT / RIGHT: zero normal edge, zero-gradient tangential ghost.
+    u = jnp.where((gi == 0) & in_j, jnp.zeros_like(u), u)
+    v = jnp.where((gi == 0) & in_j, jnp.roll(v, -1, 0), v)
+    u = jnp.where((gi == I) & in_j, jnp.zeros_like(u), u)
+    v = jnp.where((gi == I + 1) & in_j, jnp.roll(v, 1, 0), v)
+    # BOTTOM / TOP.
+    v = jnp.where(in_i & (gj == 0), jnp.zeros_like(v), v)
+    u = jnp.where(in_i & (gj == 0), jnp.roll(u, -1, 1), u)
+    v = jnp.where(in_i & (gj == J), jnp.zeros_like(v), v)
+    u = jnp.where(in_i & (gj == J + 1), jnp.roll(u, 1, 1), u)
+    return u, v
+
+
 def _apply_channel_bcs_sharded(u, v, params: Params):
     """Plane-channel BCs (problem 3, ops/boundary.py::apply_channel_bcs) on
     padded local blocks: parabolic inflow on the LEFT, zero-gradient outflow
@@ -222,6 +247,8 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
 
     if params.problem == 3:
         u, v = _apply_channel_bcs_sharded(u, v, params)
+    elif params.problem == 4:
+        u, v = _apply_freeslip_bcs_sharded(u, v, params)
     else:
         if params.problem == 1:
             lid_u = jnp.asarray(1.0, t.dtype)

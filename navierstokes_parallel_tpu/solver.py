@@ -60,6 +60,8 @@ def step(
     dt, gamma = momentum.adaptive_dt_gamma(u, v, params)
     if params.problem == 3:
         u, v = boundary.apply_channel_bcs(u, v, params)
+    elif params.problem == 4:
+        u, v = boundary.apply_freeslip_box(u, v)
     else:
         lid = boundary.lid_velocity(params.problem, params.f, t)
         u, v = boundary.apply_cavity_bcs(u, v, lid)

@@ -73,7 +73,8 @@ def test_derived():
 
 def test_validation():
     with pytest.raises(ValueError):
-        Params(problem=4)  # 3 = plane channel (models/channel.py) is valid
+        Params(problem=5)  # 3 = channel, 4 = free-slip box are valid
+    assert Params(problem=4).problem == 4
     with pytest.raises(ValueError):
         Params(omega=2.5)
     with pytest.raises(ValueError):
