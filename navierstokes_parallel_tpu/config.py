@@ -116,6 +116,15 @@ class Params:
     # Each exchange carries a 2K-deep strip and buys K exact local sweeps
     # (clamped to the local block size at solve time).
     sor_comm_every: int = 8
+    # Free-surface runs: marker-seeding density in particles per CELL AXIS
+    # (models/freesurface.py fill_region).  Lives in Params because the
+    # fill-fraction normalization count/ppc^2 (ops/surface.py cell_flags,
+    # read by the sub-cell SUMMAC surface condition) MUST match the
+    # seeding density — threading it out-of-band through every call made
+    # silent mismatches (saturated/quantized fill fractions) too easy.
+    # Setups that need finer fill resolution (models/freesurface.py
+    # sloshing seeds 6) set it here once.
+    particles_per_cell: int = 3
     # Spectral method: direct DCT solves chained per f64 refinement pass,
     # with cheap f32 defect re-evaluation between them (ops/fft.py
     # inner_direct).  >1 amortizes the f64 outer pass — software-emulated
@@ -175,6 +184,13 @@ class Params:
             raise ValueError(
                 f"fft_solves_per_outer must be in 1..8, got "
                 f"{self.fft_solves_per_outer}")
+        if not (2 <= self.particles_per_cell <= 16):
+            # >= 2 per axis is the standard guard against spurious cell
+            # emptying (Griebel sect. 8.1); 16^2 = 256/cell is far past
+            # any useful density.
+            raise ValueError(
+                f"particles_per_cell must be in 2..16, got "
+                f"{self.particles_per_cell}")
         if self.obstacles:
             # Normalize to a hashable tuple-of-tuples (callers may pass
             # lists); frozen dataclass needs object.__setattr__.

@@ -76,7 +76,7 @@ def _box_bcs(u, v, wall: str = "noslip", params: Params = None):
 
 
 def free_step(fs: FreeSurfaceState, params: Params, *,
-              wall: str = "noslip", ppc: int = 3,
+              wall: str = "noslip", ppc: Optional[int] = None,
               p_surface: str = "interpolated",
               ) -> Tuple[FreeSurfaceState, _solver.StepDiagnostics]:
     """One free-surface time step.  Pure; jit over `fs` (the flag field is
@@ -95,11 +95,15 @@ def free_step(fs: FreeSurfaceState, params: Params, *,
     die).  "hydrostatic" sets an EXPLICIT column-mass Dirichlet — kept as
     a measured-negative record: the stiff explicit surface-pressure
     feedback pumps the sloshing eigenmode until the flow shreds (umax 6x
-    the wave scale within 2 periods).  `ppc` must match the seeding
-    density for the fill fractions to normalize correctly; sub-cell wave
-    dynamics needs the fill resolution 1/ppc^2 finer than the
-    column-to-column elevation increment (the sloshing validation seeds
-    ppc=6)."""
+    the wave scale within 2 periods).  `ppc` defaults to
+    params.particles_per_cell — the seeding density the setups record in
+    Params, so fill fractions normalize correctly without threading a
+    number through every call (a mismatch saturates/quantizes the fill
+    the SUMMAC condition reads); sub-cell wave dynamics needs the fill
+    resolution 1/ppc^2 finer than the column-to-column elevation
+    increment (sloshing seeds 6)."""
+    if ppc is None:
+        ppc = params.particles_per_cell
     u, v, p, t, n = fs.state
     flags = surf.cell_flags(fs.pset.x, fs.pset.y, fs.pset.active, params,
                             ppc=ppc)
@@ -174,7 +178,8 @@ def free_step(fs: FreeSurfaceState, params: Params, *,
 
 
 @functools.lru_cache(maxsize=32)
-def make_free_step_fn(params: Params, wall: str = "noslip", ppc: int = 3,
+def make_free_step_fn(params: Params, wall: str = "noslip",
+                      ppc: Optional[int] = None,
                       p_surface: str = "interpolated"):
     @jax.jit
     def _step(fs: FreeSurfaceState):
@@ -215,7 +220,7 @@ def _solve_free(params: Params, fs: FreeSurfaceState, wall: str,
 
 
 def solve_free(params: Params, fs: FreeSurfaceState, *,
-               wall: str = "noslip", ppc: int = 3,
+               wall: str = "noslip", ppc: Optional[int] = None,
                p_surface: str = "interpolated",
                ) -> Tuple[FreeSurfaceState, _solver.SolveStats]:
     """Integrate to t >= T in one on-device while_loop."""
@@ -223,7 +228,7 @@ def solve_free(params: Params, fs: FreeSurfaceState, *,
 
 
 def trace_free(params: Params, fs: FreeSurfaceState, *,
-               wall: str = "noslip", ppc: int = 3,
+               wall: str = "noslip", ppc: Optional[int] = None,
                p_surface: str = "interpolated", record_every: int = 1):
     """Host-loop twin recording particle-history frames for
     plot_particle_paths / animation; bitwise-identical stepping."""
@@ -253,18 +258,24 @@ def trace_free(params: Params, fs: FreeSurfaceState, *,
 # ---------------------------------------------------------------------------
 
 
-def fill_region(params: Params, x0: float, x1: float, y0: float, y1: float,
-                ppc: int = 3, dtype=None) -> P.ParticleSet:
+def fill_region(params: Params, x0: float, x1: float, y0: float, y1,
+                ppc: Optional[int] = None, dtype=None) -> P.ParticleSet:
     """Marker particles on a ppc x ppc per-cell lattice inside
-    [x0,x1] x [y0,y1] (clipped to the domain).  >= 2 particles per cell
+    [x0,x1] x [y0,y1] (clipped to the domain).  `y1` may be a callable
+    y1(x) for a sub-cell-accurate initial surface profile (sloshing).
+    `ppc` defaults to params.particles_per_cell — the density the fill
+    fractions (ops/surface.py cell_flags) normalize by; >= 2 per cell
     axis is the standard guard against spurious cell emptying."""
+    if ppc is None:
+        ppc = params.particles_per_cell
     dx, dy = params.dx, params.dy
     sx = dx / ppc
     sy = dy / ppc
     xs = np.arange(sx / 2, params.a, sx)
     ys = np.arange(sy / 2, params.b, sy)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
-    keep = (gx >= x0) & (gx <= x1) & (gy >= y0) & (gy <= y1)
+    y_top = y1(xs)[:, None] if callable(y1) else y1
+    keep = (gx >= x0) & (gx <= x1) & (gy >= y0) & (gy <= y_top)
     if params.obstacles:
         from ..ops.obstacles import fluid_mask
         fl = fluid_mask(params)
@@ -288,10 +299,10 @@ def dam_break(n: int = 64, *, width: float = 1.0, height: float = 2.0,
     params = Params(problem=1, i_max=int(round(n * a)),
                     j_max=int(round(n * b)), a=a, b=b, T=T, Re=Re,
                     g_x=0.0, g_y=-g, tau=tau, omega=1.7, epsilon=epsilon,
-                    max_it=max_it,
+                    max_it=max_it, particles_per_cell=ppc,
                     dtype="float64" if jax.config.jax_enable_x64
                     else "float32")
-    pset = fill_region(params, 0.0, width, 0.0, height, ppc=ppc)
+    pset = fill_region(params, 0.0, width, 0.0, height)
     return params, FreeSurfaceState(state=allocate_state(params), pset=pset)
 
 
@@ -304,10 +315,10 @@ def filled_box(n: int = 48, *, depth: float = 0.5, Re: float = 100.0,
     to p(y) = g * (y_surface_center - y)."""
     params = Params(problem=1, i_max=n, j_max=n, a=1.0, b=1.0, T=T, Re=Re,
                     g_x=0.0, g_y=-g, tau=tau, omega=1.7, epsilon=epsilon,
-                    max_it=max_it,
+                    max_it=max_it, particles_per_cell=ppc,
                     dtype="float64" if jax.config.jax_enable_x64
                     else "float32")
-    pset = fill_region(params, 0.0, 1.0, 0.0, depth, ppc=ppc)
+    pset = fill_region(params, 0.0, 1.0, 0.0, depth)
     return params, FreeSurfaceState(state=allocate_state(params), pset=pset)
 
 
@@ -321,11 +332,10 @@ def drop(n: int = 48, *, cx: float = 0.5, cy: float = 0.7, half: float = 0.15,
     = 0, and the surface Dirichlet pins p = 0)."""
     params = Params(problem=1, i_max=n, j_max=n, a=1.0, b=1.0, T=T, Re=Re,
                     g_x=0.0, g_y=-g, tau=tau, omega=1.7, epsilon=epsilon,
-                    max_it=max_it,
+                    max_it=max_it, particles_per_cell=ppc,
                     dtype="float64" if jax.config.jax_enable_x64
                     else "float32")
-    pset = fill_region(params, cx - half, cx + half, cy - half, cy + half,
-                       ppc=ppc)
+    pset = fill_region(params, cx - half, cx + half, cy - half, cy + half)
     return params, FreeSurfaceState(state=allocate_state(params), pset=pset)
 
 
@@ -352,23 +362,17 @@ def sloshing(n: int = 64, *, depth: float = 0.5, amp: float = 0.04,
     free_step's 3): the restoring force reads fill differences of order
     amp*pi*dx/dy cells, which ppc=3's 1/9-cell fill quantization cannot
     resolve at the default amplitude (measured: period error 0.8% at
-    ppc=6 vs a noise-locked wave at ppc=3).  Pass the same ppc to
-    free_step/solve_free."""
+    ppc=6 vs a noise-locked wave at ppc=3).  The density is recorded in
+    Params.particles_per_cell, so free_step/solve_free pick it up
+    automatically."""
     params = Params(problem=1, i_max=n, j_max=n, a=1.0, b=1.0, T=T, Re=Re,
                     g_x=0.0, g_y=-g, tau=tau, omega=1.7, epsilon=epsilon,
-                    max_it=max_it,
+                    max_it=max_it, particles_per_cell=ppc,
                     dtype="float64" if jax.config.jax_enable_x64
                     else "float32")
-    sx = params.dx / ppc
-    sy = params.dy / ppc
-    xs = np.arange(sx / 2, params.a, sx)
-    ys = np.arange(sy / 2, params.b, sy)
-    gx, gy = np.meshgrid(xs, ys, indexing="ij")
-    eta = depth + amp * np.cos(mode * np.pi * xs / params.a)
-    keep = gy <= eta[:, None]
-    pts = np.stack([gx[keep], gy[keep]], -1)
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    pset = P.init_particles(pts, dtype=dtype)
+    pset = fill_region(
+        params, 0.0, params.a, 0.0,
+        lambda x: depth + amp * np.cos(mode * np.pi * x / params.a))
     return params, FreeSurfaceState(state=allocate_state(params), pset=pset)
 
 
@@ -398,12 +402,14 @@ def column_height(fs: FreeSurfaceState) -> float:
 
 
 def surface_elevation(fs: FreeSurfaceState, params: Params,
-                      ppc: int = 3) -> np.ndarray:
+                      ppc: Optional[int] = None) -> np.ndarray:
     """Per-column fluid height from particle mass: each particle stands
     for dx*dy/ppc^2 of fluid area, so column i's height is
     count_i * dy / ppc^2 — sub-cell accurate (resolution dy/ppc^2), unlike
-    the flag field's dy quantization.  `ppc` must match the seeding
-    density (fill_region/sloshing default 3)."""
+    the flag field's dy quantization.  `ppc` defaults to the seeding
+    density recorded in params.particles_per_cell."""
+    if ppc is None:
+        ppc = params.particles_per_cell
     ci = jnp.clip(jnp.floor(fs.pset.x / params.dx).astype(jnp.int32),
                   0, params.i_max - 1)
     counts = jnp.zeros(params.i_max, jnp.int32).at[ci].add(

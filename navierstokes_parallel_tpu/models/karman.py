@@ -66,10 +66,7 @@ def circle_cells(cx: float, cy: float, d: float, dx: float, dy: float,
     yj = (np.arange(1, j_max + 1) - 0.5) * dy
     solid = ((xi[:, None] - cx) ** 2 + (yj[None, :] - cy) ** 2
              <= (0.5 * d) ** 2)
-    if not solid.any():
-        raise ValueError(f"cylinder d={d} rasterizes to zero cells at "
-                         f"dx={dx}, dy={dy} — refine the grid")
-    while True:
+    while solid.any():
         pad = np.zeros((i_max + 2, j_max + 2), bool)
         pad[1:-1, 1:-1] = solid
         fl = ~pad
@@ -79,6 +76,9 @@ def circle_cells(cx: float, cy: float, d: float, dx: float, dy: float,
         if not thin.any():
             return solid
         solid = solid & ~thin
+    # Zero cells inside, or erosion shaved an under-resolved disk away.
+    raise ValueError(f"cylinder d={d} rasterizes to zero cells at "
+                     f"dx={dx}, dy={dy} — refine the grid")
 
 
 def circle_rects(cx: float, cy: float, d: float, dx: float, dy: float,
@@ -129,10 +129,13 @@ def square_cylinder(n_per_d: int = 8, Re_D: float = 100.0, T: float = 60.0,
                     **overrides) -> Params:
     """Confined square cylinder (Breuer et al. 2000 setup, diameter
     units): channel `a_over_d` x `blockage`, unit square with its front
-    face at x = `x_front`, centered `offset_frac` below the channel
-    centerline (the Schäfer-Turek asymmetry trick — Breuer's symmetric
-    geometry sheds too, but onset from an impulsive start takes far
-    longer).  Exactly resolvable at any grid (no staircase), so it is the
+    face at x = `x_front`, shifted `offset_frac` below the channel
+    centerline WHERE THE GRID CAN REPRESENT IT — the shift rounds to
+    whole cells, so it is exactly zero below n_per_d = 10 and the
+    geometry is then Breuer's symmetric one; shedding onset is seeded by
+    the `initial_state` kick either way (a symmetric impulsive start
+    with perturb=0 still sheds, from grid-roundoff seeds, just much
+    later).  Exactly resolvable at any grid (no staircase), so it is the
     cheap CPU-testable shedding workload; Breuer's blockage-1/8 St(Re_D =
     100) is ~0.135-0.14."""
     d_cells = n_per_d
@@ -146,7 +149,7 @@ def square_cylinder(n_per_d: int = 8, Re_D: float = 100.0, T: float = 60.0,
     rect = (i0, i0 + d_cells - 1, j0, j0 + d_cells - 1)
     defaults = dict(problem=3, i_max=nx, j_max=ny, a=a, b=b, T=T,
                     Re=1.5 * Re_D, tau=0.5, omega=1.7, epsilon=1e-4,
-                    max_it=20000, obstacles=rect and (rect,))
+                    max_it=20000, obstacles=(rect,))
     defaults.update(overrides)
     return Params(**defaults)
 
@@ -168,7 +171,6 @@ def initial_state(params: Params, perturb: float = 0.3) -> State:
     the limit cycle saturates in ~1/3 the time the geometric asymmetry
     alone needs (the saturated cycle is identical; only onset changes)."""
     from ..ops.obstacles import inflow_profile
-    import jax.numpy as jnp
 
     state = allocate_state(params)
     prof = inflow_profile(params)
@@ -262,6 +264,13 @@ def shedding_signal(params: Params, state: Optional[State] = None, *,
     steps = iters = fails = 0
     last = 0.0
     t_end = float(np.asarray(params.T, np.asarray(state.t).dtype))
+    if float(state.t) >= t_end:
+        # Chunked stepping overshoots T, so a completed trace's state is
+        # naturally past T — fail loudly instead of returning an empty
+        # trace (or crashing on recs[0]) when resumed without a larger T.
+        raise ValueError(
+            f"state.t = {float(state.t):g} already >= T = {t_end:g} — "
+            f"raise params.T to continue this run")
     while float(state.t) < t_end:
         state, (ct, crec, cit, cfl, cres) = fn(state)
         ts.append(np.asarray(ct))

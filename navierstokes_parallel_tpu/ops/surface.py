@@ -66,16 +66,20 @@ class Flags(NamedTuple):
 
 
 def cell_flags(x: jax.Array, y: jax.Array, active: jax.Array,
-               params: Params, ppc: int = 3,
+               params: Params, ppc: Optional[int] = None,
                min_count: int = 1) -> Flags:
     """Flag field from particle positions (Griebel sect. 8.1: a cell is
     fluid iff it contains a marker particle).  One scatter-add over all
     particles; inactive particles do not count.  `ppc` is the seeding
-    density (particles per cell AXIS, fill_region's knob): count/ppc^2
-    estimates the cell's fill fraction, the sub-cell surface position the
-    hydrostatic surface-pressure condition reads.  `min_count` > 1 culls
-    near-empty cells (spray: a lone particle otherwise makes a "fluid"
-    cell whose pinned faces carry unphysical frozen velocities)."""
+    density (particles per cell AXIS, defaults to
+    params.particles_per_cell — the density the setups record):
+    count/ppc^2 estimates the cell's fill fraction, the sub-cell surface
+    position the interpolated surface-pressure condition reads.
+    `min_count` > 1 culls near-empty cells (spray: a lone particle
+    otherwise makes a "fluid" cell whose pinned faces carry unphysical
+    frozen velocities)."""
+    if ppc is None:
+        ppc = params.particles_per_cell
     nx, ny = params.i_max + 2, params.j_max + 2
     ci = jnp.clip(jnp.floor(x / params.dx).astype(jnp.int32) + 1,
                   1, params.i_max)
@@ -200,10 +204,12 @@ def _traced_weights(flags: Flags, params: Params) -> masked._Weights:
     """Neighbor-weight operator for the free-surface Poisson problem,
     shaped exactly like ops/masked.py's _Weights but TRACED: unknowns are
     bulk cells; a fluid neighbor (bulk or surface) keeps its geometric
-    weight — surface neighbors are Dirichlet p=0, so their weight lives in
-    the diagonal while their off-diagonal term vanishes numerically
-    because the pressure array holds 0 there; ghost (wall) neighbors are
-    dropped from both (homogeneous Neumann), exactly as in masked.py."""
+    weight — surface neighbors are Dirichlet cells whose VALUE rides in
+    the pressure array (0 for the plain-MAC condition, nonzero for the
+    interpolated/hydrostatic conditions), so the off-diagonal term pulls
+    the prescribed value with its geometric weight while the unknown set
+    stays bulk-only; ghost (wall) neighbors are dropped from both
+    (homogeneous Neumann), exactly as in masked.py."""
     dx2_inv = 1.0 / (params.dx * params.dx)
     dy2_inv = 1.0 / (params.dy * params.dy)
     fl, bulk = flags.fluid, flags.bulk
@@ -332,6 +338,16 @@ def solve_pressure_free(p: jax.Array, rhs: jax.Array, flags: Flags,
     if not jax.config.jax_enable_x64:
         raise ValueError("free-surface runs need jax x64 for the f64 "
                          "refinement master (CLI/bench enable it)")
+    if params.obstacles:
+        # Defensive re-classification: only cell_flags folds the static
+        # obstacle mask into `interior`; flags built directly via
+        # classify() would mark obstacle cells EMPTY (making their fluid
+        # neighbors spurious Dirichlet surface cells).  Idempotent for
+        # cell_flags-built flags.
+        from . import obstacles as obs
+        interior = (jnp.zeros_like(flags.fluid).at[1:-1, 1:-1].set(True)
+                    & jnp.asarray(obs.fluid_mask(params)))
+        flags = classify(flags.fluid & interior, interior, flags.fill)
     f64, f32 = jnp.float64, jnp.float32
     w = _traced_weights(flags, params)
     omega32 = jnp.asarray(params.omega, f32)
