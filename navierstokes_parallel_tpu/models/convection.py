@@ -45,6 +45,11 @@ class ThermalConfig(NamedTuple):
     beta_gy: float        # buoyancy coefficient on G (-1: hot rises)
     t_left: float = 0.5   # hot wall
     t_right: float = -0.5  # cold wall
+    # Temperature of interior obstacle cells (params.obstacles):
+    # None = adiabatic blocks, a float = isothermal blocks at that value
+    # (ops/energy.py::apply_obstacle_temperature_bcs).  Ignored without
+    # obstacles.
+    t_obstacle: Optional[float] = None
 
 
 class ThermalState(NamedTuple):
@@ -68,6 +73,64 @@ def convection_setup(Ra: float, Pr: float = 0.71, n: int = 64,
                     max_it=max_it, dtype=dtype)
     cfg = ThermalConfig(alpha=1.0 / (Re * Pr), beta_gx=0.0, beta_gy=-1.0)
     return params, cfg
+
+
+def heated_block_setup(Ra: float, Pr: float = 0.71, n: int = 64,
+                       block_frac: float = 0.4, t_walls: float = -0.5,
+                       t_block: float = 0.5, tau: float = 0.5,
+                       epsilon: float = 1e-4, dtype: str = "float32",
+                       max_it: int = 20000
+                       ) -> Tuple[Params, ThermalConfig]:
+    """Isothermal hot square block centered in a cavity with cooled side
+    walls and adiabatic top/bottom (the House/Ha 'enclosure with a heated
+    inner body' configuration) — the obstacle-composed member of the
+    Boussinesq family: flag-field no-slip on the block, Dirichlet block
+    temperature via the solid-ghost reflection
+    (ops/energy.py::apply_obstacle_temperature_bcs), masked pressure
+    solve.  Validated by exact domain equivalence (a full-height
+    isothermal strip flush against a wall reproduces the narrower plain
+    cavity) and by the steady-state heat balance block flux == wall flux
+    (tests/test_convection.py)."""
+    Re = float(jnp.sqrt(Ra / Pr))
+    half = max(1, int(round(0.5 * block_frac * n)))
+    c0 = n // 2 - half + 1
+    c1 = n // 2 + half
+    params = Params(problem=1, i_max=n, j_max=n, a=1.0, b=1.0, T=1e9,
+                    Re=Re, tau=tau, omega=1.7, epsilon=epsilon,
+                    max_it=max_it, dtype=dtype,
+                    obstacles=((c0, c1, c0, c1),))
+    cfg = ThermalConfig(alpha=1.0 / (Re * Pr), beta_gx=0.0, beta_gy=-1.0,
+                        t_left=t_walls, t_right=t_walls,
+                        t_obstacle=t_block)
+    return params, cfg
+
+
+def block_heat_flux(T, params: Params, t_block: float) -> float:
+    """Total heat flux leaving the obstacle block through its boundary
+    faces, sum over fluid cells adjacent to solid of the one-sided
+    Dirichlet gradient 2 (t_block - T_fluid)/d * face length (the exact
+    discrete flux the solid-ghost reflection encodes).  At steady state
+    with adiabatic top/bottom this must balance the flux out through the
+    cooled side walls: (Nu_left + Nu_right) * b * dT_wall-scale."""
+    import numpy as np
+    from ..ops.obstacles import fluid_mask
+
+    fl = fluid_mask(params)
+    interior = np.zeros_like(fl)
+    interior[1:-1, 1:-1] = True
+    solid = interior & ~fl
+    Tn = np.asarray(T)
+    # One face term per (fluid cell, solid-neighbor direction): gradient
+    # 2 (t_block - T)/d across the half-cell to the face, times the face
+    # length.  Directions summed separately so a 1-wide fluid channel
+    # between two blocks counts both its faces.
+    flux = 0.0
+    for shift_ax, d, face in ((0, params.dx, params.dy),
+                              (1, params.dy, params.dx)):
+        for sgn in (-1, 1):
+            adj = fl & np.roll(solid, sgn, shift_ax)
+            flux += np.sum(2.0 * (t_block - Tn[adj])) / d * face
+    return float(flux)
 
 
 def allocate_thermal(params: Params, cfg: ThermalConfig) -> ThermalState:
@@ -102,17 +165,33 @@ def thermal_step(ts: ThermalState, params: Params, cfg: ThermalConfig,
     gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
 
     u, v = boundary.apply_cavity_bcs(u, v, jnp.zeros((), u.dtype))
+    if params.obstacles:
+        from ..ops import obstacles as obs
+
+        u, v = obs.apply_obstacle_bcs(u, v, params)
     T = energy.apply_temperature_bcs(T, params, cfg.t_left, cfg.t_right)
+    T = energy.apply_obstacle_temperature_bcs(T, params, cfg.t_obstacle)
     T_new = energy.advance_temperature(T, u, v, dt, gamma, params,
                                        cfg.alpha)
     T_new = energy.apply_temperature_bcs(T_new, params, cfg.t_left,
                                          cfg.t_right)
+    T_new = energy.apply_obstacle_temperature_bcs(T_new, params,
+                                                  cfg.t_obstacle)
 
     F, G = momentum.compute_fg(u, v, dt, gamma, params)
     F, G = energy.buoyant_fg(F, G, T_new, dt, cfg.beta_gx, cfg.beta_gy)
+    if params.obstacles:
+        F, G = obs.pin_fg(F, G, u, v, params)
     rhs = momentum.compute_rhs(F, G, dt, params)
+    if params.obstacles:
+        rhs = obs.mask_rhs(rhs, params)
     result = sor.solve_pressure(p, rhs, params, method=pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, result.p, dt, params)
+    if params.obstacles:
+        # The projection slice sweeps obstacle faces too — restore
+        # no-slip so the state stays consistent (solver.step does the
+        # same).
+        u, v = obs.apply_obstacle_bcs(u, v, params)
 
     max_dT = jnp.max(jnp.abs(T_new[1:-1, 1:-1] - T[1:-1, 1:-1]))
     new = ThermalState(u=u, v=v, p=result.p, T=T_new, t=t + dt, n=n + 1)

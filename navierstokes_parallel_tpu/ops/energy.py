@@ -99,6 +99,62 @@ def apply_temperature_bcs(T, params: Params, t_left: float, t_right: float):
     return T
 
 
+def apply_obstacle_temperature_bcs(T, params: Params,
+                                   t_obstacle=None):
+    """Temperature condition on interior obstacle cells (Griebel ch. 9
+    heated-obstacle treatment): every solid cell with at least one fluid
+    4-neighbor acts as a T ghost for those neighbors' stencils —
+
+      * `t_obstacle` None: ADIABATIC obstacle — the solid cell copies the
+        mean of its adjacent fluid temperatures (homogeneous Neumann,
+        exactly how the domain walls' adiabatic ghosts copy the interior
+        row in apply_temperature_bcs).
+      * `t_obstacle` float (or traced scalar): ISOTHERMAL obstacle at
+        that temperature — solid value = 2 t_obs - mean(adjacent fluid T)
+        so the face average is t_obs, exactly the domain-wall Dirichlet
+        reflection.  A corner solid cell with two fluid neighbors gets
+        one value serving both directions (the reflection then holds for
+        their MEAN — the same O(dx) corner compromise the NaSt2D lineage
+        makes; obstacles are >= 2 cells thick so no cell ever faces two
+        OPPOSITE fluid sides).
+
+    Deep solid cells (no fluid neighbor) hold t_obstacle (or stay
+    untouched when adiabatic) — they never enter any stencil.  Masks are
+    static (params.obstacles), so everything folds into the jit program.
+    """
+    if not params.obstacles:
+        return T
+    import numpy as np
+    from .obstacles import fluid_mask
+
+    fl = fluid_mask(params)
+    interior = np.zeros_like(fl)
+    interior[1:-1, 1:-1] = True
+    solid = interior & ~fl
+    nb_cnt = np.zeros(fl.shape, np.int32)
+    pads = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    for di, dj in pads:
+        nb_cnt[1:-1, 1:-1] += fl[1 + di:fl.shape[0] - 1 + di,
+                                 1 + dj:fl.shape[1] - 1 + dj]
+    boundary_solid = solid & (nb_cnt > 0)
+    deep_solid = solid & (nb_cnt == 0)
+    flj = jnp.asarray(fl)
+    nb_sum = jnp.zeros_like(T)
+    for di, dj in pads:
+        shifted = jnp.roll(T * flj, (-di, -dj), (0, 1))
+        nb_sum = nb_sum + shifted
+    mean_nb = nb_sum / jnp.maximum(jnp.asarray(nb_cnt, T.dtype), 1)
+    if t_obstacle is None:
+        val = mean_nb
+        T = jnp.where(jnp.asarray(boundary_solid), val, T)
+    else:
+        val = 2.0 * t_obstacle - mean_nb
+        T = jnp.where(jnp.asarray(boundary_solid), val, T)
+        T = jnp.where(jnp.asarray(deep_solid),
+                      jnp.asarray(t_obstacle, T.dtype), T)
+    return T
+
+
 def thermal_dt_limit(params: Params, alpha: float):
     """Explicit-diffusion stability bound for the energy equation:
     dt <= 1/(2 alpha) / (1/dx^2 + 1/dy^2) — the thermal analogue of the

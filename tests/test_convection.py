@@ -125,3 +125,111 @@ def test_convection_gspmd_matches_single_chip():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
                                atol=2e-4)
+
+
+def _re(Ra, Pr=0.71):
+    return float(np.sqrt(Ra / Pr))
+
+
+def test_heated_obstacle_equals_narrow_cavity():
+    """Exact composition check for the thermal obstacle machinery: a
+    full-height isothermal strip flush against the cold wall (obstacle
+    Dirichlet at t_right) must evolve identically to the narrower plain
+    cavity whose right wall it impersonates — same velocity reflections,
+    same temperature ghost values (2 t - T reflection on both paths),
+    same masked-vs-ghost Neumann pressure operator."""
+    import functools
+
+    import jax
+
+    from navierstokes_parallel_tpu.config import Params
+
+    n = 32
+    Re = _re(1e4)
+    common = dict(problem=1, tau=0.5, omega=1.7, epsilon=1e-6,
+                  max_it=20000, dtype="float64", T=1e9, Re=Re)
+    cut = 3 * n // 4
+    strip = Params(i_max=n, j_max=n, a=1.0, b=1.0,
+                   obstacles=((cut + 1, n, 1, n),), **common)
+    narrow = Params(i_max=cut, j_max=n, a=0.75, b=1.0, **common)
+    alpha = 1.0 / (Re * 0.71)
+    cfg_a = cv.ThermalConfig(alpha=alpha, beta_gx=0.0, beta_gy=-1.0,
+                             t_left=0.5, t_right=-0.5, t_obstacle=-0.5)
+    cfg_b = cv.ThermalConfig(alpha=alpha, beta_gx=0.0, beta_gy=-1.0,
+                             t_left=0.5, t_right=-0.5)
+    st_b = cv.allocate_thermal(narrow, cfg_b)
+    st_a = cv.allocate_thermal(strip, cfg_a)
+    # Embed the narrow cavity's initial conduction profile so both start
+    # from the same field.
+    T_a = np.full(strip.shape, -0.5)
+    T_a[: cut + 1, :] = np.asarray(st_b.T)[:-1, :]
+    st_a = st_a._replace(T=jnp.asarray(T_a))
+    step_a = jax.jit(functools.partial(cv.thermal_step, params=strip,
+                                       cfg=cfg_a,
+                                       pressure_method="rb_sor"))
+    step_b = jax.jit(functools.partial(cv.thermal_step, params=narrow,
+                                       cfg=cfg_b,
+                                       pressure_method="rb_sor"))
+    a, b = st_a, st_b
+    for _ in range(15):
+        a, _ = step_a(a)
+        b, _ = step_b(b)
+    np.testing.assert_allclose(float(a.t), float(b.t), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.u)[: cut + 1, :],
+                               np.asarray(b.u)[: cut + 1, :], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a.v)[1 : cut + 1, :],
+                               np.asarray(b.v)[1 : cut + 1, :], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a.T)[1 : cut + 1, 1:-1],
+                               np.asarray(b.T)[1 : cut + 1, 1:-1],
+                               atol=1e-8)
+
+
+def test_heated_block_flux_balance_and_boundedness():
+    """Hot block in a cooled cavity (heated_block_setup) at steady state:
+    the discrete heat released through the block faces balances the flux
+    absorbed by the cooled side walls EXACTLY (both are the one-sided
+    Dirichlet-reflection gradients of the same steady field), the fluid
+    temperature stays within [t_walls, t_block], the plume rises, and the
+    symmetric geometry splits the flux evenly between the two walls."""
+    params, cfg = cv.heated_block_setup(Ra=1e4, n=32, block_frac=0.4,
+                                        dtype="float64", epsilon=1e-6)
+    state, info = cv.solve_convection(params, cfg,
+                                      pressure_method="rb_sor",
+                                      steady_tol=1e-7)
+    T = np.asarray(state.T)
+    blk = cv.block_heat_flux(state.T, params, cfg.t_obstacle)
+    wall = (np.sum(2.0 * (T[1, 1:-1] - cfg.t_left)) / params.dx
+            + np.sum(2.0 * (T[-2, 1:-1] - cfg.t_right)) / params.dx) \
+        * params.dy
+    assert blk > 1.0                                   # convecting, not dead
+    np.testing.assert_allclose(wall, blk, rtol=1e-3)
+    from navierstokes_parallel_tpu.ops.obstacles import fluid_mask
+    fl = fluid_mask(params)
+    Tf = T[fl]
+    assert Tf.max() <= cfg.t_obstacle + 1e-9           # bounded by sources
+    assert Tf.min() >= cfg.t_left - 1e-9
+    # Plume: v > 0 in the column just above the block.
+    (i0, i1, j0, j1) = params.obstacles[0]
+    vcol = np.asarray(state.v)[(i0 + i1) // 2, j1 + 1 : -2]
+    assert vcol.max() > 0.01
+    # Left/right symmetry of the flux split.
+    gl = np.sum(2.0 * (T[1, 1:-1] - cfg.t_left))
+    gr = np.sum(2.0 * (T[-2, 1:-1] - cfg.t_right))
+    np.testing.assert_allclose(gl, gr, rtol=1e-2)
+
+
+def test_adiabatic_block_preserves_wall_balance():
+    """An ADIABATIC block (t_obstacle=None) in the de Vahl Davis cavity:
+    it deflects the flow but injects no heat, so the steady hot-wall and
+    cold-wall Nusselt numbers must still balance; its own face flux is
+    zero by construction of the mean-copy ghost."""
+    params, cfg = cv.convection_setup(Ra=1e4, n=32, dtype="float64",
+                                      epsilon=1e-6)
+    params = params.replace(obstacles=((13, 20, 13, 20),))
+    state, info = cv.solve_convection(params, cfg,
+                                      pressure_method="rb_sor",
+                                      steady_tol=1e-7)
+    nu_h = cv.nusselt_hot_wall(state.T, params, cfg.t_left)
+    nu_c = cv.nusselt_cold_wall(state.T, params, cfg.t_right)
+    assert nu_h > 1.2                                  # still convecting
+    np.testing.assert_allclose(nu_h, nu_c, rtol=5e-3)
