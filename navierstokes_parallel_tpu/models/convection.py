@@ -50,6 +50,19 @@ class ThermalConfig(NamedTuple):
     # (ops/energy.py::apply_obstacle_temperature_bcs).  Ignored without
     # obstacles.
     t_obstacle: Optional[float] = None
+    # Which pair of walls carries the Dirichlet temperatures:
+    #   "side"  — left=t_left / right=t_right, adiabatic top/bottom
+    #             (de Vahl Davis; the original family member)
+    #   "below" — BOTTOM=t_left / TOP=t_right, adiabatic sidewalls
+    #             (Rayleigh-Benard; t_left/t_right keep their role as
+    #             hot/cold Dirichlet values, only the walls rotate)
+    heating: str = "side"
+    # Sidewall velocity condition: "noslip" (cavity default) or
+    # "freeslip" (shear-free impermeable — a free-slip sidewall is
+    # exactly a convection-roll symmetry plane, which lets a finite box
+    # host the infinite-layer Rayleigh-Benard eigenmode; see
+    # rb_growth_rate).  Top/bottom plates stay rigid no-slip either way.
+    sidewalls: str = "noslip"
 
 
 class ThermalState(NamedTuple):
@@ -72,6 +85,57 @@ def convection_setup(Ra: float, Pr: float = 0.71, n: int = 64,
                     Re=Re, tau=tau, omega=1.7, epsilon=epsilon,
                     max_it=max_it, dtype=dtype)
     cfg = ThermalConfig(alpha=1.0 / (Re * Pr), beta_gx=0.0, beta_gy=-1.0)
+    return params, cfg
+
+
+def _apply_t_bcs(T, params: Params, cfg: ThermalConfig):
+    """Dirichlet/adiabatic wall pattern per cfg.heating (see ThermalConfig)."""
+    if cfg.heating == "below":
+        return energy.apply_temperature_bcs_rb(T, params, cfg.t_left,
+                                               cfg.t_right)
+    if cfg.heating != "side":
+        raise ValueError(f"unknown heating mode {cfg.heating!r}")
+    return energy.apply_temperature_bcs(T, params, cfg.t_left, cfg.t_right)
+
+
+def _apply_vel_bcs(u, v, cfg: ThermalConfig):
+    """Rigid no-slip plates; sidewalls per cfg.sidewalls.  Side order
+    follows the cavity (sides before TOP — boundary.apply_cavity_bcs
+    documents why it is load-bearing)."""
+    if cfg.sidewalls == "freeslip":
+        u, v = boundary.set_freeslip(u, v, boundary.Side.LEFT)
+        u, v = boundary.set_freeslip(u, v, boundary.Side.RIGHT)
+        u, v = boundary.set_noslip(u, v, boundary.Side.BOTTOM)
+        u, v = boundary.set_noslip(u, v, boundary.Side.TOP)
+        return u, v
+    if cfg.sidewalls != "noslip":
+        raise ValueError(f"unknown sidewall mode {cfg.sidewalls!r}")
+    return boundary.apply_cavity_bcs(u, v, jnp.zeros((), u.dtype))
+
+
+def rayleigh_benard_setup(Ra: float, Pr: float = 0.71, n: int = 64,
+                          aspect: float = 1.0, sidewalls: str = "noslip",
+                          tau: float = 0.5, epsilon: float = 1e-4,
+                          dtype: str = "float32",
+                          max_it: int = 20000) -> Tuple[Params,
+                                                        ThermalConfig]:
+    """Params + ThermalConfig for Rayleigh-Benard convection: hot bottom
+    plate T=+1/2, cold top plate T=-1/2, adiabatic sidewalls, rigid
+    no-slip plates.  `aspect` = width/height (plate spacing = the unit
+    height = the Ra length scale); `n` = vertical resolution, the
+    horizontal count scales with aspect.  Same convective velocity scale
+    as convection_setup, so Re = sqrt(Ra/Pr) and buoyancy coefficient 1.
+
+    Beyond-reference family member (reference: isothermal cavities only,
+    SURVEY.md §intro); couples ops/energy.py exactly like the de Vahl
+    Davis member, rotated 90°."""
+    Re = float(jnp.sqrt(Ra / Pr))
+    i_max = max(4, int(round(aspect * n)))
+    params = Params(problem=1, i_max=i_max, j_max=n, a=float(aspect),
+                    b=1.0, T=1e9, Re=Re, tau=tau, omega=1.7,
+                    epsilon=epsilon, max_it=max_it, dtype=dtype)
+    cfg = ThermalConfig(alpha=1.0 / (Re * Pr), beta_gx=0.0, beta_gy=-1.0,
+                        heating="below", sidewalls=sidewalls)
     return params, cfg
 
 
@@ -139,10 +203,15 @@ def allocate_thermal(params: Params, cfg: ThermalConfig) -> ThermalState:
     the exact zero-velocity solution, so early steps measure buoyancy,
     not a thermal shock)."""
     base = allocate_state(params)
-    x = (jnp.arange(params.i_max + 2) - 0.5) / params.i_max
-    T0 = cfg.t_left + (cfg.t_right - cfg.t_left) * x
-    T = jnp.broadcast_to(T0[:, None], params.shape).astype(base.p.dtype)
-    T = energy.apply_temperature_bcs(T, params, cfg.t_left, cfg.t_right)
+    if cfg.heating == "below":
+        y = (jnp.arange(params.j_max + 2) - 0.5) / params.j_max
+        T0 = cfg.t_left + (cfg.t_right - cfg.t_left) * y
+        T = jnp.broadcast_to(T0[None, :], params.shape)
+    else:
+        x = (jnp.arange(params.i_max + 2) - 0.5) / params.i_max
+        T0 = cfg.t_left + (cfg.t_right - cfg.t_left) * x
+        T = jnp.broadcast_to(T0[:, None], params.shape)
+    T = _apply_t_bcs(T.astype(base.p.dtype), params, cfg)
     return ThermalState(u=base.u, v=base.v, p=base.p, T=T, t=base.t,
                         n=base.n)
 
@@ -164,17 +233,16 @@ def thermal_step(ts: ThermalState, params: Params, cfg: ThermalConfig,
         jnp.minimum(dx / jnp.abs(u_max), dy / jnp.abs(v_max)))
     gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
 
-    u, v = boundary.apply_cavity_bcs(u, v, jnp.zeros((), u.dtype))
+    u, v = _apply_vel_bcs(u, v, cfg)
     if params.obstacles:
         from ..ops import obstacles as obs
 
         u, v = obs.apply_obstacle_bcs(u, v, params)
-    T = energy.apply_temperature_bcs(T, params, cfg.t_left, cfg.t_right)
+    T = _apply_t_bcs(T, params, cfg)
     T = energy.apply_obstacle_temperature_bcs(T, params, cfg.t_obstacle)
     T_new = energy.advance_temperature(T, u, v, dt, gamma, params,
                                        cfg.alpha)
-    T_new = energy.apply_temperature_bcs(T_new, params, cfg.t_left,
-                                         cfg.t_right)
+    T_new = _apply_t_bcs(T_new, params, cfg)
     T_new = energy.apply_obstacle_temperature_bcs(T_new, params,
                                                   cfg.t_obstacle)
 
@@ -345,3 +413,113 @@ def nusselt_cold_wall(T: jax.Array, params: Params,
 
 # de Vahl Davis (1983) benchmark mean hot-wall Nusselt numbers.
 DE_VAHL_DAVIS_NU = {1e3: 1.118, 1e4: 2.243, 1e5: 4.519, 1e6: 8.800}
+
+
+# ---------------------------------------------------------------------------
+# Rayleigh-Benard (heated from below)
+
+# Linear-stability constants for a layer between rigid (no-slip)
+# conducting plates (Chandrasekhar 1961, ch. II): onset at
+# Ra_c = 1707.762 with horizontal wavenumber a_c = 3.117.  A free-slip
+# sidewall is a roll symmetry plane, so a box of width pi/a_c (one roll
+# = half the critical wavelength 2*pi/a_c) hosts the infinite-layer
+# critical eigenmode EXACTLY — finite-box validation against closed-form
+# theory with no fitted constants.
+RB_CRITICAL_RA = 1707.762
+RB_CRITICAL_WAVENUMBER = 3.117
+RB_CRITICAL_ASPECT = float(jnp.pi) / RB_CRITICAL_WAVENUMBER
+
+
+def nusselt_bottom(T: jax.Array, params: Params,
+                   t_bottom: float = 0.5) -> float:
+    """Mean Nusselt number at the hot bottom plate: -dT/dy (times
+    b/dT = 1 in the unit scaling) averaged over the plate; Dirichlet
+    ghost reflection makes the one-sided gradient 2 (T[i,1]-t_b)/dy."""
+    g = -2.0 * (jnp.asarray(T)[1:-1, 1] - t_bottom) * params.j_max / params.b
+    return float(jnp.mean(g))
+
+
+def nusselt_top(T: jax.Array, params: Params,
+                t_top: float = -0.5) -> float:
+    """Mean Nusselt number at the cold top plate (must equal
+    nusselt_bottom at steady state — discrete heat balance with
+    adiabatic sidewalls)."""
+    g = -2.0 * (t_top - jnp.asarray(T)[1:-1, -2]) * params.j_max / params.b
+    return float(jnp.mean(g))
+
+
+def seed_rb_perturbation(ts: ThermalState, params: Params,
+                         cfg: ThermalConfig, amp: float = 1e-3,
+                         mode: int = 1) -> ThermalState:
+    """Add the m-roll thermal eigenmode shape amp*cos(m pi x/a)*sin(pi y/b)
+    to T (cell centers).  cos in x has zero normal gradient at the
+    adiabatic sidewalls; sin in y vanishes at the conducting plates —
+    compatible with every RB boundary condition, and for the critical
+    box it IS the horizontal structure of the unstable mode."""
+    x = (jnp.arange(params.i_max + 2, dtype=ts.T.dtype) - 0.5) * params.dx
+    y = (jnp.arange(params.j_max + 2, dtype=ts.T.dtype) - 0.5) * params.dy
+    pert = (amp * jnp.cos(mode * jnp.pi * x[:, None] / params.a)
+            * jnp.sin(jnp.pi * y[None, :] / params.b))
+    T = _apply_t_bcs(ts.T + pert, params, cfg)
+    return ts._replace(T=T)
+
+
+def kinetic_energy(ts: ThermalState) -> jax.Array:
+    """Interior sum of u^2 + v^2 — the (unnormalized) perturbation
+    energy whose exponential trend rb_growth_rate fits."""
+    return (jnp.sum(ts.u[1:-1, 1:-1] ** 2)
+            + jnp.sum(ts.v[1:-1, 1:-1] ** 2))
+
+
+def rb_growth_rate(Ra: float, *, Pr: float = 0.71, n: int = 32,
+                   aspect: Optional[float] = None, amp: float = 1e-4,
+                   t_transient: float = 10.0, t_measure: float = 20.0,
+                   pressure_method: str = "mg", dtype: str = "float32",
+                   chunk: int = 200) -> dict:
+    """Measure the linear growth rate sigma of the single-roll RB mode:
+    integrate the perturbed conduction state in the critical free-slip
+    box, then fit E(t) ~ exp(2 sigma t) between the end of the transient
+    window and the end of the run.  sigma crosses zero at Ra_c — the
+    sign test and the linear-in-Ra extrapolation to sigma=0 are the
+    validation hooks (scripts/validate_rb.py, tests/test_convection.py).
+
+    Times are in convective units (the diffusive time is sqrt(Ra*Pr) of
+    them, so defaults cover ~0.8 diffusive times at Ra~2000).  Returns
+    {sigma, E0, E1, t0, t1, Ra}."""
+    if aspect is None:
+        aspect = RB_CRITICAL_ASPECT
+    params, cfg = rayleigh_benard_setup(
+        Ra, Pr=Pr, n=n, aspect=aspect, sidewalls="freeslip",
+        epsilon=1e-6, dtype=dtype)
+    ts = seed_rb_perturbation(allocate_thermal(params, cfg), params, cfg,
+                              amp=amp)
+
+    @jax.jit
+    def run_chunk(ts):
+        def body(ts, _):
+            new, _aux = thermal_step(ts, params, cfg,
+                                     pressure_method=pressure_method)
+            return new, None
+
+        ts, _ = lax.scan(body, ts, None, length=chunk)
+        return ts, kinetic_energy(ts), ts.t
+
+    def run_until(ts, t_target):
+        E, t = kinetic_energy(ts), float(ts.t)
+        while t < t_target:
+            ts, E, t_dev = run_chunk(ts)
+            t = float(t_dev)
+        return ts, float(E), t
+
+    ts, E0, t0 = run_until(ts, t_transient)
+    ts, E1, t1 = run_until(ts, t_transient + t_measure)
+    sigma = float(jnp.log(E1 / E0) / (2.0 * (t1 - t0)))
+    return {"sigma": sigma, "E0": E0, "E1": E1, "t0": t0, "t1": t1,
+            "Ra": Ra}
+
+
+# Published mean-Nusselt benchmarks for the SQUARE Rayleigh-Benard
+# cavity (aspect 1, air Pr=0.71, rigid no-slip walls, adiabatic
+# sidewalls, single-roll steady state): Ouertatani, Ben Cheikh, Ben
+# Beya & Lili, C. R. Mecanique 336 (2008) 464-470.
+OUERTATANI_RB_NU = {1e4: 2.154, 1e5: 3.907, 1e6: 6.363}

@@ -99,6 +99,20 @@ def apply_temperature_bcs(T, params: Params, t_left: float, t_right: float):
     return T
 
 
+def apply_temperature_bcs_rb(T, params: Params, t_bottom: float,
+                             t_top: float):
+    """Rayleigh-Benard T BCs — the 90-degree-rotated twin of
+    apply_temperature_bcs: conducting (Dirichlet) bottom/top plates via
+    ghost reflection, adiabatic (homogeneous Neumann) sidewalls.  Used by
+    the heated-from-below members of the Boussinesq family
+    (models/convection.py::rayleigh_benard_setup)."""
+    T = T.at[1:-1, 0].set(2.0 * t_bottom - T[1:-1, 1])
+    T = T.at[1:-1, -1].set(2.0 * t_top - T[1:-1, -2])
+    T = T.at[0, 1:-1].set(T[1, 1:-1])
+    T = T.at[-1, 1:-1].set(T[-2, 1:-1])
+    return T
+
+
 def apply_obstacle_temperature_bcs(T, params: Params,
                                    t_obstacle=None):
     """Temperature condition on interior obstacle cells (Griebel ch. 9

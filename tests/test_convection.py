@@ -233,3 +233,75 @@ def test_adiabatic_block_preserves_wall_balance():
     nu_c = cv.nusselt_cold_wall(state.T, params, cfg.t_right)
     assert nu_h > 1.2                                  # still convecting
     np.testing.assert_allclose(nu_h, nu_c, rtol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Rayleigh-Benard (heated from below)
+
+
+def test_rb_conduction_fixed_point():
+    """Below onset, the unperturbed RB conduction profile at rest is an
+    exact fixed point (buoyancy force is x-uniform and curl-free, so the
+    projection absorbs it): velocities stay at machine zero and both
+    plate Nusselt numbers are exactly 1.  (The cancellation happens
+    through the pressure solve — the discrete force IS a discrete
+    gradient — so it is exact only to solver tolerance; epsilon=1e-10
+    makes that machine level.)"""
+    params, cfg = cv.rayleigh_benard_setup(1e3, n=16, dtype="float64",
+                                           epsilon=1e-10)
+    s = cv.allocate_thermal(params, cfg)
+    T0 = np.asarray(s.T)
+    for _ in range(10):
+        s, _ = cv.thermal_step(s, params, cfg, pressure_method="mg")
+    np.testing.assert_allclose(np.asarray(s.T), T0, atol=1e-13)
+    assert float(jnp.max(jnp.abs(s.u))) < 1e-12
+    assert float(jnp.max(jnp.abs(s.v))) < 1e-12
+    assert cv.nusselt_bottom(s.T, params) == pytest.approx(1.0, abs=1e-10)
+    assert cv.nusselt_top(s.T, params) == pytest.approx(1.0, abs=1e-10)
+
+
+def test_rb_onset_growth_signs():
+    """Linear stability bracketing: the single-roll mode in the critical
+    free-slip box decays well below Ra_c = 1707.76 and grows well above
+    it (Chandrasekhar 1961 rigid-rigid constants, cv.RB_CRITICAL_*)."""
+    decay = cv.rb_growth_rate(800.0, n=24, t_transient=4.0, t_measure=8.0)
+    growth = cv.rb_growth_rate(3000.0, n=24, t_transient=4.0,
+                               t_measure=8.0)
+    assert decay["sigma"] < -0.05
+    assert growth["sigma"] > 0.05
+
+
+def test_rb_critical_rayleigh_extrapolation():
+    """Quantitative onset validation with NO fitted constants: measure
+    the growth rate at two near-critical Ra and extrapolate sigma=0
+    linearly; must land on Chandrasekhar's Ra_c = 1707.762 (measured
+    1707.73 at 32x32 — 0.002%; assert 2%)."""
+    r1 = cv.rb_growth_rate(1850.0, n=32, t_transient=15.0, t_measure=25.0)
+    r2 = cv.rb_growth_rate(2100.0, n=32, t_transient=15.0, t_measure=25.0)
+    ra_c = r1["Ra"] - r1["sigma"] * (r2["Ra"] - r1["Ra"]) / (
+        r2["sigma"] - r1["sigma"])
+    assert ra_c == pytest.approx(cv.RB_CRITICAL_RA, rel=0.02)
+
+
+def test_rb_gspmd_matches_single_chip():
+    """The UNMODIFIED RB thermal step (rotated BCs and all) must run
+    multi-chip through the same GSPMD recipe: 60 fixed steps from a
+    perturbed supercritical state, fields within the oracle-contract
+    tolerance of single-chip."""
+    from navierstokes_parallel_tpu.parallel.gspmd import _default_mesh
+
+    params, cfg = cv.rayleigh_benard_setup(5e3, n=24)
+    s0 = cv.seed_rb_perturbation(cv.allocate_thermal(params, cfg), params,
+                                 cfg, amp=0.05)
+    fixed = dict(pressure_method="mg", steady_tol=0.0, max_steps=60,
+                 chunk=60)
+    s1, _ = cv.solve_convection(params, cfg, s0, **fixed)
+    s2, _ = cv.solve_convection(params, cfg, s0, mesh=_default_mesh(),
+                                **fixed)
+    assert float(jnp.max(jnp.abs(s1.v))) > 1e-4, "perturbation must move"
+    np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2.v), np.asarray(s1.v),
+                               atol=1e-4)
