@@ -63,6 +63,11 @@ class ThermalConfig(NamedTuple):
     # host the infinite-layer Rayleigh-Benard eigenmode; see
     # rb_growth_rate).  Top/bottom plates stay rigid no-slip either way.
     sidewalls: str = "noslip"
+    # Lid (top-wall) tangential velocity — nonzero turns any member into
+    # MIXED convection (forced + natural, Richardson number
+    # Ri = 1/lid_u^2 in the convective scaling since the buoyancy
+    # coefficient is 1).  Only meaningful with sidewalls="noslip".
+    lid_u: float = 0.0
 
 
 class ThermalState(NamedTuple):
@@ -103,6 +108,8 @@ def _apply_vel_bcs(u, v, cfg: ThermalConfig):
     follows the cavity (sides before TOP — boundary.apply_cavity_bcs
     documents why it is load-bearing)."""
     if cfg.sidewalls == "freeslip":
+        if isinstance(cfg.lid_u, (int, float)) and cfg.lid_u:
+            raise ValueError("lid_u requires sidewalls='noslip'")
         u, v = boundary.set_freeslip(u, v, boundary.Side.LEFT)
         u, v = boundary.set_freeslip(u, v, boundary.Side.RIGHT)
         u, v = boundary.set_noslip(u, v, boundary.Side.BOTTOM)
@@ -110,7 +117,8 @@ def _apply_vel_bcs(u, v, cfg: ThermalConfig):
         return u, v
     if cfg.sidewalls != "noslip":
         raise ValueError(f"unknown sidewall mode {cfg.sidewalls!r}")
-    return boundary.apply_cavity_bcs(u, v, jnp.zeros((), u.dtype))
+    return boundary.apply_cavity_bcs(u, v,
+                                     jnp.asarray(cfg.lid_u, u.dtype))
 
 
 def rayleigh_benard_setup(Ra: float, Pr: float = 0.71, n: int = 64,
@@ -137,6 +145,32 @@ def rayleigh_benard_setup(Ra: float, Pr: float = 0.71, n: int = 64,
     cfg = ThermalConfig(alpha=1.0 / (Re * Pr), beta_gx=0.0, beta_gy=-1.0,
                         heating="below", sidewalls=sidewalls)
     return params, cfg
+
+
+def mixed_convection_setup(Re_lid: float, Gr: float, Pr: float = 0.71,
+                           n: int = 64, tau: float = 0.5,
+                           epsilon: float = 1e-4, dtype: str = "float32",
+                           max_it: int = 20000) -> Tuple[Params,
+                                                         ThermalConfig]:
+    """Mixed (forced + natural) convection in the Iwatsu-Hyun-Kuwahara
+    (1993) configuration: square cavity, HOT MOVING TOP LID T=+1/2, cold
+    bottom plate T=-1/2 (stable stratification), adiabatic no-slip
+    sidewalls.  Richardson number Ri = Gr/Re_lid² controls the regime:
+    Ri >> 1 confines the shear-driven flow under the lid, Ri << 1 is the
+    isothermal cavity with a passive scalar.
+
+    Keeps the family's convective velocity scale sqrt(g beta dT L), so
+    params.Re = sqrt(Gr) and the dimensionless lid speed is
+    Re_lid/sqrt(Gr) = 1/sqrt(Ri) (lid Reynolds = lid_u * params.Re =
+    Re_lid exactly).  With beta_gy = 0 and Pr = 1 the u/v trajectory is
+    bit-identical to the isothermal solver.step cavity — the exact
+    composition check in tests/test_convection.py."""
+    Ra = Gr * Pr
+    params, cfg = rayleigh_benard_setup(Ra, Pr=Pr, n=n, tau=tau,
+                                        epsilon=epsilon, dtype=dtype,
+                                        max_it=max_it)
+    lid = float(Re_lid) / float(jnp.sqrt(Gr))
+    return params, cfg._replace(t_left=-0.5, t_right=0.5, lid_u=lid)
 
 
 def heated_block_setup(Ra: float, Pr: float = 0.71, n: int = 64,
@@ -472,7 +506,7 @@ def kinetic_energy(ts: ThermalState) -> jax.Array:
 
 
 def rb_growth_rate(Ra: float, *, Pr: float = 0.71, n: int = 32,
-                   aspect: Optional[float] = None, amp: float = 1e-4,
+                   aspect: Optional[float] = None, amp: float = 1e-3,
                    t_transient: float = 10.0, t_measure: float = 20.0,
                    pressure_method: str = "mg", dtype: str = "float32",
                    chunk: int = 200) -> dict:
@@ -485,7 +519,13 @@ def rb_growth_rate(Ra: float, *, Pr: float = 0.71, n: int = 32,
 
     Times are in convective units (the diffusive time is sqrt(Ra*Pr) of
     them, so defaults cover ~0.8 diffusive times at Ra~2000).  Returns
-    {sigma, E0, E1, t0, t1, Ra}."""
+    {sigma, E0, E1, t0, t1, Ra}.
+
+    `amp` must keep the transient-decayed signal above the f32 storage +
+    pressure-tolerance noise floor: 1e-4 was measured to flatline a
+    near-critical slow mode at 64² on TPU (sigma +0.0002 instead of
+    +0.026) while 1e-3 recovers it; saturation amplitudes are O(0.1) so
+    1e-3 still leaves two decades of linear headroom."""
     if aspect is None:
         aspect = RB_CRITICAL_ASPECT
     params, cfg = rayleigh_benard_setup(

@@ -95,4 +95,13 @@ run bench_mg_2048_c3 2400 $B --config configs/4.in --method mg \
 run bench_channel_mg 900 $B --config configs/channel.in --method mg \
   --repeats 3
 
+# 13. Rayleigh-Benard validation artifacts (onset growth rates + steady
+#     Nu(Ra) branch in the critical box + Ouertatani square-cavity Nu).
+run rb_onset 2400 python scripts/validate_rb.py --mode onset --n 64 \
+  --platform axon
+run rb_branch 3600 python scripts/validate_rb.py --mode branch --n 48 \
+  --platform axon
+run rb_nusselt 3600 python scripts/validate_rb.py --mode nusselt \
+  --ra 1e4 1e5 --n 128 --platform axon
+
 echo "burst done $(date '+%F %T')" | tee -a "$OUT/summary.log"

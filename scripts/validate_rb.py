@@ -10,7 +10,14 @@ Two independent checks of the heated-from-below Boussinesq family
    fitted constants (measured 0.002% off at 32x32 on CPU).
    Writes artifacts/rb_onset.csv.
 
-2. --mode nusselt: run the SQUARE no-slip cavity (adiabatic sidewalls)
+2. --mode branch: run the critical free-slip box TO STEADY STATE across
+   onset: subcritical Ra must relax back to conduction (Nu = 1), and the
+   supercritical Nu(Ra) branch is linear near onset (Schlueter-Lortz-
+   Busse), so extrapolating Nu-1 -> 0 recovers Ra_c from the NONLINEAR
+   side — a second no-fitted-constants estimate, independent of mode 1.
+   Writes artifacts/rb_branch.csv.
+
+3. --mode nusselt: run the SQUARE no-slip cavity (adiabatic sidewalls)
    to steady state from a seeded single-roll perturbation and compare
    the plate Nusselt numbers against Ouertatani et al. (2008):
    2.154 / 3.907 / 6.363 for Ra = 1e4/1e5/1e6, plus the exact
@@ -66,6 +73,79 @@ def run_onset(args, cv):
     return ok
 
 
+def run_branch(args, cv):
+    """Steady Nu(Ra) branch in the critical free-slip box: subcritical
+    Ra relax back to conduction (Nu=1 exactly); the supercritical branch
+    is linear near onset (Schlueter-Lortz-Busse weakly nonlinear
+    theory), so a linear fit of Nu-1 extrapolates to Ra_c from the
+    NONLINEAR side — independent of the growth-rate route."""
+    import numpy as np
+
+    rows = []
+    branch = []
+    ok = True
+    for ra in args.branch_ra:
+        t0 = time.time()
+        params, cfg = cv.rayleigh_benard_setup(
+            ra, n=args.n, aspect=cv.RB_CRITICAL_ASPECT,
+            sidewalls="freeslip")
+        state = cv.seed_rb_perturbation(
+            cv.allocate_thermal(params, cfg), params, cfg, amp=0.05)
+        state, info = cv.solve_convection(params, cfg, state,
+                                          pressure_method=args.method,
+                                          steady_tol=args.steady_tol)
+        nu_b = cv.nusselt_bottom(state.T, params)
+        nu_t = cv.nusselt_top(state.T, params)
+        wall = time.time() - t0
+        sub = ra < cv.RB_CRITICAL_RA
+        print(f"Ra={ra:g} n={args.n}: Nu_bottom={nu_b:.5f} "
+              f"Nu_top={nu_t:.5f} steps={info['steps']} "
+              f"steady={info['steady']} [{wall:.0f}s]"
+              + ("  (subcritical)" if sub else ""))
+        rows.append([ra, args.n, args.method, nu_b, nu_t, info["steps"],
+                     wall])
+        if sub:
+            if abs(nu_b - 1.0) > 0.005:
+                print(f"  FAIL: subcritical Nu {nu_b:.5f} != 1",
+                      file=sys.stderr)
+                ok = False
+        else:
+            branch.append((ra, nu_b))
+        if abs(nu_b - nu_t) > 0.02 * max(abs(nu_b), 1.0):
+            print(f"  FAIL: plate imbalance {nu_b:.4f} vs {nu_t:.4f}",
+                  file=sys.stderr)
+            ok = False
+    if len(branch) >= 2:
+        ras = np.array([b[0] for b in branch])
+        nus = np.array([b[1] for b in branch])
+        slope, icept = np.polyfit(ras, nus - 1.0, 1)
+        ra_c = -icept / slope
+        rel = abs(ra_c - cv.RB_CRITICAL_RA) / cv.RB_CRITICAL_RA
+        # Schlueter-Lortz-Busse 1965 initial slope for rigid-rigid
+        # plates: d(Nu)/d(Ra/Ra_c) = 1/(0.69942 - 0.00472/Pr
+        # + 0.00832/Pr^2) — 1.410 at Pr=0.71 (finite-epsilon branch
+        # points bend below it, so report, don't assert).
+        slb = 1.0 / (0.69942 - 0.00472 / 0.71 + 0.00832 / 0.71 ** 2)
+        print(f"branch fit: Nu-1 = {slope:.3e}*(Ra - {ra_c:.1f}); "
+              f"Ra_c rel err {rel:.2e}; initial slope "
+              f"dNu/d(Ra/Ra_c) = {slope * ra_c:.3f} (SLB theory "
+              f"{slb:.3f})")
+        rows.append(["branch_Ra_c", args.n, args.method, ra_c,
+                     cv.RB_CRITICAL_RA, rel, slope * ra_c])
+        if rel > args.tol:
+            print(f"  FAIL: branch Ra_c rel err {rel:.4f} > {args.tol}",
+                  file=sys.stderr)
+            ok = False
+    out = args.out or "artifacts/rb_branch.csv"
+    with open(out, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Ra", "n", "method", "nu_bottom_or_rac",
+                    "nu_top_or_ref", "steps_or_rel", "wall_s_or_slope"])
+        w.writerows(rows)
+    print(f"wrote {out}")
+    return ok
+
+
 def run_nusselt(args, cv):
     rows = []
     ok = True
@@ -109,11 +189,13 @@ def run_nusselt(args, cv):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="onset",
-                    choices=["onset", "nusselt"])
+                    choices=["onset", "nusselt", "branch"])
     ap.add_argument("--ra", nargs="+", type=float, default=[1e4],
                     help="Rayleigh numbers for --mode nusselt")
     ap.add_argument("--onset-ra", nargs="+", type=float,
                     default=[1850.0, 2100.0])
+    ap.add_argument("--branch-ra", nargs="+", type=float,
+                    default=[1600.0, 1800.0, 1900.0, 2000.0, 2200.0])
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--method", default="mg",
                     choices=["fft", "mg", "rb_sor", "cg"])
@@ -127,7 +209,8 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     if args.tol is None:
-        args.tol = 0.02 if args.mode == "onset" else 0.10
+        args.tol = {"onset": 0.02, "branch": 0.03,
+                    "nusselt": 0.10}[args.mode]
 
     import jax
 
@@ -139,6 +222,8 @@ def main(argv=None):
     os.makedirs("artifacts", exist_ok=True)
     if args.mode == "onset":
         ok = run_onset(args, cv)
+    elif args.mode == "branch":
+        ok = run_branch(args, cv)
     else:
         ok = run_nusselt(args, cv)
     return 0 if ok else 1

@@ -305,3 +305,66 @@ def test_rb_gspmd_matches_single_chip():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(s2.v), np.asarray(s1.v),
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mixed convection (moving lid + buoyancy)
+
+
+def test_mixed_convection_beta0_matches_isothermal_exactly():
+    """Exact composition check: with buoyancy off and Pr=1 (thermal dt
+    limit == viscous limit), the mixed-convection u/v trajectory must be
+    BIT-identical to the isothermal cavity solver.step — same BC order,
+    same adaptive dt, same projection, T a passive scalar."""
+    from navierstokes_parallel_tpu import solver
+    from navierstokes_parallel_tpu.grid import allocate_state
+
+    params, cfg = cv.mixed_convection_setup(Re_lid=100.0, Gr=1e4, Pr=1.0,
+                                            n=16, dtype="float64")
+    cfg = cfg._replace(beta_gy=0.0, lid_u=1.0)
+    ts = cv.allocate_thermal(params, cfg)
+    iso = allocate_state(params)
+    for _ in range(15):
+        ts, _ = cv.thermal_step(ts, params, cfg, pressure_method="mg")
+        iso, _ = solver.step(iso, params, pressure_method="mg")
+    np.testing.assert_array_equal(np.asarray(ts.u), np.asarray(iso.u))
+    np.testing.assert_array_equal(np.asarray(ts.v), np.asarray(iso.v))
+    np.testing.assert_array_equal(np.asarray(ts.p), np.asarray(iso.p))
+    # ...and the passive scalar was actually advected.
+    T0 = np.asarray(cv.allocate_thermal(params, cfg).T)
+    assert np.abs(np.asarray(ts.T) - T0).max() > 1e-6
+
+
+def test_mixed_convection_stratification_confines_flow():
+    """Physics of the Richardson number: at Ri >> 1 the stable
+    stratification confines the lid-driven shear layer to the top of the
+    cavity; at Ri << 1 the flow penetrates like the isothermal cavity.
+    Compare the bottom-half share of kinetic energy."""
+    import jax
+    from jax import lax
+
+    def bottom_half_share(Re_lid, Gr):
+        params, cfg = cv.mixed_convection_setup(Re_lid, Gr, n=32)
+        ts = cv.allocate_thermal(params, cfg)
+
+        @jax.jit
+        def chunk(ts):
+            def body(ts, _):
+                new, _aux = cv.thermal_step(ts, params, cfg,
+                                            pressure_method="mg")
+                return new, None
+
+            ts, _ = lax.scan(body, ts, None, length=30)
+            return ts
+
+        for _ in range(16):
+            ts = chunk(ts)
+        u = np.asarray(ts.u)[1:-1, 1:-1] ** 2
+        v = np.asarray(ts.v)[1:-1, 1:-1] ** 2
+        mid = u.shape[1] // 2
+        bottom = u[:, :mid].sum() + v[:, :mid].sum()
+        return bottom / (u.sum() + v.sum())
+
+    confined = bottom_half_share(Re_lid=10.0, Gr=1e4)      # Ri = 100
+    penetrating = bottom_half_share(Re_lid=316.0, Gr=1e4)  # Ri ~ 0.1
+    assert penetrating > 3.0 * confined, (confined, penetrating)
