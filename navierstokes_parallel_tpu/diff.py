@@ -222,8 +222,14 @@ def diff_thermal_step(ts, params: Params, cfg, pressure_method: str = "mg"):
     with the adjoint pressure solve and the AD-safe CFL terms).  Gradients
     flow through the energy transport, the buoyant coupling, and the
     converged pressure solve — e.g. d(Nusselt)/d(wall temperature).
-    Returns (new_state, dt)."""
-    from .models.convection import ThermalState
+
+    Covers the FULL ThermalConfig family: heating orientation and sidewall
+    type dispatch through the same `_apply_t_bcs`/`_apply_vel_bcs` the
+    primal thermal_step uses (both are static-string dispatchers, so they
+    are trace-safe), lid_u is traced (mixed convection is differentiable
+    w.r.t. the lid speed), and obstacle domains run the masked operators
+    with the masked adjoint (`_ift_bwd_masked`).  Returns (new_state, dt)."""
+    from .models.convection import ThermalState, _apply_t_bcs, _apply_vel_bcs
     from .ops import energy
 
     u, v, p, T, t, n = ts
@@ -241,35 +247,73 @@ def diff_thermal_step(ts, params: Params, cfg, pressure_method: str = "mg"):
                     dy / jnp.maximum(jnp.abs(v_max), tiny)))
     gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
 
-    u, v = boundary.apply_cavity_bcs(u, v, jnp.zeros((), u.dtype))
-    T = energy.apply_temperature_bcs(T, params, cfg.t_left, cfg.t_right)
+    u, v = _apply_vel_bcs(u, v, cfg)
+    if params.obstacles:
+        from .ops import obstacles as obs
+
+        u, v = obs.apply_obstacle_bcs(u, v, params)
+    T = _apply_t_bcs(T, params, cfg)
+    T = energy.apply_obstacle_temperature_bcs(T, params, cfg.t_obstacle)
     T_new = energy.advance_temperature(T, u, v, dt, gamma, params,
                                        cfg.alpha)
-    T_new = energy.apply_temperature_bcs(T_new, params, cfg.t_left,
-                                         cfg.t_right)
+    T_new = _apply_t_bcs(T_new, params, cfg)
+    T_new = energy.apply_obstacle_temperature_bcs(T_new, params,
+                                                  cfg.t_obstacle)
     F, G = momentum.compute_fg(u, v, dt, gamma, params)
     F, G = energy.buoyant_fg(F, G, T_new, dt, cfg.beta_gx, cfg.beta_gy)
+    if params.obstacles:
+        F, G = obs.pin_fg(F, G, u, v, params)
     rhs = momentum.compute_rhs(F, G, dt, params)
+    if params.obstacles:
+        rhs = obs.mask_rhs(rhs, params)
     p_new = pressure_solve_ift(p, rhs, params, pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, p_new, dt, params)
+    if params.obstacles:
+        u, v = obs.apply_obstacle_bcs(u, v, params)
     return ThermalState(u=u, v=v, p=p_new, T=T_new, t=t + dt, n=n + 1), dt
+
+
+# ThermalConfig fields that are numeric data a gradient can flow into.
+# The rest (heating/sidewalls dispatch strings, t_obstacle's None case)
+# are static structure and must NOT enter a traced pytree — a string leaf
+# crashes jax.checkpoint/lax.scan (round-3 regression).
+_THERMAL_TRACED_FIELDS = ("alpha", "beta_gx", "beta_gy", "t_left",
+                          "t_right", "lid_u")
+
+
+def _split_thermal_cfg(cfg):
+    """Numeric leaves of cfg to trace through the scan, as a dict.
+
+    lid_u stays static under free-slip sidewalls (it must be statically
+    zero there — `_apply_vel_bcs` asserts so at trace time); t_obstacle
+    is traced only when set (None is structure, not data)."""
+    traced = {f: getattr(cfg, f) for f in _THERMAL_TRACED_FIELDS}
+    if cfg.sidewalls == "freeslip":
+        del traced["lid_u"]
+    if cfg.t_obstacle is not None:
+        traced["t_obstacle"] = cfg.t_obstacle
+    return traced
 
 
 def solve_thermal_n_steps(params: Params, ts, n_steps: int, cfg, *,
                           pressure_method: str = "mg", remat: bool = True):
     """n differentiable Boussinesq steps (remat scan, O(1) gradient
-    memory) — the thermal analogue of solve_n_steps.  `cfg` fields may be
-    traced scalars (differentiate w.r.t. wall temperatures or the
-    buoyancy coefficient)."""
+    memory) — the thermal analogue of solve_n_steps.  Numeric `cfg` fields
+    may be traced scalars (differentiate w.r.t. wall temperatures, the
+    buoyancy coefficient, alpha, or the lid speed); the string dispatch
+    fields (heating/sidewalls) stay static in the closure so the scanned
+    pytree holds only JAX types."""
+    traced = _split_thermal_cfg(cfg)
+
     def one(s, c):
-        return diff_thermal_step(s, params, c,
+        return diff_thermal_step(s, params, cfg._replace(**c),
                                  pressure_method=pressure_method)
 
     if remat:
         one = jax.checkpoint(one)
 
     def body(carry, _):
-        new_state, dt = one(carry, cfg)
+        new_state, dt = one(carry, traced)
         return new_state, dt
 
     return lax.scan(body, ts, None, length=n_steps)

@@ -108,8 +108,12 @@ def _apply_vel_bcs(u, v, cfg: ThermalConfig):
     follows the cavity (sides before TOP — boundary.apply_cavity_bcs
     documents why it is load-bearing)."""
     if cfg.sidewalls == "freeslip":
-        if isinstance(cfg.lid_u, (int, float)) and cfg.lid_u:
-            raise ValueError("lid_u requires sidewalls='noslip'")
+        # lid_u must be STATICALLY zero here (an np scalar or tracer
+        # would be silently dropped by the free-slip walls below) —
+        # mirror energy.buoyant_fg's _static_zero convention.
+        if not (isinstance(cfg.lid_u, (int, float)) and cfg.lid_u == 0.0):
+            raise ValueError("lid_u requires sidewalls='noslip' "
+                             "(free-slip sidewalls have no moving lid)")
         u, v = boundary.set_freeslip(u, v, boundary.Side.LEFT)
         u, v = boundary.set_freeslip(u, v, boundary.Side.RIGHT)
         u, v = boundary.set_noslip(u, v, boundary.Side.BOTTOM)
@@ -506,7 +510,8 @@ def kinetic_energy(ts: ThermalState) -> jax.Array:
 
 
 def rb_growth_rate(Ra: float, *, Pr: float = 0.71, n: int = 32,
-                   aspect: Optional[float] = None, amp: float = 1e-3,
+                   aspect: Optional[float] = None,
+                   amp: Optional[float] = None,
                    t_transient: float = 10.0, t_measure: float = 20.0,
                    pressure_method: str = "mg", dtype: str = "float32",
                    chunk: int = 200) -> dict:
@@ -521,11 +526,17 @@ def rb_growth_rate(Ra: float, *, Pr: float = 0.71, n: int = 32,
     them, so defaults cover ~0.8 diffusive times at Ra~2000).  Returns
     {sigma, E0, E1, t0, t1, Ra}.
 
-    `amp` must keep the transient-decayed signal above the f32 storage +
-    pressure-tolerance noise floor: 1e-4 was measured to flatline a
-    near-critical slow mode at 64² on TPU (sigma +0.0002 instead of
-    +0.026) while 1e-3 recovers it; saturation amplitudes are O(0.1) so
-    1e-3 still leaves two decades of linear headroom."""
+    `amp` is resolution-dependent, squeezed from both sides (both limits
+    MEASURED, round 3/4): it must stay above the f32 storage +
+    pressure-tolerance noise floor — 1e-4 flatlines a near-critical slow
+    mode at 64² on TPU (sigma +0.0002 instead of +0.026) while 1e-3
+    recovers it — yet small enough that the E1 window is still linear:
+    at 32² over the default 35-unit horizon, 1e-3 saturates enough to
+    bias the extrapolated Ra_c 2% low (1673 vs 1707.76) where 1e-4 gives
+    0.002%.  The default (amp=None) picks 1e-4 for n<=32 and 1e-3
+    above; pass amp explicitly to override."""
+    if amp is None:
+        amp = 1e-4 if n <= 32 else 1e-3
     if aspect is None:
         aspect = RB_CRITICAL_ASPECT
     params, cfg = rayleigh_benard_setup(

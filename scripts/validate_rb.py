@@ -37,9 +37,23 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _write_onset_csv(out, rows):
+    with open(out, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Ra", "n", "method", "sigma", "E0_or_ref",
+                    "E1_or_rel", "t0", "t1", "wall_s"])
+        w.writerows(rows)
+    print(f"wrote {out}")
+
+
 def run_onset(args, cv):
+    if len(args.onset_ra) < 2:
+        print("--onset-ra needs at least two Rayleigh numbers to "
+              "extrapolate sigma=0", file=sys.stderr)
+        return False
     rows = []
     sig = []
+    out = args.out or "artifacts/rb_onset.csv"
     for ra in args.onset_ra:
         t0 = time.time()
         r = cv.rb_growth_rate(ra, n=args.n, t_transient=args.transient,
@@ -51,7 +65,15 @@ def run_onset(args, cv):
         sig.append(r)
         rows.append([ra, args.n, args.method, r["sigma"], r["E0"],
                      r["E1"], r["t0"], r["t1"], wall])
+        # Persist per-Ra results as they land: a long TPU run must not
+        # lose its measurements to a crash in the extrapolation below.
+        _write_onset_csv(out, rows)
     r1, r2 = sig[0], sig[-1]
+    if r2["sigma"] == r1["sigma"]:
+        print(f"  FAIL: equal growth rates at Ra={r1['Ra']:g} and "
+              f"Ra={r2['Ra']:g} — cannot extrapolate (per-Ra rows kept "
+              f"in {out})", file=sys.stderr)
+        return False
     ra_c = r1["Ra"] - r1["sigma"] * (r2["Ra"] - r1["Ra"]) / (
         r2["sigma"] - r1["sigma"])
     rel = abs(ra_c - cv.RB_CRITICAL_RA) / cv.RB_CRITICAL_RA
@@ -63,13 +85,7 @@ def run_onset(args, cv):
     if not ok:
         print(f"  FAIL: Ra_c rel err {rel:.4f} > tol {args.tol}",
               file=sys.stderr)
-    out = args.out or "artifacts/rb_onset.csv"
-    with open(out, "w", newline="") as fh:
-        w = csv.writer(fh)
-        w.writerow(["Ra", "n", "method", "sigma", "E0_or_ref",
-                    "E1_or_rel", "t0", "t1", "wall_s"])
-        w.writerows(rows)
-    print(f"wrote {out}")
+    _write_onset_csv(out, rows)
     return ok
 
 

@@ -15,10 +15,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from navierstokes_parallel_tpu.config import Params  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles thousands of distinct programs onto the
+    8-virtual-device CPU mesh; letting them accumulate in one process
+    was observed to segfault the XLA CPU client around the 50% mark
+    (round-3 verdict).  Clearing per module keeps peak native memory
+    bounded at the cost of a few duplicate compiles."""
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture
