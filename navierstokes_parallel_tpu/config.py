@@ -165,6 +165,19 @@ class Params:
     # ops/masked.py); obstacle runs use the masked rb_sor/mg solvers
     # (fft/cg/pallas_sor and the sharded backend reject them).
     obstacles: tuple = ()
+    # Optional analytic surfaces behind the rasterized obstacle cells, for
+    # SECOND-ORDER boundary conditions (ghost-fluid interpolated
+    # reflection, ops/obstacles.py::ib_weights): a static tuple of shape
+    # descriptors — ("circle", cx, cy, r), ("box", x0, x1, y0, y1), or
+    # ("plane", nx, ny, c) with the solid on the nx*x + ny*y < c side.
+    # The level set phi (positive in fluid) of the union locates the TRUE
+    # wall along each grid line, so BC-controlled velocity edges get
+    # linearly interpolated/extrapolated values that put the numerical
+    # wall on the analytic surface instead of the cell staircase —
+    # removing the O(dx) staircase geometry error that leaves the
+    # Schäfer-Turek force coefficients 2-5% low.  Empty () keeps the
+    # plain mirror/zero staircase semantics.
+    obstacle_surfaces: tuple = ()
 
     def __post_init__(self):
         if self.problem not in (1, 2, 3, 4):
@@ -206,6 +219,31 @@ class Params:
                     raise ValueError(
                         f"obstacle rect {r} outside the interior "
                         f"[1, {self.i_max}] x [1, {self.j_max}]")
+        if self.obstacle_surfaces:
+            if not self.obstacles:
+                raise ValueError(
+                    "obstacle_surfaces requires obstacles (the analytic "
+                    "surfaces refine the rasterized cells' BCs — they do "
+                    "not define geometry on their own)")
+            _ARITY = {"circle": 4, "box": 5, "plane": 4}
+            surfs = []
+            for s in self.obstacle_surfaces:
+                s = tuple(s)
+                if not s or s[0] not in _ARITY:
+                    raise ValueError(
+                        f"unknown obstacle surface {s!r} (expected "
+                        f"('circle', cx, cy, r), ('box', x0, x1, y0, y1) "
+                        f"or ('plane', nx, ny, c))")
+                if len(s) != _ARITY[s[0]]:
+                    raise ValueError(
+                        f"obstacle surface {s!r} has wrong arity")
+                vals = tuple(float(x) for x in s[1:])
+                if s[0] == "circle" and vals[2] <= 0:
+                    raise ValueError(f"circle radius must be > 0: {s!r}")
+                if s[0] == "plane" and vals[0] == 0 and vals[1] == 0:
+                    raise ValueError(f"plane normal must be nonzero: {s!r}")
+                surfs.append((s[0],) + vals)
+            object.__setattr__(self, "obstacle_surfaces", tuple(surfs))
         if not (1 <= self.mg_cycles_per_outer <= 8):
             raise ValueError(
                 f"mg_cycles_per_outer must be in 1..8, got "

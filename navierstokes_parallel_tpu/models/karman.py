@@ -104,10 +104,18 @@ def circle_rects(cx: float, cy: float, d: float, dx: float, dy: float,
 
 
 def schafer_turek(n_per_d: int = 10, Re_D: float = 100.0, T: float = 50.0,
-                  **overrides) -> Params:
+                  sharp: bool = True, **overrides) -> Params:
     """Schäfer-Turek 2D-2 in diameter units: 22 x 4.1 channel, unit
     cylinder at (2.0, 2.0).  `n_per_d` cells across the diameter must be
-    a multiple of 10 so 4.1 * n_per_d is a whole cell count."""
+    a multiple of 10 so 4.1 * n_per_d is a whole cell count.
+
+    `sharp=True` (default) registers the analytic circle as a
+    `Params.obstacle_surfaces` level set, so the velocity BCs are the
+    second-order ghost-fluid interpolation against the TRUE circle
+    (ops/obstacles.py::ib_weights) instead of the first-order staircase
+    mirror — the round-3 ladder showed the staircase leaves the
+    Richardson-extrapolated cd_max/cl_max 2-5% below the published
+    Schäfer-Turek bands.  `sharp=False` keeps the staircase for A/Bs."""
     if n_per_d % 10 != 0:
         raise ValueError(f"n_per_d must be a multiple of 10 (4.1 * n "
                          f"cells across the channel), got {n_per_d}")
@@ -116,9 +124,11 @@ def schafer_turek(n_per_d: int = 10, Re_D: float = 100.0, T: float = 50.0,
     ny = int(round(b * n_per_d))
     dx, dy = a / nx, b / ny
     rects = circle_rects(cx, cy, d, dx, dy, nx, ny)
+    surfaces = (("circle", cx, cy, 0.5 * d),) if sharp else ()
     defaults = dict(problem=3, i_max=nx, j_max=ny, a=a, b=b, T=T,
                     Re=1.5 * Re_D, tau=0.5, omega=1.7, epsilon=1e-4,
-                    max_it=20000, obstacles=rects)
+                    max_it=20000, obstacles=rects,
+                    obstacle_surfaces=surfaces)
     defaults.update(overrides)
     return Params(**defaults)
 

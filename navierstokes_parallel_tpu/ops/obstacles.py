@@ -153,8 +153,16 @@ def apply_obstacle_bcs(u: jax.Array, v: jax.Array, params: Params):
     """No-slip on every obstacle face: zero the BC-controlled edges, then
     write tangential reflections into solid-interior edges adjacent to a
     fluid face (u ghost below/above a horizontal face, v left/right of a
-    vertical face) — the flag-field analogue of boundary.set_noslip."""
+    vertical face) — the flag-field analogue of boundary.set_noslip.
+
+    With `params.obstacle_surfaces` the same edges instead take
+    SECOND-ORDER ghost-fluid values interpolated against the analytic
+    wall (`ib_weights`) — the mirror/zero constants generalize to
+    per-edge static weights, so the numerical wall sits on the true
+    surface rather than the cell staircase."""
     m = masks(params)
+    if params.obstacle_surfaces:
+        return _apply_obstacle_bcs_ib(u, v, params, m)
     u_n = jnp.roll(u, -1, axis=1)   # u[i, j+1]
     u_s = jnp.roll(u, 1, axis=1)
     v_e = jnp.roll(v, -1, axis=0)   # v[i+1, j]
@@ -164,6 +172,205 @@ def apply_obstacle_bcs(u: jax.Array, v: jax.Array, params: Params):
     u = jnp.where(m.u_solid, u_bc.astype(u.dtype), u)
     v = jnp.where(m.v_solid, v_bc.astype(v.dtype), v)
     return u, v
+
+
+def _apply_obstacle_bcs_ib(u, v, params: Params, m: ObstacleMasks):
+    """Ghost-fluid (second-order) obstacle BCs: every BC-controlled edge
+    value is a static weight times ONE fluid neighbor — tangential ghosts
+    read across the wall (like the mirror path), normal edges read the
+    next in-line fluid edge.  The weight categories are disjoint, so a
+    masked sum-of-products assembles the BC field in one fused pass."""
+    w = ib_weights(params)
+    dt = u.dtype
+    u_bc = (jnp.asarray(w.u_wn, dt) * jnp.roll(u, -1, axis=1)
+            + jnp.asarray(w.u_ws, dt) * jnp.roll(u, 1, axis=1)
+            + jnp.asarray(w.u_we, dt) * jnp.roll(u, -1, axis=0)
+            + jnp.asarray(w.u_ww, dt) * jnp.roll(u, 1, axis=0))
+    v_bc = (jnp.asarray(w.v_we, dt) * jnp.roll(v, -1, axis=0)
+            + jnp.asarray(w.v_ww, dt) * jnp.roll(v, 1, axis=0)
+            + jnp.asarray(w.v_wn, dt) * jnp.roll(v, -1, axis=1)
+            + jnp.asarray(w.v_ws, dt) * jnp.roll(v, 1, axis=1))
+    u = jnp.where(m.u_solid, u_bc, u)
+    v = jnp.where(m.v_solid, v_bc, v)
+    return u, v
+
+
+# ---------------------------------------------------------------------------
+# Second-order (ghost-fluid) boundary weights against analytic surfaces.
+#
+# The staircase mirror BC puts the numerical wall on cell faces /
+# midpoints — an O(dx) geometry error that leaves e.g. the Schäfer-Turek
+# drag 2-5% low even after Richardson extrapolation (round-3 ladder).
+# With `Params.obstacle_surfaces` describing the TRUE wall analytically,
+# each BC-controlled velocity edge takes the value a LINEAR velocity
+# profile vanishing on the true wall would have, interpolated through one
+# in-line fluid neighbor:
+#
+#     u(node) = u(nbr) * (xi_node - xi_wall) / (xi_nbr - xi_wall)
+#
+# with xi the coordinate along the node->neighbor grid line and xi_wall
+# the level-set crossing on it (located by bisection to ~1 ulp at mask
+# build time — everything is static numpy, folded into the jit program
+# as constants, exactly like the mirror masks).  This is the classic
+# ghost-cell immersed-boundary closure (Tseng & Ferziger 2003), exact for
+# linear profiles — i.e. second-order — where the mirror BC is exact only
+# when the wall happens to sit halfway.  The pressure operator keeps the
+# staircase Neumann masks (ops/masked.py): its O(dx) wall placement
+# enters the forces one order higher than the velocity BC's.
+#
+# Degenerate geometry (rasterization/erosion mismatches where the level
+# set disagrees with the cell flags) falls back to the mirror/zero value,
+# and all weights are capped at |w| <= 3 (wall closer than h/4 to the
+# fluid neighbor) to keep the explicit scheme stable.
+
+
+class IBWeights(NamedTuple):
+    """Static per-edge BC coefficients, padded-shaped float64, ZERO off
+    their mask (so a masked sum-of-products needs no extra selects).
+    u_wn/u_ws live on u_refl_n/u_refl_s (tangential ghosts, mirror = -1);
+    u_we/u_ww on the normal fluid-solid u-edges reading u[i+1,j]/u[i-1,j]
+    (mirror = 0); v_* symmetric."""
+
+    u_wn: np.ndarray
+    u_ws: np.ndarray
+    u_we: np.ndarray
+    u_ww: np.ndarray
+    v_we: np.ndarray
+    v_ww: np.ndarray
+    v_wn: np.ndarray
+    v_ws: np.ndarray
+
+
+def _surface_phi(surfaces):
+    """Level-set callable phi(x, y) for the union of solids: positive in
+    fluid, negative inside any solid, zero on the wall."""
+
+    def phi(x, y):
+        vals = []
+        for s in surfaces:
+            kind = s[0]
+            if kind == "circle":
+                _, cx, cy, r = s
+                vals.append(np.hypot(x - cx, y - cy) - r)
+            elif kind == "box":
+                _, x0, x1, y0, y1 = s
+                ddx = np.maximum(x0 - x, x - x1)
+                ddy = np.maximum(y0 - y, y - y1)
+                outside = np.hypot(np.maximum(ddx, 0.0),
+                                   np.maximum(ddy, 0.0))
+                inside = np.minimum(np.maximum(ddx, ddy), 0.0)
+                vals.append(outside + inside)
+            elif kind == "plane":
+                _, nx_, ny_, c = s
+                vals.append((nx_ * x + ny_ * y - c) / np.hypot(nx_, ny_))
+            else:  # pragma: no cover — Params validates kinds
+                raise ValueError(f"unknown surface kind {kind!r}")
+        return vals[0] if len(vals) == 1 else np.minimum.reduce(vals)
+
+    return phi
+
+
+def _bisect_crossing(phi, p0, p1, iters: int = 60) -> np.ndarray:
+    """Crossing fraction t in [0, 1] of phi's sign change on each segment
+    p0 -> p1 ((N, 2) endpoint arrays; phi(p0) and phi(p1) must straddle
+    zero, phi(p0) on the negative side)."""
+    a = np.zeros(len(p0))
+    b = np.ones(len(p0))
+    for _ in range(iters):
+        t = 0.5 * (a + b)
+        pm = p0 + (p1 - p0) * t[:, None]
+        neg = phi(pm[:, 0], pm[:, 1]) < 0.0
+        a = np.where(neg, t, a)
+        b = np.where(neg, b, t)
+    return 0.5 * (a + b)
+
+
+def _interp_weights(phi, nodes, sources, mirror_w: float) -> np.ndarray:
+    """Per-edge coefficient w with u(node) = w * u(source): linear profile
+    through the wall crossing on the node->source line (xi_node = 0,
+    xi_source = 1, searched over xi in [-1, 1]); `mirror_w` where the
+    level set and the cell flags disagree."""
+    w = np.full(len(nodes), float(mirror_w))
+    if len(nodes) == 0:
+        return w
+    fP = phi(nodes[:, 0], nodes[:, 1])
+    fQ = phi(sources[:, 0], sources[:, 1])
+    ok = fQ > 0.0  # the fluid neighbor must be genuinely in fluid
+    c1 = ok & (fP < 0.0)  # node inside solid: wall in [node, source]
+    if c1.any():
+        t = _bisect_crossing(phi, nodes[c1], sources[c1])
+        w[c1] = -t / np.maximum(1.0 - t, 1e-12)
+    ext = 2.0 * nodes - sources  # node - (source - node)
+    fE = phi(ext[:, 0], ext[:, 1])
+    # Node on the fluid side of the true wall (staircase juts past the
+    # surface): wall in [ext, node], xi_wall in [-1, 0], weight in [0, 1).
+    c2 = ok & (fP >= 0.0) & (fE < 0.0)
+    if c2.any():
+        t = _bisect_crossing(phi, ext[c2], nodes[c2])
+        xi = t - 1.0
+        w[c2] = -xi / (1.0 - xi)
+    # Snap weights within bisection roundoff of the mirror constants so a
+    # level set that coincides with the staircase (e.g. an aligned box)
+    # reduces BIT-identically to the mirror path.  1e-9 is ~1e9 x the
+    # 60-iteration bisection error and far below any physical weight
+    # difference (weights vary O(1) across one cell).
+    w[np.abs(w + 1.0) < 1e-9] = -1.0
+    w[np.abs(w) < 1e-9] = 0.0
+    return np.clip(w, -3.0, 3.0)
+
+
+@functools.lru_cache(maxsize=32)
+def ib_weights(params: Params) -> IBWeights:
+    """Build the static second-order BC weight arrays (see IBWeights)."""
+    m = masks(params)
+    fl = m.fluid
+    dx, dy = params.dx, params.dy
+    phi = _surface_phi(params.obstacle_surfaces)
+    shape = fl.shape
+
+    def u_xy(idx):
+        return np.stack([idx[:, 0] * dx, (idx[:, 1] - 0.5) * dy], axis=1)
+
+    def v_xy(idx):
+        return np.stack([(idx[:, 0] - 0.5) * dx, idx[:, 1] * dy], axis=1)
+
+    def weights_on(mask, xy_fn, axis, step, mirror):
+        out = np.zeros(shape)
+        idx = np.argwhere(mask)
+        if len(idx):
+            src = idx.copy()
+            src[:, axis] += step
+            out[mask] = _interp_weights(phi, xy_fn(idx), xy_fn(src), mirror)
+        return out
+
+    # Normal-edge masks: one adjacent cell fluid, and the next in-line
+    # edge on the fluid side is itself a fluid edge (else the zero
+    # fallback stands — e.g. 1-cell fluid gaps).
+    u_norm_e = np.zeros(shape, bool)  # cell (i,j) solid, (i+1,j)+(i+2,j) fluid
+    u_norm_e[1:-2, 1:-1] = (~fl[1:-2, 1:-1] & fl[2:-1, 1:-1] & fl[3:, 1:-1])
+    u_norm_w = np.zeros(shape, bool)  # cell (i+1,j) solid, (i,j)+(i-1,j) fluid
+    u_norm_w[1:-2, 1:-1] = (fl[1:-2, 1:-1] & ~fl[2:-1, 1:-1]
+                            & fl[:-3, 1:-1])
+    v_norm_n = np.zeros(shape, bool)
+    v_norm_n[1:-1, 1:-2] = (~fl[1:-1, 1:-2] & fl[1:-1, 2:-1] & fl[1:-1, 3:])
+    v_norm_s = np.zeros(shape, bool)
+    v_norm_s[1:-1, 1:-2] = (fl[1:-1, 1:-2] & ~fl[1:-1, 2:-1]
+                            & fl[1:-1, :-3])
+    # The tangential reflections own their edges; a normal read must not
+    # double-write them (disjoint by construction for u_refl vs u_norm —
+    # both-solid vs one-fluid — but assert the invariant cheaply).
+    assert not (m.u_refl_n & u_norm_e).any() and not (m.u_refl_s & u_norm_w).any()
+
+    return IBWeights(
+        u_wn=weights_on(m.u_refl_n, u_xy, 1, +1, -1.0),
+        u_ws=weights_on(m.u_refl_s, u_xy, 1, -1, -1.0),
+        u_we=weights_on(u_norm_e, u_xy, 0, +1, 0.0),
+        u_ww=weights_on(u_norm_w, u_xy, 0, -1, 0.0),
+        v_we=weights_on(m.v_refl_e, v_xy, 0, +1, -1.0),
+        v_ww=weights_on(m.v_refl_w, v_xy, 0, -1, -1.0),
+        v_wn=weights_on(v_norm_n, v_xy, 1, +1, 0.0),
+        v_ws=weights_on(v_norm_s, v_xy, 1, -1, 0.0),
+    )
 
 
 def pin_fg(F: jax.Array, G: jax.Array, u: jax.Array, v: jax.Array,
@@ -179,6 +386,45 @@ def mask_rhs(rhs: jax.Array, params: Params) -> jax.Array:
     """Zero the Poisson RHS on solid cells (they carry no equation)."""
     m = masks(params)
     return jnp.where(m.fluid, rhs, jnp.zeros_like(rhs))
+
+
+# ---------------------------------------------------------------------------
+# Global-index mask forms: the same geometry as `masks`, expressed as jnp
+# predicates of (gi, gj) global 1-based cell indices.  This is what lets the
+# shard_map backend (parallel/sharded.py) impose obstacle semantics on local
+# blocks WITHOUT scattering any global mask arrays — each shard rebuilds
+# exactly its slice from its index iotas, the same trick the deep-halo
+# kernels use for the domain-boundary masks (parallel/deep_halo.py).  The
+# rect list is static, so XLA folds each rect's four compares into the
+# program; rect counts are small for the sharded workloads (1 for the
+# backward-facing step; O(rows) only for rasterized disks).
+# ---------------------------------------------------------------------------
+
+
+def solid_from_indices(gi, gj, rects):
+    """Bool array: cell (gi, gj) lies in one of the obstacle rects
+    ((i0, i1, j0, j1), 1-based inclusive).  Works on any index arrays —
+    interior blocks, padded blocks, deep-halo extended blocks."""
+    solid = jnp.zeros(gi.shape, bool)
+    for (i0, i1, j0, j1) in rects:
+        solid |= (gi >= i0) & (gi <= i1) & (gj >= j0) & (gj <= j1)
+    return solid
+
+
+def fluid_from_indices(gi, gj, params: Params):
+    """Bool array: cell (gi, gj) is a fluid interior cell (inside the true
+    interior AND outside every obstacle rect) — the index form of
+    `fluid_mask`."""
+    interior = (gi >= 1) & (gi <= params.i_max) & (gj >= 1) & \
+        (gj <= params.j_max)
+    return interior & ~solid_from_indices(gi, gj, params.obstacles)
+
+
+def n_fluid_cells(params: Params) -> int:
+    """Static fluid-cell count (the masked solvers' norm denominator)."""
+    if not params.obstacles:
+        return params.i_max * params.j_max
+    return int(fluid_mask(params)[1:-1, 1:-1].sum())
 
 
 def inflow_profile(params: Params) -> np.ndarray:

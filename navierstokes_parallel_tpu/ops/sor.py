@@ -449,7 +449,8 @@ def _refined_setup(p, params, parity, valid_mask, l2_fn):
 
 def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
                             l2_fn=None, parity=0, inner="jnp", inner_fn=None,
-                            valid_mask=None, mean_fn=jnp.mean):
+                            valid_mask=None, mean_fn=jnp.mean,
+                            residual_fn=None):
     """Mixed-precision iterative refinement around f32 SOR sweeps.
 
     Outer loop (f64, once per K sweeps): defect r = A p - RHS, L2 norm,
@@ -464,6 +465,10 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
     contract, no f64 ops (TPU-emulated), no x64 requirement.
     """
     if params.outer_precision == "compensated":
+        if residual_fn is not None:
+            raise ValueError(
+                "residual_fn (masked sharded defect) is wired for the "
+                "float64 outer only — obstacle runs require x64")
         return _solve_pressure_refined_compensated(
             p, rhs, params, method=method, ghost_fn=ghost_fn, l2_fn=l2_fn,
             parity=parity, inner=inner, inner_fn=inner_fn,
@@ -514,18 +519,27 @@ def _solve_pressure_refined(p, rhs, params, *, method, ghost_fn=ghost_fill,
         _, _, it, res_norm = carry
         return jnp.logical_and(it < params.max_it, res_norm > threshold)
 
+    if residual_fn is None:
+        def _defect(q64):
+            return residual(ghost_fn(q64), rhs_int64, dx2_inv64, dy2_inv64)
+    else:
+        # Hook point for non-ghost-strip operators: the sharded masked
+        # (obstacle) defect rebuilds per-cell neighbor weights from global
+        # indices (parallel/sharded.py) — residual_fn(p64_padded,
+        # rhs_int64) -> interior residual, zero on solid cells.
+        def _defect(q64):
+            return residual_fn(q64, rhs_int64)
+
     def body(carry):
         p64, r64, it, _ = carry
         n_inner = jnp.minimum(K, params.max_it - it)
         delta = inner_sweeps(-r64.astype(f32), n_inner)
         p64 = p64.at[1:-1, 1:-1].add(delta[1:-1, 1:-1].astype(f64))
-        r64 = _deflated(
-            masked(residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64)))
+        r64 = _deflated(masked(_defect(p64)))
         res_norm = l2_fn(r64)
         return p64, r64, it + n_inner, res_norm
 
-    r64_0 = _deflated(
-        masked(residual(ghost_fn(p64), rhs_int64, dx2_inv64, dy2_inv64)))
+    r64_0 = _deflated(masked(_defect(p64)))
     init = (p64, r64_0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, f64))
     p64, _, it, res_norm = lax.while_loop(cond, body, init)
     p_out = ghost_fn(p64).astype(p.dtype)

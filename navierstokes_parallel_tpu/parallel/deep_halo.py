@@ -101,6 +101,50 @@ def _ext_masks(ext_shape, H, ox, oy, i_max, j_max, dx2_inv, dy2_inv):
     return interior, red, black, self_coef
 
 
+def _ext_masked_weights(ext_shape, H, ox, oy, params, dx2_inv, dy2_inv):
+    """Obstacle-domain analogue of `_ext_masks`: per-cell neighbor weights
+    and diagonal of the masked operator (ops/masked.py::_build_weights) on
+    the extended block, rebuilt from global indices — the static rect list
+    folds into the program, so no mask arrays cross shard boundaries."""
+    from ..ops.obstacles import fluid_from_indices
+
+    gi = lax.broadcasted_iota(jnp.int32, ext_shape, 0) + (ox - H + 1)
+    gj = lax.broadcasted_iota(jnp.int32, ext_shape, 1) + (oy - H + 1)
+    fl = fluid_from_indices(gi, gj, params)
+    fl_e = fluid_from_indices(gi + 1, gj, params)
+    fl_w = fluid_from_indices(gi - 1, gj, params)
+    fl_n = fluid_from_indices(gi, gj + 1, params)
+    fl_s = fluid_from_indices(gi, gj - 1, params)
+    f32 = jnp.float32
+    w_e = jnp.where(fl & fl_e, dx2_inv, jnp.zeros((), f32))
+    w_w = jnp.where(fl & fl_w, dx2_inv, jnp.zeros((), f32))
+    w_n = jnp.where(fl & fl_n, dy2_inv, jnp.zeros((), f32))
+    w_s = jnp.where(fl & fl_s, dy2_inv, jnp.zeros((), f32))
+    diag = w_e + w_w + w_n + w_s
+    diag = jnp.where(diag > 0.0, diag, jnp.ones((), f32))
+    par = (gi + gj) & 1
+    return fl, (w_e, w_w, w_n, w_s, diag), fl & (par == 0), fl & (par == 1)
+
+
+def _ext_sweeps_masked(delta_ext, rhs_ext, ns, weights, red, black, omega):
+    """ns masked red-black sweeps on the extended block — the per-cell
+    arithmetic of ops/masked.py::masked_rb_iteration (diag form), so a
+    sharded masked solve matches the single-chip masked solver cell for
+    cell.  Same stale-ring containment argument as `_ext_sweeps_jnp`."""
+    w_e, w_w, w_n, w_s, diag = weights
+
+    def half(d, mask):
+        nb = (jnp.roll(d, -1, 0) * w_e + jnp.roll(d, 1, 0) * w_w
+              + jnp.roll(d, -1, 1) * w_n + jnp.roll(d, 1, 1) * w_s)
+        return jnp.where(mask, (1.0 - omega) * d
+                         + (omega / diag) * (nb - rhs_ext), d)
+
+    def sweep(_, d):
+        return half(half(d, red), black)
+
+    return lax.fori_loop(0, ns, sweep, delta_ext)
+
+
 def _ext_sweeps_jnp(delta_ext, rhs_ext, ns, red, black, self_coef, omega,
                     dx2_inv, dy2_inv):
     """ns red-black sweeps on the extended block — NO collectives, no ghost
@@ -222,10 +266,13 @@ def make_deep_inner(params: Params, li: int, lj: int, *,
     i_max, j_max = params.i_max, params.j_max
     ext_shape = (li + 2 * H, lj + 2 * H)
     interpret = jax.default_backend() != "tpu"
-    if use_pallas and not ext_block_fits_vmem(ext_shape):
+    if use_pallas and (not ext_block_fits_vmem(ext_shape)
+                       or params.obstacles):
         # A 2048^2+ local block cannot hold delta+rhs+temps in VMEM; the
         # jnp extended-block sweeps (same math, XLA rolls at full HBM
-        # bandwidth) are the correct large-block route.
+        # bandwidth) are the correct large-block route.  Obstacle domains
+        # run the masked jnp sweeps (the VMEM kernel carries no fluid
+        # weights).
         use_pallas = False
 
     def inner_fn(rhs_full, n_sweeps):
@@ -233,6 +280,16 @@ def make_deep_inner(params: Params, li: int, lj: int, *,
         oy = lax.axis_index("y") * lj
         interior, red, black, self_coef = _ext_masks(
             ext_shape, H, ox, oy, i_max, j_max, dx2_inv, dy2_inv)
+        if params.obstacles:
+            # Masked (flag-field) operator: rebuild per-cell neighbor
+            # weights on the extended block and run the diag-form sweeps
+            # of ops/masked.py — the sharded twin of the single-chip
+            # masked solver.  The interior mask below still governs the
+            # clean_extend zeroing (solid cells carry zero rhs/delta by
+            # construction: mask_rhs zeroed them and the sweeps never
+            # update non-fluid cells).
+            _, weights, red, black = _ext_masked_weights(
+                ext_shape, H, ox, oy, params, dx2_inv, dy2_inv)
 
         def clean_extend(local_int):
             ext = extend_block(local_int.astype(f32), H)
@@ -247,7 +304,11 @@ def make_deep_inner(params: Params, li: int, lj: int, *,
         n_sweeps = jnp.asarray(n_sweeps, jnp.int32)
         n_chunks = -(-n_sweeps // K)
 
-        if use_pallas:
+        if params.obstacles:
+            def ext_sweeps(delta_ext, ns):
+                return _ext_sweeps_masked(delta_ext, rhs_ext, ns, weights,
+                                          red, black, omega)
+        elif use_pallas:
             origin = jnp.stack([ox, oy]).astype(jnp.int32)
 
             def ext_sweeps(delta_ext, ns):

@@ -157,8 +157,19 @@ def _apply_channel_bcs_sharded(u, v, params: Params):
 
     # LEFT inflow: u(0, y_j) = 4 y (b - y) / b^2 at y_j = (gj - 1/2) dy
     # (boundary.py::poiseuille_profile, u_max = 1); v ghost reflected to 0.
-    y = (gj.astype(u.dtype) - 0.5) * jnp.asarray(params.dy, u.dtype)
-    profile = 4.0 * y * (params.b - y) / (params.b * params.b)
+    # Obstacle domains take the obstacle-aware per-span profile table
+    # instead (ops/obstacles.py::inflow_profile — the backward-facing
+    # step's upper-half inflow), gathered by global row index.
+    if params.obstacles:
+        from ..ops import obstacles as obs
+
+        prof_tab = np.zeros(J + 2)
+        prof_tab[1:-1] = obs.inflow_profile(params)
+        profile = jnp.take(jnp.asarray(prof_tab, u.dtype),
+                           jnp.clip(gj, 0, J + 1))
+    else:
+        y = (gj.astype(u.dtype) - 0.5) * jnp.asarray(params.dy, u.dtype)
+        profile = 4.0 * y * (params.b - y) / (params.b * params.b)
     u = jnp.where((gi == 0) & in_j, profile, u)
     v = jnp.where((gi == 0) & in_j, -jnp.roll(v, -1, 0), v)
     # RIGHT outflow (set_outflow): the u edge copies its upstream interior
@@ -176,18 +187,99 @@ def _apply_channel_bcs_sharded(u, v, params: Params):
     own_j = (pos_j >= 1) & (pos_j <= u.shape[1] - 2)
     own_i = (pos_i >= 1) & (pos_i <= u.shape[0] - 2)
     zero = jnp.zeros((), u.dtype)
+    if params.obstacles:
+        # Flux balance restricted to the FLUID rows of the outflow column
+        # (boundary.py::apply_channel_bcs obstacle arm): solid faces there
+        # stay no-slip and must receive no correction.
+        from ..ops import obstacles as obs
+        from ..ops.obstacles import fluid_from_indices
+
+        out_fluid = fluid_from_indices(gi, gj, params)
+        n_out = max(1, int(obs.masks(params).fluid[-2, 1:-1].sum()))
+    else:
+        out_fluid = jnp.ones(u.shape, bool)
+        n_out = J
     q_in = lax.psum(
         jnp.sum(jnp.where((gi == 0) & in_j & own_j, u, zero)), MESH_AXES)
     q_out = lax.psum(
-        jnp.sum(jnp.where((gi == I) & in_j & own_i & own_j, u, zero)),
+        jnp.sum(jnp.where((gi == I) & in_j & own_i & own_j & out_fluid,
+                          u, zero)),
         MESH_AXES)
-    u = jnp.where((gi == I) & in_j, u + (q_in - q_out) / J, u)
+    u = jnp.where((gi == I) & in_j & out_fluid,
+                  u + (q_in - q_out) / n_out, u)
     # BOTTOM/TOP no-slip walls (the cavity's BOTTOM / TOP with lid_u = 0).
     v = jnp.where(in_i & (gj == 0), jnp.zeros_like(v), v)
     u = jnp.where(in_i & (gj == 0), -jnp.roll(u, -1, 1), u)
     v = jnp.where(in_i & (gj == J), jnp.zeros_like(v), v)
     u = jnp.where(in_i & (gj == J + 1), -jnp.roll(u, 1, 1), u)
     return u, v
+
+
+def _obstacle_edge_masks(params: Params, shape):
+    """Padded-block obstacle edge masks from global indices — the index
+    form of ops/obstacles.py::masks (same BC-controlled / tangential-
+    reflection categories), rebuilt per shard so no mask arrays need
+    scattering.  Returns (u_solid, u_refl_n, u_refl_s, v_solid, v_refl_e,
+    v_refl_w) bool arrays over the padded local block."""
+    from ..ops.obstacles import fluid_from_indices
+
+    gi, gj = halo.padded_global_indices(shape)
+
+    def fl(di, dj):
+        return fluid_from_indices(gi + di, gj + dj, params)
+
+    I, J = params.i_max, params.j_max
+    # u edge (gi, gj) between cells (gi, gj) and (gi+1, gj); obstacle
+    # masks cover gi in 1..I-1, gj in 1..J (domain walls keep outer BCs).
+    u_edge = (gi >= 1) & (gi <= I - 1) & (gj >= 1) & (gj <= J)
+    u_solid = u_edge & ~(fl(0, 0) & fl(1, 0))
+    both_u = u_edge & ~fl(0, 0) & ~fl(1, 0)
+    u_refl_n = both_u & fl(0, 1) & fl(1, 1)
+    u_refl_s = both_u & fl(0, -1) & fl(1, -1) & ~u_refl_n
+    # v edge (gi, gj) between cells (gi, gj) and (gi, gj+1).
+    v_edge = (gi >= 1) & (gi <= I) & (gj >= 1) & (gj <= J - 1)
+    v_solid = v_edge & ~(fl(0, 0) & fl(0, 1))
+    both_v = v_edge & ~fl(0, 0) & ~fl(0, 1)
+    v_refl_e = both_v & fl(1, 0) & fl(1, 1)
+    v_refl_w = both_v & fl(-1, 0) & fl(-1, 1) & ~v_refl_e
+    return u_solid, u_refl_n, u_refl_s, v_solid, v_refl_e, v_refl_w
+
+
+def _exchange_seams_only(arr):
+    """Re-pull halo rings from their owners where an owner EXISTS, keeping
+    physical-boundary ring rows untouched — a plain exchange would zero
+    them (mesh-edge ppermutes have no source), wiping the domain BC ghost
+    values written just before."""
+    gi, gj = halo.padded_global_indices(arr.shape)
+    li, lj = arr.shape[0] - 2, arr.shape[1] - 2
+    hi_i = lax.axis_size("x") * li
+    hi_j = lax.axis_size("y") * lj
+    has_owner = (gi >= 1) & (gi <= hi_i) & (gj >= 1) & (gj <= hi_j)
+    return jnp.where(has_owner, halo.exchange_halo(arr), arr)
+
+
+def _apply_obstacle_bcs_sharded(u, v, params: Params):
+    """Flag-field obstacle BCs on local padded blocks: the exact mirror
+    semantics of ops/obstacles.py::apply_obstacle_bcs, keyed on global
+    indices.  A reflection whose edge sits on the LAST interior row/column
+    of its shard reads its fluid neighbor out of the halo ring, so the
+    rings are re-pulled from their owners FIRST (seam-only: physical
+    ghost rows keep the domain-BC values written just before) — without
+    this, the post-projection call reads the ring copies the projection
+    left stale and writes zeros onto seam-adjacent ghost edges.  A second
+    seam-only exchange afterwards propagates the new ghost-edge writes
+    back into every neighbor's ring copy."""
+    u = _exchange_seams_only(u)
+    v = _exchange_seams_only(v)
+    u_solid, u_refl_n, u_refl_s, v_solid, v_refl_e, v_refl_w = \
+        _obstacle_edge_masks(params, u.shape)
+    u_bc = jnp.where(u_refl_n, -jnp.roll(u, -1, 1),
+                     jnp.where(u_refl_s, -jnp.roll(u, 1, 1), 0.0))
+    v_bc = jnp.where(v_refl_e, -jnp.roll(v, -1, 0),
+                     jnp.where(v_refl_w, -jnp.roll(v, 1, 0), 0.0))
+    u = jnp.where(u_solid, u_bc.astype(u.dtype), u)
+    v = jnp.where(v_solid, v_bc.astype(v.dtype), v)
+    return _exchange_seams_only(u), _exchange_seams_only(v)
 
 
 def _local_fg(u, v, dt, gamma, params: Params, gi, gj):
@@ -255,8 +347,18 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
         else:
             lid_u = jnp.sin(params.f * t)
         u, v = _apply_bcs_sharded(u, v, lid_u, params)
+    if params.obstacles:
+        u, v = _apply_obstacle_bcs_sharded(u, v, params)
 
     F, G = _local_fg(u, v, dt, gamma, params, gi, gj)
+    if params.obstacles:
+        # F = u / G = v on BC-controlled obstacle edges BEFORE the
+        # divergence (ops/obstacles.py::pin_fg), applied over the whole
+        # padded block — halo positions carry their owner's global index,
+        # so the pin is halo-consistent by construction.
+        u_solid, _, _, v_solid, _, _ = _obstacle_edge_masks(params, u.shape)
+        F = jnp.where(u_solid, u, F)
+        G = jnp.where(v_solid, v, G)
     rhs_int = mask_pad(
         (
             (F[1:-1, 1:-1] - F[:-2, 1:-1]) / dx
@@ -264,6 +366,11 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
         )
         / dt
     )
+    if params.obstacles:
+        from ..ops.obstacles import fluid_from_indices
+
+        fluid_int = fluid_from_indices(gi, gj, params)
+        rhs_int = jnp.where(fluid_int, rhs_int, jnp.zeros_like(rhs_int))
     rhs = jnp.zeros_like(p).at[1:-1, 1:-1].set(rhs_int)
 
     # Pressure solve with sharded hooks: ppermute+masked-Neumann ghost_fn,
@@ -272,6 +379,12 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
     ox = lax.axis_index("x") * li
     oy = lax.axis_index("y") * lj
     n_cells = params.i_max * params.j_max
+    if params.obstacles:
+        from ..ops.obstacles import n_fluid_cells
+
+        # Masked-solver norm semantics (ops/masked.py): L2 over FLUID
+        # cells only, threshold geometry-independent.
+        n_cells = n_fluid_cells(params)
     # Divisible grids: the physical ghost ring coincides with the edge
     # shards' halo rings, so the strip-only exchange+Neumann closure is
     # exact and O(n) — the masked variant's full-array rolls/wheres cost
@@ -293,7 +406,54 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
         # over the true cell count is exact.
         return lax.psum(jnp.sum(arr), MESH_AXES) / n_cells
 
-    if pressure_method == "mg":
+    if params.obstacles:
+        # Flag-field obstacle domains: the deep-halo inner runs the MASKED
+        # per-cell-weight sweeps (parallel/deep_halo.py::_ext_sweeps_masked
+        # — the sharded twin of ops/masked.py), and the f64 outer checks
+        # the defect of the MASKED operator via the residual_fn hook.
+        # _check_method restricts to rb_sor here (sharded masked mg is
+        # gspmd's job; fft/cg operators are unmasked).
+        from . import deep_halo
+        from ..ops.obstacles import fluid_from_indices
+
+        fluid_loc = fluid_from_indices(gi, gj, params)
+        valid_solve = fluid_loc if valid is None else (valid & fluid_loc)
+        dx2i = 1.0 / (dx * dx)
+        dy2i = 1.0 / (dy * dy)
+
+        def masked_residual_fn(p64, rhs_int64):
+            # ops/masked.py::masked_residual on a local padded block:
+            # exchange halos so neighbor reads cross shard seams, rebuild
+            # the per-cell weights from global indices, evaluate in f64.
+            q = halo.exchange_halo(p64)
+            f64 = q.dtype
+
+            def fl(di, dj):
+                return fluid_from_indices(gi + di, gj + dj, params)
+
+            w_e = jnp.where(fluid_loc & fl(1, 0), dx2i, 0.0).astype(f64)
+            w_w = jnp.where(fluid_loc & fl(-1, 0), dx2i, 0.0).astype(f64)
+            w_n = jnp.where(fluid_loc & fl(0, 1), dy2i, 0.0).astype(f64)
+            w_s = jnp.where(fluid_loc & fl(0, -1), dy2i, 0.0).astype(f64)
+            diag = w_e + w_w + w_n + w_s
+            r = (q[2:, 1:-1] * w_e + q[:-2, 1:-1] * w_w
+                 + q[1:-1, 2:] * w_n + q[1:-1, :-2] * w_s
+                 - diag * q[1:-1, 1:-1] - rhs_int64)
+            return jnp.where(fluid_loc, r, jnp.zeros_like(r))
+
+        result = sor._solve_pressure_refined(
+            p, rhs,
+            params.replace(sor_refine_every=max(1, params.sor_refine_every)),
+            method="rb_sor",
+            ghost_fn=ghost_fn,
+            l2_fn=l2_fn,
+            mean_fn=mean_fn,
+            parity=(ox + oy) % 2,
+            inner_fn=deep_halo.make_deep_inner(params, li, lj),
+            valid_mask=valid_solve,
+            residual_fn=masked_residual_fn,
+        )
+    elif pressure_method == "mg":
         # Sharded multigrid: V-cycles on local blocks (local restriction/
         # prolongation, ppermute-halo smoothing) inside the same f64
         # refinement outer with psum'd defect norms.  Divisible grids only
@@ -402,6 +562,10 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
         jnp.where((gj <= params.j_max - 1) & (gi <= params.i_max),
                   v_new, v[1:-1, 1:-1])
     )
+    if params.obstacles:
+        # The projection sweeps obstacle faces too — restore no-slip so
+        # the state stays consistent (solver.step does the same).
+        u, v = _apply_obstacle_bcs_sharded(u, v, params)
     return u, v, p, dt, result
 
 
@@ -502,10 +666,24 @@ def _gather_blocks(blocks, px: int, py: int, li: int, lj: int, shape):
 
 def _check_method(params: Params, mesh: Mesh, pressure_method: str):
     if params.obstacles:
-        raise ValueError(
-            "obstacle domains are not supported by the shard_map backend "
-            "(its halo/BC machinery is unmasked) — use --backend gspmd or "
-            "single-chip")
+        if pressure_method not in ("rb_sor", "pallas_sor"):
+            raise ValueError(
+                f"sharded obstacle domains run the masked deep-halo rb_sor "
+                f"inner only (got {pressure_method!r}) — masked mg/fft are "
+                f"available via --backend gspmd or single-chip")
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "sharded obstacle domains need jax x64 for the masked f64 "
+                "defect (CLI/bench enable it)")
+        if params.jnp_dtype != jnp.float32 or params.sor_refine_every < 1:
+            raise ValueError(
+                "sharded obstacle domains require the f32 state with the "
+                "mixed-precision refinement (sor_refine_every >= 1)")
+        if params.obstacle_surfaces:
+            raise ValueError(
+                "obstacle_surfaces (second-order ghost-fluid BCs) are not "
+                "wired for the shard_map backend yet — use --backend gspmd "
+                "or single-chip")
     px, py = mesh.devices.shape
     li, lj = local_block_dims((px, py), params.i_max, params.j_max)
     padded = (px * li != params.i_max) or (py * lj != params.j_max)

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=128,
                     help="steps per on-device scan dispatch")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--staircase", action="store_true",
+                    help="first-order mirror BCs (sharp=False) for A/B "
+                         "against the default second-order ghost-fluid "
+                         "cylinder")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +55,8 @@ def main():
     rows = []
     finest = None
     for n in ns:
-        params = K.schafer_turek(n_per_d=n, T=args.T)
+        params = K.schafer_turek(n_per_d=n, T=args.T,
+                                 sharp=not args.staircase)
         rec = K.force_record_fn(params, 5, *K.probe_node(params))
         t0 = time.perf_counter()
         trace = K.shedding_signal(params, method=args.method,
@@ -78,22 +83,66 @@ def main():
             f.write(f"{r[0]},{r[1]},{r[2]},{r[3]:.4f},{r[4]:.4f},"
                     f"{r[5]:.4f},{r[6]:.4f},{r[7]:.4f},{r[8]:.1f}\n")
         if len(rows) >= 2:
-            # 1st-order Richardson (staircase boundary => O(dx)) on the
-            # finest pair: q_inf = (n2 q2 - n1 q1) / (n2 - n1).
-            r1, r2 = rows[-2], rows[-1]
-            n1, n2 = r1[0], r2[0]
-            ex = [(n2 * r2[k] - n1 * r1[k]) / (n2 - n1)
-                  for k in (3, 5, 6, 7)]
+            # Richardson extrapolation with an OBSERVED-order estimate
+            # when >= 3 rungs are available (fit q = q_inf + C h^p on the
+            # finest three; round-3 verdict: assuming p=1 extrapolated
+            # the staircase cd PAST the published band).  Falls back to
+            # the nominal boundary order (2 sharp / 1 staircase) on two
+            # rungs or a non-monotone triple.
+            p_nom = 1.0 if args.staircase else 2.0
+            ex, orders = [], []
+            for k in (3, 5, 6, 7):
+                q = [r[k] for r in rows[-3:]]
+                h = [1.0 / r[0] for r in rows[-3:]]
+                p, q_inf = _richardson(q, h, p_nom)
+                orders.append(p)
+                ex.append(q_inf)
             f.write(f"extrapolated,-,-,{ex[0]:.4f},-,{ex[1]:.4f},"
                     f"{ex[2]:.4f},{ex[3]:.4f},-\n")
-            print(f"Richardson-extrapolated: St={ex[0]:.4f} "
-                  f"(band 0.2950-0.3050), cd_max={ex[1]:.4f} "
-                  f"(3.22-3.24), cl_max={ex[2]:.4f} (0.99-1.01), "
-                  f"dp={ex[3]:.4f} (2.46-2.50)")
+            f.write(f"observed_order,-,-,{orders[0]:.2f},-,"
+                    f"{orders[1]:.2f},{orders[2]:.2f},{orders[3]:.2f},-\n")
+            print(f"Richardson-extrapolated (orders "
+                  f"{', '.join(f'{o:.2f}' for o in orders)}): "
+                  f"St={ex[0]:.4f} (band 0.2950-0.3050), "
+                  f"cd_max={ex[1]:.4f} (3.22-3.24), cl_max={ex[2]:.4f} "
+                  f"(0.99-1.01), dp={ex[3]:.4f} (2.46-2.50)")
     print(f"wrote {csv}")
 
     params, trace = finest
     _plot_street(params, trace, os.path.join(args.out, "karman_street.png"))
+
+
+def _richardson(q, h, p_nominal):
+    """(observed order p, extrapolated q_inf) from the finest-available
+    rungs, coarse->fine ordering.  With three rungs, solve
+    (q1-q2)/(q2-q3) = (h1^p - h2^p)/(h2^p - h3^p) for p by bisection; a
+    non-monotone triple (ratio <= 0, error not decreasing cleanly) falls
+    back to p_nominal on the finest pair."""
+    if len(q) >= 3:
+        q1, q2, q3 = q[-3:]
+        h1, h2, h3 = h[-3:]
+        num, den = q1 - q2, q2 - q3
+        if den != 0 and num / den > 0:
+            def g(p):
+                return ((h1 ** p - h2 ** p) / (h2 ** p - h3 ** p)
+                        - num / den)
+
+            lo, hi = 0.1, 5.0
+            if g(lo) * g(hi) < 0:
+                for _ in range(80):
+                    mid = 0.5 * (lo + hi)
+                    if g(lo) * g(mid) <= 0:
+                        hi = mid
+                    else:
+                        lo = mid
+                p = 0.5 * (lo + hi)
+                C = (q2 - q3) / (h2 ** p - h3 ** p)
+                return p, q3 - C * h3 ** p
+    q2, q3 = q[-2:]
+    h2, h3 = h[-2:]
+    p = p_nominal
+    C = (q2 - q3) / (h2 ** p - h3 ** p)
+    return p, q3 - C * h3 ** p
 
 
 def _plot_street(params, trace, out_path):

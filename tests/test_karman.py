@@ -91,12 +91,17 @@ def test_schafer_turek_circle_strouhal_and_forces():
     assert trace.stats.sor_failures == 0
     st, amp = K.strouhal(trace.t, trace.v, skip_frac=0.7)
     assert amp > 0.2, f"wake never saturated (amp={amp})"
-    assert 0.25 <= st <= 0.32, st
     co = K.coefficients(trace, params, skip_frac=0.7)
-    assert 3.2 <= co["cd_max"] <= 4.1, co
-    assert 0.4 <= co["cl_max"] <= 1.1, co
+    # Golden coarse-grid values (sharp ghost-fluid cylinder, measured
+    # 2026-08-19 on CPU x64 with the f32 state): a 15% force regression
+    # sailed through the old physical-band windows (round-3 verdict);
+    # +-3% around the committed values catches drift while absorbing
+    # cross-platform f32 reduction noise.
+    assert st == pytest.approx(0.2606, rel=0.03), st
+    assert co["cd_max"] == pytest.approx(3.7084, rel=0.03), co
+    assert co["cl_max"] == pytest.approx(0.6675, rel=0.03), co
+    assert co["dp_mean"] == pytest.approx(2.3161, rel=0.03), co
     assert abs(co["cl_mean"]) < 0.15, co        # lift oscillates about 0
-    assert 2.0 <= co["dp_mean"] <= 2.6, co
 
 
 def test_control_volume_force_zero_on_uniform_flow():

@@ -130,9 +130,13 @@ def test_method_and_backend_gating():
             sor.solve_pressure(z, z, prm, method=bad)
     assert sor.default_method(prm) == "rb_sor"
     assert not momentum_kernel.usable(prm)
+    # Round 4: the shard_map backend RUNS obstacle domains via the masked
+    # deep-halo rb_sor inner (tests/test_sharded_obstacles.py); only the
+    # unmasked operators still reject.
     mesh = make_grid_mesh(8, prm.i_max, prm.j_max)
-    with pytest.raises(ValueError, match="obstacle"):
-        sharded.solve_sharded(prm, mesh=mesh)
+    for bad in ("mg", "fft", "cg"):
+        with pytest.raises(ValueError, match="masked deep-halo"):
+            sharded._check_method(prm, mesh, bad)
     with pytest.raises(ValueError, match="oracle"):
         from navierstokes_parallel_tpu import oracle
         oracle.oracle_solve(prm.replace(dtype="float64"))
