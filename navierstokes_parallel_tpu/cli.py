@@ -193,8 +193,20 @@ def main(argv=None) -> int:
         from .ops.pallas import sor_kernel
         sor_kernel.set_default_tile(args.tile_size)
 
+    thermal_cfg = None
+    if params.problem == 5:
+        from .models.convection import allocate_thermal, config_from_params
+
+        thermal_cfg = config_from_params(params)
     if args.resume:
-        state = load_checkpoint(args.resume, params)
+        try:
+            state = load_checkpoint(args.resume, params)
+        except (OSError, ValueError, KeyError) as e:
+            print(f"error: cannot resume from {args.resume!r}: {e}",
+                  file=sys.stderr)
+            return 1
+    elif thermal_cfg is not None:
+        state = allocate_thermal(params, thermal_cfg)
     else:
         state = allocate_state(params)
 
@@ -206,7 +218,12 @@ def main(argv=None) -> int:
     # loop (run.sh:57-66), so the harness-scraped float and the --stats
     # MLUPS must exclude compilation (bench.py does the same).
     try:
-        run = _build_runner(params, state, args, pressure_method, host_loop)
+        if thermal_cfg is not None:
+            run = _build_thermal_runner(params, thermal_cfg, state, args,
+                                        pressure_method, host_loop)
+        else:
+            run = _build_runner(params, state, args, pressure_method,
+                                host_loop)
     except ValueError as e:  # e.g. sharded mg on a non-divisible grid
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -243,7 +260,9 @@ def main(argv=None) -> int:
     if args.final_output_prefix:
         nsio.output(np.asarray(state.u), np.asarray(state.v),
                     np.asarray(state.p), float(state.t), params.a, params.b,
-                    args.final_output_prefix)
+                    args.final_output_prefix,
+                    temperature=(np.asarray(state.T)
+                                 if hasattr(state, "T") else None))
 
     if args.stats:
         from .utils.timing import mlups
@@ -349,12 +368,73 @@ def _build_runner(params, state, args, pressure_method, host_loop):
     return lambda: compiled(state)
 
 
+def _build_thermal_runner(params, cfg, state, args, pressure_method,
+                          host_loop):
+    """Runner for problem 5 (natural convection, models/convection.py):
+    single-chip jnp/pallas or multi-chip `--backend gspmd` (the GSPMD
+    recipe shards u/v/p/T alike — no thermal-specific communication
+    code).  The manual shard_map backend has no energy-equation halo
+    support; gspmd covers multi-chip thermal."""
+    if args.backend == "sharded":
+        raise ValueError(
+            "problem 5 (natural convection) has no shard_map backend "
+            "(the deep-halo inner carries no energy equation); use "
+            "--backend gspmd for multi-chip thermal runs")
+    if args.backend == "gspmd":
+        from .models.convection import (ThermalGspmdStepper,
+                                        _make_thermal_gspmd, fetch_thermal,
+                                        place_thermal)
+
+        mesh = parse_mesh_arg(args.mesh)
+        if mesh is None:
+            from .parallel import gspmd
+            mesh = gspmd._default_mesh()
+        if host_loop:
+            stepper = ThermalGspmdStepper(params, cfg, state, mesh=mesh,
+                                          pressure_method=pressure_method)
+            stepper.warm()
+            mon_fn = _make_monitor_fn(params, state, args)
+            return lambda: _run_host_loop(params, stepper, args, mon_fn)
+        fn = _make_thermal_gspmd(params, cfg, mesh, pressure_method,
+                                 whole_solve=True)
+        placed = place_thermal(state, params, mesh)
+        compiled = fn.lower(placed).compile()
+
+        def run():
+            out, stats = compiled(placed)
+            return fetch_thermal(out, params), stats
+
+        return run
+    if parse_mesh_arg(args.mesh) is not None:
+        raise ValueError(
+            f"--mesh applies to the gspmd backend, not {args.backend!r}")
+    from .models.convection import (_thermal_solve_on_device,
+                                    make_thermal_step_fn)
+
+    if host_loop:
+        stepper = _SingleChipStepper(
+            params, state, pressure_method,
+            fn=make_thermal_step_fn(params, cfg, pressure_method))
+        stepper.warm()
+        mon_fn = _make_monitor_fn(params, state, args)
+        return lambda: _run_host_loop(params, stepper, args, mon_fn)
+    compiled = (
+        _thermal_solve_on_device
+        .lower(params, cfg, state, pressure_method)
+        .compile()
+    )
+    return lambda: compiled(state)
+
+
 class _SingleChipStepper:
     """Host-loop adapter for the single-chip backends (jitted step closure);
-    the sharded twin is parallel/sharded.py::ShardedStepper."""
+    the sharded twin is parallel/sharded.py::ShardedStepper.  `fn`
+    overrides the step closure (the thermal family passes its own)."""
 
-    def __init__(self, params: Params, state: State, pressure_method: str):
-        self._fn = make_step_fn(params, pressure_method)
+    def __init__(self, params: Params, state: State, pressure_method: str,
+                 fn=None):
+        self._fn = fn if fn is not None else make_step_fn(params,
+                                                          pressure_method)
         self._state = state
 
     def warm(self) -> None:
@@ -445,10 +525,12 @@ def _run_host_loop(params: Params, stepper, args, mon_fn=None):
         if args.output_dir and n_abs % n_print == 0:
             st = stepper.state()
             u, v, p = np.asarray(st.u), np.asarray(st.v), np.asarray(st.p)
+            temp = np.asarray(st.T) if hasattr(st, "T") else None
             _drain_output(block=False)
             out_futures.append(executor.submit(
                 nsio.output, u, v, p, float(st.t), params.a, params.b,
-                f"{args.output_dir}/{n_abs // n_print}", verbose=False))
+                f"{args.output_dir}/{n_abs // n_print}", verbose=False,
+                temperature=temp))
         diag = stepper.step()
         steps += 1
         total_iters += int(diag.sor_iterations)

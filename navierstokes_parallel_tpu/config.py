@@ -178,12 +178,37 @@ class Params:
     # Schäfer-Turek force coefficients 2-5% low.  Empty () keeps the
     # plain mirror/zero staircase semantics.
     obstacle_surfaces: tuple = ()
+    # Problem 5 (natural convection, models/convection.py) thermal
+    # parameters — reachable from the reference protocol via OPTIONAL
+    # extra parameter-file lines 16 (Ra) and 17 (Pr), see from_lines.
+    # The family uses the convective velocity scale sqrt(g*beta*dT*L), in
+    # which Re = sqrt(Ra/Pr): when Ra > 0 it is authoritative and Re is
+    # DERIVED from it in __post_init__; Ra = 0 derives Ra = Re^2 * Pr
+    # from the file's Re line instead.  Both are always consistent after
+    # construction.  t_hot/t_cold are the Dirichlet wall temperatures
+    # (hot left / cold right — the de Vahl Davis benchmark orientation).
+    Ra: float = 0.0
+    Pr: float = 0.71
+    t_hot: float = 0.5
+    t_cold: float = -0.5
 
     def __post_init__(self):
-        if self.problem not in (1, 2, 3, 4):
+        if self.problem not in (1, 2, 3, 4, 5):
             raise ValueError(
                 f"unknown problem type {self.problem} (expected 1: cavity, "
-                f"2: oscillating lid, 3: plane channel, 4: free-slip box)")
+                f"2: oscillating lid, 3: plane channel, 4: free-slip box, "
+                f"5: natural convection)")
+        if self.problem == 5:
+            if self.Pr <= 0.0:
+                raise ValueError(f"Pr must be > 0, got {self.Pr}")
+            if self.Ra < 0.0:
+                raise ValueError(f"Ra must be >= 0, got {self.Ra}")
+            if self.Ra > 0.0:
+                object.__setattr__(
+                    self, "Re", float((self.Ra / self.Pr) ** 0.5))
+            else:
+                object.__setattr__(
+                    self, "Ra", float(self.Re * self.Re * self.Pr))
         if self.i_max < 2 or self.j_max < 2:
             raise ValueError("grid must be at least 2x2 interior cells")
         if not (0.0 < self.omega < 2.0):
@@ -304,6 +329,14 @@ class Params:
                 raise ValueError(f"missing value for '{name}'")
             # int fields may be written as '500' or '500.0'
             values[name] = typ(float(token[0])) if typ is int else typ(token[0])
+        # Problem 5 (natural convection): optional extra lines 16 = Ra,
+        # 17 = Pr.  The 15-line reference format stays valid (Ra derived
+        # from the Re line via Ra = Re^2 * Pr, see __post_init__).
+        if values.get("problem") == 5:
+            for name, line in zip(("Ra", "Pr"), lines[len(_FIELD_ORDER):]):
+                token = line.split("#", 1)[0].split()
+                if token:
+                    values[name] = float(token[0])
         values.update(overrides)
         return cls(**values)
 
@@ -317,6 +350,9 @@ class Params:
             val = getattr(self, name)
             sval = str(int(val)) if typ is int else repr(float(val))
             out.append(f"{sval:<12}# {_FIELD_COMMENTS[name]}")
+        if self.problem == 5:
+            out.append(f"{self.Ra!r:<12}# Ra: Rayleigh number (problem 5)")
+            out.append(f"{self.Pr!r:<12}# Pr: Prandtl number (problem 5)")
         return "\n".join(out) + "\n"
 
     def replace(self, **kw) -> "Params":

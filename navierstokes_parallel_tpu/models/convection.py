@@ -304,6 +304,231 @@ def thermal_step(ts: ThermalState, params: Params, cfg: ThermalConfig,
     return new, (dt, max_dT, result)
 
 
+def config_from_params(params: Params) -> ThermalConfig:
+    """ThermalConfig for a problem-5 `Params` (the reference-protocol
+    surface: CLI / ``.in`` files — config.py lines 16/17 carry Ra/Pr).
+    De Vahl Davis orientation: hot left wall `params.t_hot`, cold right
+    wall `params.t_cold`, adiabatic top/bottom, no-slip walls, buoyancy
+    coefficient 1 in the convective velocity scale (module docstring);
+    obstacle cells (``--obstacle``) default to adiabatic blocks."""
+    if params.problem != 5:
+        raise ValueError(
+            f"config_from_params expects problem=5, got {params.problem}")
+    return ThermalConfig(alpha=1.0 / (params.Re * params.Pr),
+                         beta_gx=0.0, beta_gy=-1.0,
+                         t_left=params.t_hot, t_right=params.t_cold)
+
+
+@functools.lru_cache(maxsize=32)
+def make_thermal_step_fn(params: Params, cfg: ThermalConfig,
+                         pressure_method: str = "mg"):
+    """Jitted thermal step for host-driven loops (cli.py output/checkpoint
+    paths) — the Boussinesq twin of solver.make_step_fn, returning the
+    isothermal `StepDiagnostics` tuple so the host loop is state-family
+    agnostic."""
+    from ..solver import StepDiagnostics
+
+    @jax.jit
+    def _step(ts: ThermalState):
+        new, (dt, _, res) = thermal_step(ts, params, cfg,
+                                         pressure_method=pressure_method)
+        return new, StepDiagnostics(dt=dt, sor_iterations=res.iterations,
+                                    sor_res_norm=res.res_norm,
+                                    sor_converged=res.converged)
+
+    return _step
+
+
+def _thermal_loop(params: Params, cfg: ThermalConfig,
+                  ts: ThermalState, pressure_method: str):
+    """Unjitted `while t < T` Boussinesq integration — traced directly by
+    the single-chip jit below AND inside the padded GSPMD jit (where an
+    extra jit boundary would block the partitioner's sharding view)."""
+    from ..solver import SolveStats
+
+    T_end = jnp.asarray(params.T, ts.t.dtype)
+
+    def cond(carry):
+        ts, _ = carry
+        return ts.t < T_end
+
+    def body(carry):
+        ts, stats = carry
+        ts, (dt, _, res) = thermal_step(ts, params, cfg,
+                                        pressure_method=pressure_method)
+        stats = SolveStats(
+            steps=stats.steps + 1,
+            total_sor_iterations=stats.total_sor_iterations + res.iterations,
+            sor_failures=stats.sor_failures
+            + jnp.where(res.converged, 0, 1).astype(jnp.int32),
+            last_res_norm=res.res_norm,
+        )
+        return ts, stats
+
+    zero = jnp.zeros((), jnp.int32)
+    init = SolveStats(steps=zero, total_sor_iterations=zero,
+                      sor_failures=zero,
+                      last_res_norm=jnp.zeros((), ts.t.dtype))
+    return lax.while_loop(cond, body, (ts, init))
+
+
+_thermal_solve_on_device = functools.partial(jax.jit,
+                                             static_argnums=(0, 1, 3))(
+    _thermal_loop)
+
+
+def thermal_solve(params: Params, cfg: ThermalConfig,
+                  state: Optional[ThermalState] = None, *,
+                  pressure_method: str = "mg", mesh=None):
+    """Integrate the Boussinesq system to t >= params.T entirely on device
+    (the solver.solve twin for problem 5 — fixed-horizon reference
+    protocol, vs solve_convection's steady-state detection).  Returns
+    (ThermalState, SolveStats).
+
+    With `mesh` (a 2D jax.sharding.Mesh) the whole integration runs
+    multi-chip via the GSPMD recipe — the four grid fields (u, v, p, T)
+    boundary-padded and block-sharded, XLA's partitioner inserting the
+    collectives for momentum, pressure, AND the energy equation alike
+    (no thermal-specific communication code, same as solve_convection's
+    mesh arm)."""
+    if state is None:
+        state = allocate_thermal(params, cfg)
+    if mesh is not None:
+        fn = _make_thermal_gspmd(params, cfg, mesh, pressure_method,
+                                 whole_solve=True)
+        out, stats = fn(place_thermal(state, params, mesh))
+        return fetch_thermal(out, params), stats
+    return _thermal_solve_on_device(params, cfg, state, pressure_method)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip fixed-horizon thermal runs (GSPMD recipe) — the problem-5
+# CLI's `--backend gspmd` path.  solve_convection(mesh=...) above is the
+# steady-state twin; this one carries the reference protocol (while t < T,
+# SolveStats, host-loop stepper for output/checkpointing).
+# ---------------------------------------------------------------------------
+
+
+def place_thermal(ts: ThermalState, params: Params, mesh) -> ThermalState:
+    """Device-place a ThermalState for a GSPMD run: all four grid fields
+    boundary-padded to mesh multiples + block-sharded (parallel/gspmd.py
+    semantics — on-device pad single-process, per-shard scatter
+    multi-process), scalars replicated."""
+    import numpy as np
+
+    from ..parallel import gspmd
+
+    grid, rep = gspmd._shardings(mesh)
+    pi, pj = gspmd._padded_shape(mesh, ts.u.shape)
+
+    def pad(arr):
+        ni, nj = arr.shape
+        if gspmd._all_local(grid):
+            padded = jnp.zeros((pi, pj), arr.dtype).at[:ni, :nj].set(
+                jnp.asarray(arr))
+            return jax.device_put(padded, grid)
+        host = np.zeros((pi, pj), arr.dtype)
+        host[:ni, :nj] = np.asarray(arr)
+        return gspmd._put(host, grid)
+
+    return ThermalState(u=pad(ts.u), v=pad(ts.v), p=pad(ts.p), T=pad(ts.T),
+                        t=gspmd._put(np.asarray(ts.t), rep),
+                        n=gspmd._put(np.asarray(ts.n), rep))
+
+
+def fetch_thermal(ts: ThermalState, params: Params) -> ThermalState:
+    """Reference-layout ThermalState from a (padded, sharded) output —
+    single-process: a device-resident sliced view; multi-process:
+    allgathered (parallel/gspmd.py::fetch_state semantics)."""
+    from ..parallel import gspmd
+
+    ni, nj = params.shape
+    s = ThermalState(u=ts.u[:ni, :nj], v=ts.v[:ni, :nj],
+                     p=ts.p[:ni, :nj], T=ts.T[:ni, :nj], t=ts.t, n=ts.n)
+    if gspmd._all_local(ts.u):
+        return s
+    return ThermalState(u=jnp.asarray(gspmd._fetch(s.u)),
+                        v=jnp.asarray(gspmd._fetch(s.v)),
+                        p=jnp.asarray(gspmd._fetch(s.p)),
+                        T=jnp.asarray(gspmd._fetch(s.T)),
+                        t=s.t, n=s.n)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_thermal_gspmd(params: Params, cfg: ThermalConfig, mesh,
+                        pressure_method: str, whole_solve: bool):
+    from ..parallel import gspmd
+    from ..solver import SolveStats, StepDiagnostics
+
+    gspmd._check_mesh(mesh)
+    gspmd._check_method(pressure_method)
+    params = params.replace(disable_pallas=True)
+    grid, rep = gspmd._shardings(mesh)
+    ni, nj = params.shape
+    pi, pj = gspmd._padded_shape(mesh, (ni, nj))
+    out_ts = ThermalState(u=grid, v=grid, p=grid, T=grid, t=rep, n=rep)
+    aux = (SolveStats(rep, rep, rep, rep) if whole_solve
+           else StepDiagnostics(rep, rep, rep, rep))
+
+    def fn(padded: ThermalState):
+        ts = ThermalState(u=padded.u[:ni, :nj], v=padded.v[:ni, :nj],
+                          p=padded.p[:ni, :nj], T=padded.T[:ni, :nj],
+                          t=padded.t, n=padded.n)
+        if whole_solve:
+            out, aux_val = _thermal_loop(params, cfg, ts, pressure_method)
+        else:
+            out, (dt, _, res) = thermal_step(
+                ts, params, cfg, pressure_method=pressure_method)
+            aux_val = StepDiagnostics(dt=dt, sor_iterations=res.iterations,
+                                      sor_res_norm=res.res_norm,
+                                      sor_converged=res.converged)
+
+        def repad(a):
+            return jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(a)
+
+        return (ThermalState(u=repad(out.u), v=repad(out.v),
+                             p=repad(out.p), T=repad(out.T),
+                             t=out.t, n=out.n), aux_val)
+
+    return jax.jit(fn, out_shardings=(out_ts, aux))
+
+
+class ThermalGspmdStepper:
+    """Host-loop adapter for multi-chip problem-5 runs (periodic output /
+    checkpoint / history through cli._run_host_loop) — the thermal twin
+    of parallel/gspmd.py::GspmdStepper."""
+
+    def __init__(self, params: Params, cfg: ThermalConfig,
+                 state: ThermalState, mesh=None,
+                 pressure_method: str = "mg"):
+        from ..parallel import gspmd
+
+        if mesh is None:
+            mesh = gspmd._default_mesh()
+        self.params = params
+        self._fn = _make_thermal_gspmd(params, cfg, mesh, pressure_method,
+                                       whole_solve=False)
+        self._state = place_thermal(state, params, mesh)
+
+    @property
+    def t(self) -> float:
+        return float(self._state.t)
+
+    @property
+    def n(self) -> int:
+        return int(self._state.n)
+
+    def warm(self) -> None:
+        self._fn = self._fn.lower(self._state).compile()
+
+    def step(self):
+        self._state, diag = self._fn(self._state)
+        return diag
+
+    def state(self) -> ThermalState:
+        return fetch_thermal(self._state, self.params)
+
+
 def solve_convection(params: Params, cfg: ThermalConfig,
                      state: Optional[ThermalState] = None, *,
                      pressure_method: str = "mg",
@@ -376,16 +601,7 @@ def _solve_convection_gspmd(params: Params, cfg: ThermalConfig, state, *,
     grid, rep = gspmd._shardings(mesh)
     ni, nj = params.shape
     pi, pj = gspmd._padded_shape(mesh, (ni, nj))
-
-    def pad(a):
-        return jax.device_put(
-            jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(jnp.asarray(a)),
-            grid)
-
-    placed = ThermalState(u=pad(state.u), v=pad(state.v), p=pad(state.p),
-                          T=pad(state.T),
-                          t=jax.device_put(state.t, rep),
-                          n=jax.device_put(state.n, rep))
+    placed = place_thermal(state, params, mesh)
 
     out_shardings = (ThermalState(u=grid, v=grid, p=grid, T=grid,
                                   t=rep, n=rep), rep, rep)
@@ -423,11 +639,7 @@ def _solve_convection_gspmd(params: Params, cfg: ThermalConfig, state, *,
         steps += chunk
         if rate < steady_tol:
             break
-    final = ThermalState(u=jnp.asarray(placed.u[:ni, :nj]),
-                         v=jnp.asarray(placed.v[:ni, :nj]),
-                         p=jnp.asarray(placed.p[:ni, :nj]),
-                         T=jnp.asarray(placed.T[:ni, :nj]),
-                         t=placed.t, n=placed.n)
+    final = fetch_thermal(placed, params)
     return final, {"steps": steps, "dT_rate": rate,
                    "sor_failures": failures,
                    "steady": rate < steady_tol}

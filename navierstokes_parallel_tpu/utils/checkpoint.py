@@ -16,26 +16,48 @@ from ..config import Params
 from ..grid import State
 
 
-def save_checkpoint(path: str, state: State) -> None:
-    np.savez_compressed(
-        path,
+def save_checkpoint(path: str, state) -> None:
+    """State or ThermalState (problem 5 carries the temperature field)."""
+    fields = dict(
         u=np.asarray(state.u),
         v=np.asarray(state.v),
         p=np.asarray(state.p),
         t=np.asarray(state.t),
         n=np.asarray(state.n),
     )
+    if hasattr(state, "T"):
+        fields["T"] = np.asarray(state.T)
+    np.savez_compressed(path, **fields)
 
 
-def load_checkpoint(path: str, params: Params) -> State:
+def load_checkpoint(path: str, params: Params):
+    """State, or ThermalState when params.problem == 5 (the checkpoint
+    must then carry the temperature field — a thermal run cannot resume
+    from an isothermal checkpoint)."""
     with np.load(path) as data:
         u, v, p = data["u"], data["v"], data["p"]
         t, n = data["t"], data["n"]
+        temp = data["T"] if "T" in data else None
     if p.shape != params.shape:
         raise ValueError(
             f"checkpoint grid {p.shape} does not match config grid {params.shape}"
         )
     dtype = params.jnp_dtype
+    if params.problem == 5:
+        if temp is None:
+            raise ValueError(
+                f"checkpoint {path!r} has no temperature field — it was "
+                "written by an isothermal run and cannot resume problem 5")
+        from ..models.convection import ThermalState
+
+        return ThermalState(
+            u=jnp.asarray(u, dtype),
+            v=jnp.asarray(v, dtype),
+            p=jnp.asarray(p, dtype),
+            T=jnp.asarray(temp, dtype),
+            t=jnp.asarray(t, dtype),
+            n=jnp.asarray(n, jnp.int32),
+        )
     return State(
         u=jnp.asarray(u, dtype),
         v=jnp.asarray(v, dtype),

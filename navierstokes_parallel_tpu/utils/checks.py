@@ -28,8 +28,11 @@ class NonFiniteStateError(RuntimeError):
 
 
 def validate_state(state: State, where: str = "") -> State:
-    """Host-side guard: raise if any field contains NaN/Inf."""
-    for name in ("u", "v", "p"):
+    """Host-side guard: raise if any field contains NaN/Inf.  Accepts any
+    state family (State, ThermalState) — the temperature field is checked
+    when present."""
+    names = ("u", "v", "p") + (("T",) if hasattr(state, "T") else ())
+    for name in names:
         arr = np.asarray(getattr(state, name))
         if not np.all(np.isfinite(arr)):
             bad = int(np.sum(~np.isfinite(arr)))

@@ -93,10 +93,11 @@ def _write_grid(path: str, arr: np.ndarray, t: float, a: float, b: float,
 
 
 def output(u, v, p, t: float, a: float, b: float, prefix: str,
-           verbose: bool = True) -> None:
+           verbose: bool = True, temperature=None) -> None:
     """Write `<prefix>_{u,v,p}.txt` (reference io.c:61-120).  The three
     files are written concurrently — ctypes releases the GIL, so the native
-    formatters genuinely overlap."""
+    formatters genuinely overlap.  `temperature` (problem 5) adds a
+    cell-centered `<prefix>_temp.txt` in the same grid format as p."""
     u = np.asarray(u)
     v = np.asarray(v)
     p = np.asarray(p)
@@ -112,7 +113,10 @@ def output(u, v, p, t: float, a: float, b: float, prefix: str,
         (f"{prefix}_v.txt", v, i_max + 2, j_max + 1),
         (f"{prefix}_p.txt", p, i_max + 2, j_max + 2),
     )
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    if temperature is not None:
+        jobs += ((f"{prefix}_temp.txt", np.asarray(temperature),
+                  i_max + 2, j_max + 2),)
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         futs = [pool.submit(_write_grid, path, arr, t, a, b, nc, nr)
                 for path, arr, nc, nr in jobs]
         for f in futs:

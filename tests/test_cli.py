@@ -81,8 +81,11 @@ def test_cli_checkpoint_wrong_grid(tmp_path, capsys):
     capsys.readouterr()
     cfg2 = tmp_path / "c2.in"
     _write_config(cfg2, i_max=24, j_max=24)
-    with pytest.raises(ValueError, match="does not match config grid"):
-        cli.main([str(cfg2), "--resume", str(ck)])
+    # Round 4: the CLI reports resume errors as exit 1 + stderr (it used
+    # to let the ValueError escape as a traceback).
+    rc = cli.main([str(cfg2), "--resume", str(ck)])
+    assert rc == 1
+    assert "does not match config grid" in capsys.readouterr().err
 
 
 def test_cli_history_and_logging(tmp_path, capsys):

@@ -73,8 +73,9 @@ def test_derived():
 
 def test_validation():
     with pytest.raises(ValueError):
-        Params(problem=5)  # 3 = channel, 4 = free-slip box are valid
+        Params(problem=6)  # 3=channel, 4=free-slip, 5=convection are valid
     assert Params(problem=4).problem == 4
+    assert Params(problem=5).problem == 5
     with pytest.raises(ValueError):
         Params(omega=2.5)
     with pytest.raises(ValueError):
