@@ -323,6 +323,7 @@ def main(argv=None):
         else:
             sharded_method = "rb_sor"
         print(f"pressure solver: {sharded_method} (sharded)", file=sys.stderr)
+        resolved_method = sharded_method
         from navierstokes_parallel_tpu.parallel.sharded import (
             compile_sharded_solve,
         )
@@ -352,6 +353,7 @@ def main(argv=None):
         else:
             gspmd_method = "fft" if params.i_max >= 2048 else "rb_sor"
         print(f"pressure solver: {gspmd_method} (gspmd)", file=sys.stderr)
+        resolved_method = gspmd_method
 
         def run():
             return solve_gspmd(params, state, mesh_arg,
@@ -371,6 +373,7 @@ def main(argv=None):
         else:
             method = {"jnp": "rb_sor", "pallas": "pallas_sor"}[args.backend]
         print(f"pressure solver: {method}", file=sys.stderr)
+        resolved_method = method
         dispatch = args.dispatch
         if dispatch == "auto":
             # 4096^2: long dispatches crash the remote TPU worker for the
@@ -444,11 +447,32 @@ def main(argv=None):
     from navierstokes_parallel_tpu.utils.timing import (
         hbm_bandwidth_probe,
         sweep_roofline_mlups,
+        sweep_vpu_roofline_mlups,
+        vpu_throughput_probe,
     )
 
     bw = hbm_bandwidth_probe()
     roofline = sweep_roofline_mlups(bw)
     roofline_pct = 100.0 * mlups / roofline
+    # VPU roofline (round-4 verdict item 7): the VMEM-resident kernel
+    # touches HBM twice per K sweeps, so its BINDING resource is the VPU —
+    # the HBM roofline is the wrong bound for it.  The binding roofline is
+    # min(HBM, VPU); the north star is >= 80% of THAT.
+    vpu_slots = vpu_throughput_probe()
+    vpu_roofline = sweep_vpu_roofline_mlups(vpu_slots)
+    # Which resource binds depends on the ROUTE that actually ran: the
+    # VMEM-resident pallas kernel streams HBM twice per K sweeps, so the
+    # VPU binds it; the jnp rb_sor streams every sweep through HBM, so HBM
+    # binds it.  mg/fft/cg sweeps are a different op mix entirely — the
+    # per-sweep roofline model does not apply (their north star is
+    # wall-clock), so no binding claim is printed for them.
+    if "pallas" in resolved_method:
+        binding, binding_name = vpu_roofline, "vpu"
+    elif resolved_method in ("rb_sor", "rb_sor_sync"):
+        binding, binding_name = roofline, "hbm"
+    else:
+        binding, binding_name = None, "n/a"
+    binding_pct = (100.0 * mlups / binding) if binding else float("nan")
 
     # The reference baselines are its Re=1000 cavity workloads; a channel
     # run (problem 3, beyond-reference) gets its own metric name and no
@@ -468,6 +492,9 @@ def main(argv=None):
         f"sor_failures={int(stats.sor_failures)} "
         f"mlups={mlups:.1f} hbm_gbps={bw / 1e9:.0f} "
         f"roofline_mlups={roofline:.0f} roofline_pct={roofline_pct:.1f} "
+        f"vpu_gslots={vpu_slots / 1e9:.0f} "
+        f"vpu_roofline_mlups={vpu_roofline:.0f} "
+        f"binding={binding_name} binding_roofline_pct={binding_pct:.1f} "
         f"device={jax.devices()[0].device_kind} "
         f"serial_baseline={SERIAL_BASELINE_S.get(n)}s "
         f"cuda_baseline={baseline}s",

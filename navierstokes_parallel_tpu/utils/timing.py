@@ -104,6 +104,82 @@ def sweep_roofline_mlups(bandwidth_bytes_per_s: float) -> float:
     return bandwidth_bytes_per_s / SWEEP_HBM_BYTES_PER_CELL / 1e6
 
 
+# VPU issue slots per CELL of one full red-black sweep of the VMEM-resident
+# kernel (ops/pallas/sor_kernel.py::half_sweep, counted from the code —
+# the kernel computes every element and masks, so the per-CELL cost is the
+# per-element cost).  Per half-sweep per element:
+#   4 rolls (lane/sublane shifts — one vector op each on the VPU)
+#   7 arith for nb   (2 add pairing the rolls, 2 mul by dx2/dy2_inv,
+#                     1 add combining, 1 mul d*self_coef, 1 add)
+#   5 arith for d_new + select ((nb-rhs), *coef, (1-omega)*d, +, where)
+# = 16 slots; a full sweep is two half-sweeps = 32 slots/cell.  Rolls and
+# selects are counted as one slot like an FMA — approximate (a lane roll
+# can cost more than an ALU op; an FMA retires 2 flops in 1 slot), but
+# it is the honest order-of-magnitude model the VPU probe below is
+# calibrated against.
+SWEEP_VPU_SLOTS_PER_CELL = 32
+
+
+def vpu_throughput_probe(repeats: int = 3, n: int = 1024) -> float:
+    """Measured sustained VPU throughput in ISSUE SLOTS/s (1 slot = one
+    elementwise vector op: fma, add, mul, select, roll).
+
+    Times R iterations of a fori_loop whose body issues 8 independent
+    128-deep FMA chains over (n, n) f32 arrays at two different R,
+    differenced (cancels dispatch/fence latency exactly like
+    hbm_bandwidth_probe).  XLA fuses each loop body into one kernel, so
+    HBM is touched once per body while 1024 FMAs/element execute in
+    registers — >98% compute-bound at the measured bandwidth; the 8
+    independent chains give the VPU pipelines ILP to stay full despite
+    each chain's serial dependency."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    depth = 128
+    xs = [jnp.full((n, n), 1.0 + 1e-7 * k, jnp.float32) for k in range(8)]
+    c = jnp.float32(0.9999999)
+    d = jnp.float32(1e-9)
+
+    def body(i, ys):
+        for _ in range(depth):
+            ys = tuple(y * c + d for y in ys)
+        return ys
+
+    f = jax.jit(lambda ys, R: lax.fori_loop(0, R, body, ys))
+    device_fence(f(tuple(xs), 2)[0])  # compile + warm
+
+    def timed(R):
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            ys = f(tuple(xs), R)
+            device_fence(ys[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Loop counts sized so the DIFFERENCED time is ~0.5 s on v5e (~2.1
+    # Tslots/s measured): the tunnel's scalar fence jitters by ~30 ms, so
+    # a differenced window must be >> that or the probe returns noise
+    # (the first cut used r2-r1=16 -> 0.3 ms of work and "measured"
+    # 15 Tslots/s, 7x over hardware peak).
+    r1, r2 = 100, 1100
+    t1, t2 = timed(r1), timed(r2)
+    slots_per_iter = 8 * depth * n * n
+    if t2 <= t1:
+        return slots_per_iter * r2 / t2
+    return (r2 - r1) * slots_per_iter / (t2 - t1)
+
+
+def sweep_vpu_roofline_mlups(vpu_slots_per_s: float) -> float:
+    """VPU-roofline MLUPS for one red-black sweep of the VMEM-resident
+    kernel: what a perfect-occupancy VPU executing exactly the kernel's
+    op mix (SWEEP_VPU_SLOTS_PER_CELL) would reach.  The BINDING roofline
+    for a VMEM-resident workload is min(this, the HBM roofline); for the
+    K-sweep kernels HBM is touched twice per K sweeps, so this is the
+    binding bound (docs/performance.md 'Roofline accounting')."""
+    return vpu_slots_per_s / SWEEP_VPU_SLOTS_PER_CELL / 1e6
+
+
 @contextlib.contextmanager
 def profiler_trace(log_dir: str = "/tmp/nsp_trace"):
     """Capture a jax.profiler trace around a block (view with TensorBoard
