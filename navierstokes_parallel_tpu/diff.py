@@ -295,15 +295,42 @@ def _split_thermal_cfg(cfg):
     return traced
 
 
+def _make_constrain(mesh):
+    """Per-step GSPMD sharding-constraint closure for a scanned state
+    family (State or ThermalState): every 2D grid field gets the mesh's
+    block sharding, scalars pass through.  Identity when mesh is None."""
+    if mesh is None:
+        return lambda s: s
+    from .parallel import gspmd
+
+    gspmd._check_mesh(mesh)
+    grid = gspmd._shardings(mesh)[0]
+
+    def constrain(s):
+        return type(s)(*(
+            jax.lax.with_sharding_constraint(x, grid)
+            if getattr(x, "ndim", 0) == 2 else x
+            for x in s))
+
+    return constrain
+
+
 def solve_thermal_n_steps(params: Params, ts, n_steps: int, cfg, *,
-                          pressure_method: str = "mg", remat: bool = True):
+                          pressure_method: str = "mg", remat: bool = True,
+                          mesh=None):
     """n differentiable Boussinesq steps (remat scan, O(1) gradient
     memory) — the thermal analogue of solve_n_steps.  Numeric `cfg` fields
     may be traced scalars (differentiate w.r.t. wall temperatures, the
     buoyancy coefficient, alpha, or the lid speed); the string dispatch
     fields (heating/sidewalls) stay static in the closure so the scanned
-    pytree holds only JAX types."""
+    pytree holds only JAX types.  With `mesh` the integration — and any
+    grad through it — runs multi-chip via the GSPMD sharding constraint
+    (solve_n_steps documents the recipe; here the constraint also pins
+    the temperature field)."""
     traced = _split_thermal_cfg(cfg)
+    constrain = _make_constrain(mesh)
+    if mesh is not None:
+        params = params.replace(disable_pallas=True)
 
     def one(s, c):
         return diff_thermal_step(s, params, cfg._replace(**c),
@@ -313,22 +340,38 @@ def solve_thermal_n_steps(params: Params, ts, n_steps: int, cfg, *,
         one = jax.checkpoint(one)
 
     def body(carry, _):
-        new_state, dt = one(carry, traced)
+        new_state, dt = one(constrain(carry), traced)
         return new_state, dt
 
-    return lax.scan(body, ts, None, length=n_steps)
+    return lax.scan(body, constrain(ts), None, length=n_steps)
 
 
 def solve_n_steps(params: Params, state: State, n_steps: int, *,
                   controls: Optional[Controls] = None,
                   pressure_method: str = "mg",
-                  remat: bool = True) -> Tuple[State, jax.Array]:
+                  remat: bool = True, mesh=None) -> Tuple[State, jax.Array]:
     """n differentiable time steps via `lax.scan`; with `remat` each step
     is `jax.checkpoint`-wrapped so backward-pass memory is O(1) in
     n_steps (activations recomputed, not stored).  Returns
-    (final_state, dts)."""
+    (final_state, dts).
+
+    With `mesh` (a jax.sharding.Mesh; round-4 verdict item 10) the
+    integration — and therefore any `jax.grad` THROUGH it — runs
+    multi-chip via the GSPMD recipe: the carried fields get a
+    block-sharding constraint each step, and XLA's SPMD partitioner
+    shards the forward scan AND its transpose alike, including the IFT
+    adjoint pressure solves (`_ift_bwd` is the same jnp solver math, so
+    its collectives come out of the same partitioner pass; the manual
+    shard_map backend stays forward-only — `jax.checkpoint` of a
+    while_loop-bearing shard_map body is not transposable).  Gradient
+    parity vs single-chip is CI-asserted (tests/test_diff_sharded.py)."""
     if controls is None:
         controls = default_controls(params)
+    constrain = _make_constrain(mesh)
+    if mesh is not None:
+        # Pallas calls are opaque to the partitioner (and carry no VJP —
+        # the diff path never uses them, but make the contract explicit).
+        params = params.replace(disable_pallas=True)
 
     def one(s, c):
         return diff_step(s, params, controls=c,
@@ -338,7 +381,7 @@ def solve_n_steps(params: Params, state: State, n_steps: int, *,
         one = jax.checkpoint(one)
 
     def body(carry, _):
-        new_state, dt = one(carry, controls)
+        new_state, dt = one(constrain(carry), controls)
         return new_state, dt
 
-    return lax.scan(body, state, None, length=n_steps)
+    return lax.scan(body, constrain(state), None, length=n_steps)
