@@ -54,6 +54,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     rows = []
     finest = None
+    csv = os.path.join(args.out, "karman_strouhal.csv")
     for n in ns:
         params = K.schafer_turek(n_per_d=n, T=args.T,
                                  sharp=not args.staircase)
@@ -74,8 +75,17 @@ def main():
               f"dp={co['dp_mean']:.3f} "
               f"fails={trace.stats.sor_failures} wall={wall:.0f}s",
               flush=True)
+        # Rewrite the CSV after EVERY rung: a TPU worker crash on a later
+        # (bigger) rung must not lose the finished ladder below it (the
+        # first n=60 attempt crashed the worker and dropped 4 rungs).
+        _write_csv(csv, rows, args.staircase)
+    print(f"wrote {csv}")
 
-    csv = os.path.join(args.out, "karman_strouhal.csv")
+    params, trace = finest
+    _plot_street(params, trace, os.path.join(args.out, "karman_street.png"))
+
+
+def _write_csv(csv, rows, staircase):
     with open(csv, "w") as f:
         f.write("n_per_d,grid,steps,strouhal,amplitude,cd_max,cl_max,"
                 "dp_mean,wall_seconds\n")
@@ -89,7 +99,7 @@ def main():
             # the staircase cd PAST the published band).  Falls back to
             # the nominal boundary order (2 sharp / 1 staircase) on two
             # rungs or a non-monotone triple.
-            p_nom = 1.0 if args.staircase else 2.0
+            p_nom = 1.0 if staircase else 2.0
             ex, orders = [], []
             for k in (3, 5, 6, 7):
                 q = [r[k] for r in rows[-3:]]
@@ -106,10 +116,6 @@ def main():
                   f"St={ex[0]:.4f} (band 0.2950-0.3050), "
                   f"cd_max={ex[1]:.4f} (3.22-3.24), cl_max={ex[2]:.4f} "
                   f"(0.99-1.01), dp={ex[3]:.4f} (2.46-2.50)")
-    print(f"wrote {csv}")
-
-    params, trace = finest
-    _plot_street(params, trace, os.path.join(args.out, "karman_street.png"))
 
 
 def _richardson(q, h, p_nominal):
