@@ -376,10 +376,23 @@ def _build_thermal_runner(params, cfg, state, args, pressure_method,
     code).  The manual shard_map backend has no energy-equation halo
     support; gspmd covers multi-chip thermal."""
     if args.backend == "sharded":
-        raise ValueError(
-            "problem 5 (natural convection) has no shard_map backend "
-            "(the deep-halo inner carries no energy equation); use "
-            "--backend gspmd for multi-chip thermal runs")
+        from .parallel import sharded_thermal
+
+        mesh = parse_mesh_arg(args.mesh)
+        method = pressure_method
+        if method not in ("rb_sor", "rb_sor_sync", "jacobi", "mg", "cg",
+                          "fft", "pallas_sor"):
+            print(f"warning: --backend sharded does not support pressure "
+                  f"method {method!r}; using rb_sor", file=sys.stderr)
+            method = "rb_sor"
+        if host_loop:
+            stepper = sharded_thermal.ThermalShardedStepper(
+                params, cfg, state, mesh=mesh, pressure_method=method)
+            stepper.warm()
+            mon_fn = _make_monitor_fn(params, state, args)
+            return lambda: _run_host_loop(params, stepper, args, mon_fn)
+        return sharded_thermal.compile_sharded_thermal_solve(
+            params, cfg, state, mesh, pressure_method=method)
     if args.backend == "gspmd":
         from .models.convection import (ThermalGspmdStepper,
                                         _make_thermal_gspmd, fetch_thermal,

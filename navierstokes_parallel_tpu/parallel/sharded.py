@@ -373,9 +373,36 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
         rhs_int = jnp.where(fluid_int, rhs_int, jnp.zeros_like(rhs_int))
     rhs = jnp.zeros_like(p).at[1:-1, 1:-1].set(rhs_int)
 
-    # Pressure solve with sharded hooks: ppermute+masked-Neumann ghost_fn,
-    # psum'd L2 norm, globally-consistent checkerboard parity, pad-cell
-    # validity mask.
+    result = _sharded_pressure_solve(p, rhs, params, pressure_method,
+                                     li, lj, valid, gi, gj)
+    p = result.p
+
+    # Projection (main.c:131-136), masked by the global update domains.
+    u_new = F[1:-1, 1:-1] - dt * (p[2:, 1:-1] - p[1:-1, 1:-1]) / dx
+    v_new = G[1:-1, 1:-1] - dt * (p[1:-1, 2:] - p[1:-1, 1:-1]) / dy
+    u = u.at[1:-1, 1:-1].set(
+        jnp.where((gi <= params.i_max - 1) & (gj <= params.j_max),
+                  u_new, u[1:-1, 1:-1])
+    )
+    v = v.at[1:-1, 1:-1].set(
+        jnp.where((gj <= params.j_max - 1) & (gi <= params.i_max),
+                  v_new, v[1:-1, 1:-1])
+    )
+    if params.obstacles:
+        # The projection sweeps obstacle faces too — restore no-slip so
+        # the state stays consistent (solver.step does the same).
+        u, v = _apply_obstacle_bcs_sharded(u, v, params)
+    return u, v, p, dt, result
+
+
+def _sharded_pressure_solve(p, rhs, params: Params, pressure_method: str,
+                            li, lj, valid, gi, gj):
+    """Pressure solve on local padded blocks with the sharded hooks:
+    ppermute+masked-Neumann ghost_fn, psum'd L2 norm, globally-consistent
+    checkerboard parity, pad-cell validity mask.  Shared by the isothermal
+    and thermal sharded steps (the solve is physics-agnostic — only the
+    rhs differs)."""
+    dx, dy = params.dx, params.dy
     ox = lax.axis_index("x") * li
     oy = lax.axis_index("y") * lj
     n_cells = params.i_max * params.j_max
@@ -549,24 +576,7 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
             parity=(ox + oy) % 2,
             valid_mask=valid,
         )
-    p = result.p
-
-    # Projection (main.c:131-136), masked by the global update domains.
-    u_new = F[1:-1, 1:-1] - dt * (p[2:, 1:-1] - p[1:-1, 1:-1]) / dx
-    v_new = G[1:-1, 1:-1] - dt * (p[1:-1, 2:] - p[1:-1, 1:-1]) / dy
-    u = u.at[1:-1, 1:-1].set(
-        jnp.where((gi <= params.i_max - 1) & (gj <= params.j_max),
-                  u_new, u[1:-1, 1:-1])
-    )
-    v = v.at[1:-1, 1:-1].set(
-        jnp.where((gj <= params.j_max - 1) & (gi <= params.i_max),
-                  v_new, v[1:-1, 1:-1])
-    )
-    if params.obstacles:
-        # The projection sweeps obstacle faces too — restore no-slip so
-        # the state stays consistent (solver.step does the same).
-        u, v = _apply_obstacle_bcs_sharded(u, v, params)
-    return u, v, p, dt, result
+    return result
 
 
 def _local_solve(u, v, p, t0, params: Params, pressure_method: str):

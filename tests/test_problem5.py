@@ -161,12 +161,9 @@ def test_cli_problem5_rejects_isothermal_checkpoint(tmp_path, capsys):
     assert "temperature" in capsys.readouterr().err
 
 
-def test_cli_problem5_rejects_sharded_backend(tmp_path, capsys):
+def test_cli_problem5_rejects_mesh_on_single_chip(tmp_path, capsys):
     cfg = tmp_path / "c.in"
     _write_config(cfg)
-    rc = cli.main([str(cfg), "--backend", "sharded"])
-    assert rc == 1
-    assert "gspmd" in capsys.readouterr().err
     # --mesh needs a multi-chip backend
     rc = cli.main([str(cfg), "--mesh", "2x2"])
     assert rc == 1
