@@ -150,6 +150,97 @@ def _bench_ensemble(params, args):
     return 0
 
 
+def _bench_thermal(params, args, mesh_arg):
+    """Problem-5 (natural convection) benchmark arm: times the Boussinesq
+    `while t < T` integration on the requested backend.  Beyond-reference
+    workload — its own metric name, no vs_baseline (like problem 3)."""
+    import jax
+
+    from navierstokes_parallel_tpu.models import convection as conv
+    from navierstokes_parallel_tpu.utils.timing import device_fence
+
+    cfg = conv.config_from_params(params)
+    state = conv.allocate_thermal(params, cfg)
+    if args.method != "auto":
+        method = args.method
+    elif args.backend in ("sharded", "gspmd"):
+        method = "rb_sor"
+    else:
+        from navierstokes_parallel_tpu.ops.sor import default_method
+
+        method = default_method(params)
+    if args.backend == "sharded":
+        from navierstokes_parallel_tpu.parallel.sharded_thermal import (
+            compile_sharded_thermal_solve,
+        )
+
+        print(f"pressure solver: {method} (sharded thermal)",
+              file=sys.stderr)
+        runner = compile_sharded_thermal_solve(params, cfg, state, mesh_arg,
+                                               pressure_method=method)
+
+        def run():
+            uo, vo, po, To, t, stats = runner.run_device()
+            return uo, stats
+    elif args.backend == "gspmd":
+        from navierstokes_parallel_tpu.models.convection import (
+            _make_thermal_gspmd, place_thermal,
+        )
+        from navierstokes_parallel_tpu.parallel import gspmd
+
+        if method == "pallas_sor":
+            print("warning: gspmd backend cannot run pallas_sor; using "
+                  "rb_sor", file=sys.stderr)
+            method = "rb_sor"
+        print(f"pressure solver: {method} (gspmd thermal)", file=sys.stderr)
+        mesh = mesh_arg if mesh_arg is not None else gspmd._default_mesh()
+        fn = _make_thermal_gspmd(params, cfg, mesh, method,
+                                 whole_solve=True)
+        placed = place_thermal(state, params, mesh)
+        compiled = fn.lower(placed).compile()
+
+        def run():
+            out, stats = compiled(placed)
+            return out.u, stats
+    else:
+        print(f"pressure solver: {method} (thermal)", file=sys.stderr)
+        compiled = (
+            conv._thermal_solve_on_device
+            .lower(params, cfg, state, method)
+            .compile()
+        )
+
+        def run():
+            out, stats = compiled(state)
+            return out.u, stats
+
+    out, stats = run()
+    device_fence(out)
+    best = float("inf")
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        out, stats = run()
+        device_fence(out)
+        best = min(best, time.perf_counter() - t0)
+
+    n = params.i_max
+    total_iters = int(stats.total_sor_iterations)
+    mlups = total_iters * params.i_max * params.j_max / best / 1e6
+    print(
+        f"steps={int(stats.steps)} sor_iterations={total_iters} "
+        f"sor_failures={int(stats.sor_failures)} mlups={mlups:.1f} "
+        f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": f"convection{n}_ra{params.Ra:g}_solver_seconds",
+        "value": round(best, 6),
+        "unit": "s",
+        "vs_baseline": None,
+    }))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/1.in")
@@ -298,6 +389,9 @@ def main(argv=None):
 
     if args.ensemble > 0:
         return _bench_ensemble(params, args)
+
+    if params.problem == 5:
+        return _bench_thermal(params, args, mesh_arg)
 
     if args.backend == "sharded":
         # Honor --method: auto takes the pencil-decomposed all_to_all DCT
@@ -451,22 +545,32 @@ def main(argv=None):
         vpu_throughput_probe,
     )
 
-    bw = hbm_bandwidth_probe()
-    roofline = sweep_roofline_mlups(bw)
-    roofline_pct = 100.0 * mlups / roofline
-    # VPU roofline (round-4 verdict item 7): the VMEM-resident kernel
-    # touches HBM twice per K sweeps, so its BINDING resource is the VPU —
-    # the HBM roofline is the wrong bound for it.  The binding roofline is
-    # min(HBM, VPU); the north star is >= 80% of THAT.
-    vpu_slots = vpu_throughput_probe()
-    vpu_roofline = sweep_vpu_roofline_mlups(vpu_slots)
+    if jax.default_backend() == "tpu":
+        bw = hbm_bandwidth_probe()
+        roofline = sweep_roofline_mlups(bw)
+        roofline_pct = 100.0 * mlups / roofline
+        # VPU roofline (round-4 verdict item 7): the VMEM-resident kernel
+        # touches HBM twice per K sweeps, so its BINDING resource is the
+        # VPU — the HBM roofline is the wrong bound for it.  The binding
+        # roofline is min(HBM, VPU); the north star is >= 80% of THAT.
+        vpu_slots = vpu_throughput_probe()
+        vpu_roofline = sweep_vpu_roofline_mlups(vpu_slots)
+    else:
+        # The probes are sized for the TPU (the differenced windows must
+        # dwarf the ~30 ms tunnel fence jitter) — on CPU they'd burn
+        # minutes to model hardware nobody benchmarks, so the roofline
+        # accounting is TPU-only.
+        bw = roofline = vpu_slots = vpu_roofline = float("nan")
+        roofline_pct = float("nan")
     # Which resource binds depends on the ROUTE that actually ran: the
     # VMEM-resident pallas kernel streams HBM twice per K sweeps, so the
     # VPU binds it; the jnp rb_sor streams every sweep through HBM, so HBM
     # binds it.  mg/fft/cg sweeps are a different op mix entirely — the
     # per-sweep roofline model does not apply (their north star is
     # wall-clock), so no binding claim is printed for them.
-    if "pallas" in resolved_method:
+    if jax.default_backend() != "tpu":
+        binding, binding_name = None, "n/a"
+    elif "pallas" in resolved_method:
         binding, binding_name = vpu_roofline, "vpu"
     elif resolved_method in ("rb_sor", "rb_sor_sync"):
         binding, binding_name = roofline, "hbm"
