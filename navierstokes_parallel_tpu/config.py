@@ -178,6 +178,21 @@ class Params:
     # Schäfer-Turek force coefficients 2-5% low.  Empty () keeps the
     # plain mirror/zero staircase semantics.
     obstacle_surfaces: tuple = ()
+    # Pressure operator at immersed boundaries (ops/masked.py):
+    #   "staircase" — binary neighbor weights (solid neighbor -> weight 0),
+    #                 the homogeneous-Neumann wall sits on the cell faces.
+    #   "aperture"  — cut-cell face fractions from the obstacle_surfaces
+    #                 level set (ops/obstacles.py::apertures): each
+    #                 fluid-fluid face weight is scaled by its open
+    #                 fraction and the Poisson RHS uses the aperture-
+    #                 weighted divergence, so the Neumann wall sits on the
+    #                 TRUE surface (second order, vs O(dx) staircase
+    #                 placement).  Requires obstacle_surfaces.
+    #   "auto"      — aperture iff obstacle_surfaces is set.
+    # The round-3/4 Schäfer-Turek ladders showed the staircase pressure
+    # operator is what keeps cd/cl outside the published bands even with
+    # second-order ghost-fluid velocity BCs.
+    obstacle_pressure: str = "auto"
     # Problem 5 (natural convection, models/convection.py) thermal
     # parameters — reachable from the reference protocol via OPTIONAL
     # extra parameter-file lines 16 (Ra) and 17 (Pr), see from_lines.
@@ -269,6 +284,14 @@ class Params:
                     raise ValueError(f"plane normal must be nonzero: {s!r}")
                 surfs.append((s[0],) + vals)
             object.__setattr__(self, "obstacle_surfaces", tuple(surfs))
+        if self.obstacle_pressure not in ("auto", "staircase", "aperture"):
+            raise ValueError(
+                f"obstacle_pressure must be 'auto', 'staircase' or "
+                f"'aperture', got {self.obstacle_pressure!r}")
+        if self.obstacle_pressure == "aperture" and not self.obstacle_surfaces:
+            raise ValueError(
+                "obstacle_pressure='aperture' needs obstacle_surfaces (the "
+                "face fractions come from the analytic level set)")
         if not (1 <= self.mg_cycles_per_outer <= 8):
             raise ValueError(
                 f"mg_cycles_per_outer must be in 1..8, got "

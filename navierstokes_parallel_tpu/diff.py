@@ -206,9 +206,9 @@ def diff_step(state: State, params: Params, controls: Optional[Controls]
                                g_x=controls.g_x, g_y=controls.g_y)
     if params.obstacles:
         F, G = obs.pin_fg(F, G, u, v, params)
-    rhs = momentum.compute_rhs(F, G, dt, params)
-    if params.obstacles:
-        rhs = obs.mask_rhs(rhs, params)
+        rhs = obs.poisson_rhs(F, G, dt, params)
+    else:
+        rhs = momentum.compute_rhs(F, G, dt, params)
     p_new = pressure_solve_ift(p, rhs, params, pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, p_new, dt, params)
     if params.obstacles:
@@ -263,9 +263,9 @@ def diff_thermal_step(ts, params: Params, cfg, pressure_method: str = "mg"):
     F, G = energy.buoyant_fg(F, G, T_new, dt, cfg.beta_gx, cfg.beta_gy)
     if params.obstacles:
         F, G = obs.pin_fg(F, G, u, v, params)
-    rhs = momentum.compute_rhs(F, G, dt, params)
-    if params.obstacles:
-        rhs = obs.mask_rhs(rhs, params)
+        rhs = obs.poisson_rhs(F, G, dt, params)
+    else:
+        rhs = momentum.compute_rhs(F, G, dt, params)
     p_new = pressure_solve_ift(p, rhs, params, pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, p_new, dt, params)
     if params.obstacles:

@@ -288,9 +288,9 @@ def thermal_step(ts: ThermalState, params: Params, cfg: ThermalConfig,
     F, G = energy.buoyant_fg(F, G, T_new, dt, cfg.beta_gx, cfg.beta_gy)
     if params.obstacles:
         F, G = obs.pin_fg(F, G, u, v, params)
-    rhs = momentum.compute_rhs(F, G, dt, params)
-    if params.obstacles:
-        rhs = obs.mask_rhs(rhs, params)
+        rhs = obs.poisson_rhs(F, G, dt, params)
+    else:
+        rhs = momentum.compute_rhs(F, G, dt, params)
     result = sor.solve_pressure(p, rhs, params, method=pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, result.p, dt, params)
     if params.obstacles:

@@ -226,6 +226,17 @@ def solve_free(params: Params, fs: FreeSurfaceState, *,
     """Integrate to t >= T in one on-device while_loop.  With `mesh` (a
     jax.sharding.Mesh) the run is multi-chip via the GSPMD recipe — see
     `place_free`; the returned state is the unpadded device view."""
+    from ..ops import obstacles as obs
+
+    if obs.aperture_active(params):
+        # The free-surface pressure operator is rebuilt per step from the
+        # TRACED flag field (ops/surface.py) — the static cut-cell face
+        # fractions don't compose with it.  Refuse rather than silently
+        # mixing second-order velocity BCs with a staircase solve.
+        raise ValueError(
+            "free-surface runs use the traced staircase pressure operator "
+            "— set obstacle_pressure='staircase' (cut-cell apertures are "
+            "static and cannot follow the moving fluid region)")
     if mesh is not None:
         fn = _make_free_gspmd(params, mesh, wall, ppc, p_surface,
                               whole_solve=True)

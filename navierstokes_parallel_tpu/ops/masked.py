@@ -58,13 +58,24 @@ class _Weights(NamedTuple):
 
 
 def _build_weights(fluid_padded: np.ndarray, dx2_inv: float,
-                   dy2_inv: float) -> _Weights:
+                   dy2_inv: float, au: np.ndarray = None,
+                   av: np.ndarray = None) -> _Weights:
+    """Neighbor weights from the flag field; with face-fraction arrays
+    `au`/`av` (padded, ops/obstacles.py::Apertures) each fluid-fluid weight
+    is additionally scaled by its open fraction — the cut-cell closure.
+    The staircase booleans still gate every coupling, so solid neighbors
+    and ghost cells never enter regardless of their face fraction."""
     fl = fluid_padded
     interior = fl[1:-1, 1:-1]
     w_e = np.where(interior & fl[2:, 1:-1], dx2_inv, 0.0)
     w_w = np.where(interior & fl[:-2, 1:-1], dx2_inv, 0.0)
     w_n = np.where(interior & fl[1:-1, 2:], dy2_inv, 0.0)
     w_s = np.where(interior & fl[1:-1, :-2], dy2_inv, 0.0)
+    if au is not None:
+        w_e = w_e * au[1:-1, 1:-1]
+        w_w = w_w * au[:-2, 1:-1]
+        w_n = w_n * av[1:-1, 1:-1]
+        w_s = w_s * av[1:-1, :-2]
     diag = w_e + w_w + w_n + w_s
     diag = np.where(diag > 0.0, diag, 1.0)  # inert on solid cells
     return _Weights(w_e=w_e, w_w=w_w, w_n=w_n, w_s=w_s, diag=diag,
@@ -74,6 +85,10 @@ def _build_weights(fluid_padded: np.ndarray, dx2_inv: float,
 @functools.lru_cache(maxsize=32)
 def _weights(params: Params) -> _Weights:
     fl = obstacles.masks(params).fluid
+    if obstacles.aperture_active(params):
+        ap = obstacles.apertures(params)
+        return _build_weights(fl, 1.0 / (params.dx * params.dx),
+                              1.0 / (params.dy * params.dy), ap.au, ap.av)
     return _build_weights(fl, 1.0 / (params.dx * params.dx),
                           1.0 / (params.dy * params.dy))
 
@@ -139,14 +154,22 @@ class _MaskedLevel(NamedTuple):
 def _masked_levels(params: Params, min_cells: int = 8):
     """Coarsen geometry by 2: coarse cell fluid iff ANY child is fluid
     (keeps narrow channels open so the coarse correction can travel), with
-    weights rebuilt from the coarse mask at the coarse spacing."""
+    weights rebuilt from the coarse mask at the coarse spacing.  In
+    aperture mode the face fractions coarsen geometrically alongside —
+    a coarse face's open fraction is the mean of its two children's — so
+    every level smooths the cut-cell operator, not the staircase one."""
     fl = obstacles.masks(params).fluid
     ni, nj = params.i_max, params.j_max
     dx2_inv = 1.0 / (params.dx * params.dx)
     dy2_inv = 1.0 / (params.dy * params.dy)
+    if obstacles.aperture_active(params):
+        ap = obstacles.apertures(params)
+        au, av = ap.au, ap.av
+    else:
+        au = av = None
     levels: List[_MaskedLevel] = []
     while True:
-        w = _build_weights(fl, dx2_inv, dy2_inv)
+        w = _build_weights(fl, dx2_inv, dy2_inv, au, av)
         ii, jj = np.meshgrid(np.arange(1, ni + 1), np.arange(1, nj + 1),
                              indexing="ij")
         checker = (ii + jj) % 2 == 0
@@ -157,7 +180,20 @@ def _masked_levels(params: Params, min_cells: int = 8):
             break
         blocks = fl[1:-1, 1:-1].reshape(ni // 2, 2, nj // 2, 2)
         coarse = blocks.any(axis=(1, 3))
-        ni, nj = ni // 2, nj // 2
+        ni_c, nj_c = ni // 2, nj // 2
+        if au is not None:
+            # Coarse east face of coarse cell (I, J) = fine east faces of
+            # fine cell 2I at rows 2J-1 and 2J (1-based padded indices).
+            au_c = np.zeros((ni_c + 2, nj_c + 2))
+            au_c[1 : ni_c + 1, 1 : nj_c + 1] = 0.5 * (
+                au[2 : ni + 1 : 2, 1 : nj : 2]
+                + au[2 : ni + 1 : 2, 2 : nj + 1 : 2])
+            av_c = np.zeros((ni_c + 2, nj_c + 2))
+            av_c[1 : ni_c + 1, 1 : nj_c + 1] = 0.5 * (
+                av[1 : ni : 2, 2 : nj + 1 : 2]
+                + av[2 : ni + 1 : 2, 2 : nj + 1 : 2])
+            au, av = au_c, av_c
+        ni, nj = ni_c, nj_c
         dx2_inv /= 4.0
         dy2_inv /= 4.0
         fl = np.zeros((ni + 2, nj + 2), bool)

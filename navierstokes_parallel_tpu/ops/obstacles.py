@@ -214,9 +214,11 @@ def _apply_obstacle_bcs_ib(u, v, params: Params, m: ObstacleMasks):
 # as constants, exactly like the mirror masks).  This is the classic
 # ghost-cell immersed-boundary closure (Tseng & Ferziger 2003), exact for
 # linear profiles — i.e. second-order — where the mirror BC is exact only
-# when the wall happens to sit halfway.  The pressure operator keeps the
-# staircase Neumann masks (ops/masked.py): its O(dx) wall placement
-# enters the forces one order higher than the velocity BC's.
+# when the wall happens to sit halfway.  The PRESSURE operator gets its
+# own second-order closure from the same level set — the cut-cell face
+# apertures below (the round-4 ladder showed the staircase pressure wall
+# is what keeps the extrapolated forces outside the published bands even
+# with these velocity BCs).
 #
 # Degenerate geometry (rasterization/erosion mismatches where the level
 # set disagrees with the cell flags) falls back to the mirror/zero value,
@@ -371,6 +373,181 @@ def ib_weights(params: Params) -> IBWeights:
         v_wn=weights_on(v_norm_n, v_xy, 1, +1, 0.0),
         v_ws=weights_on(v_norm_s, v_xy, 1, -1, 0.0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cut-cell face apertures: the second-order PRESSURE closure.
+#
+# The masked operator above drops solid neighbors per cell, which places the
+# homogeneous-Neumann pressure wall on the cell-face staircase — an O(dx)
+# geometry error.  The round-3/4 Schäfer-Turek ladders showed this is what
+# keeps the Richardson-extrapolated drag/lift outside the published bands
+# even with second-order ghost-fluid VELOCITY BCs.  With an analytic level
+# set available (Params.obstacle_surfaces) the finite-volume flux balance
+# can instead use the OPEN FRACTION of each face:
+#
+#     sum_d (A_d / h^2) (p_d - p_P) = (1/dt) * div_A(F, G),
+#     div_A = (A_e F_e - A_w F_w)/dx + (A_n G_n - A_s G_s)/dy
+#
+# where A_d in [0, 1] is the fluid fraction of face d (located by bisection
+# on the level set at mask-build time — all static numpy constants, exactly
+# like the masks).  This is the classic cut-cell / partial-face closure
+# (Johansen & Colella 1998 embedded boundaries; FAVOR): the zero-flux wall
+# condition is applied on the TRUE surface crossing each cut face, the
+# operator stays 5-point and symmetric (the face fraction is shared by both
+# cells), and on geometry aligned with the staircase every fraction is 0/1
+# so it reduces BIT-identically to the masked operator.  DOFs remain the
+# flag-fluid cells: fractions are computed for every face but the operator
+# keeps only fluid-fluid couplings (ops/masked.py multiplies by the same
+# staircase booleans), while the RHS divergence keeps the domain-wall faces
+# open so the pinned outer-wall F/G fluxes enter exactly as before —
+# discrete compatibility (sum of the RHS over the fluid component equals
+# the outer-boundary flux sum) is preserved.
+# ---------------------------------------------------------------------------
+
+#: Faces between two flag-fluid cells never close completely: a zero (or
+#: near-zero) aperture from a tangent level set would disconnect DOFs the
+#: geometry check (flags) believes are connected and can zero a fluid
+#: cell's diagonal.  The floor only triggers on degenerate tangencies
+#: (wall-resolved grids keep fluid-fluid fractions O(1)).
+APERTURE_FLOOR = 0.05
+
+
+def aperture_active(params: Params) -> bool:
+    """Whether the cut-cell pressure closure applies (config.py
+    `obstacle_pressure`: explicit, or 'auto' iff surfaces are present)."""
+    if not params.obstacles:
+        return False
+    if params.obstacle_pressure == "aperture":
+        return True
+    if params.obstacle_pressure == "staircase":
+        return False
+    return bool(params.obstacle_surfaces)
+
+
+class Apertures(NamedTuple):
+    """Static float64 face-fraction arrays, padded-shaped like F/G:
+    `au[i, j]` = open fraction of the vertical face between cells (i, j)
+    and (i+1, j) (the face u/F edge (i, j) lives on), `av[i, j]` the
+    horizontal face between (i, j) and (i, j+1).  Faces touching an
+    interior SOLID cell are closed (0); faces to ghost cells keep their
+    level-set fraction (~1 away from obstacles) so the outer-wall fluxes
+    stay in the RHS.  `theta` is the interior-shaped fluid volume fraction
+    (subsampled on cut cells) — used by truncation tests, not the solver."""
+
+    au: np.ndarray
+    av: np.ndarray
+    theta: np.ndarray
+
+
+def _face_fractions(phi, p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
+    """Fluid fraction of each segment p0 -> p1 ((N, 2) endpoints): 1/0 when
+    the level set does not change sign, else located by bisection."""
+    f0 = phi(p0[:, 0], p0[:, 1])
+    f1 = phi(p1[:, 0], p1[:, 1])
+    frac = np.where((f0 >= 0.0) & (f1 >= 0.0), 1.0, 0.0)
+    mixed = (f0 < 0.0) != (f1 < 0.0)
+    if mixed.any():
+        a = np.where(f0[mixed, None] < 0.0, p0[mixed], p1[mixed])
+        b = np.where(f0[mixed, None] < 0.0, p1[mixed], p0[mixed])
+        t = _bisect_crossing(phi, a, b)   # solid end -> fluid end
+        frac[mixed] = 1.0 - t
+    return frac
+
+
+@functools.lru_cache(maxsize=32)
+def apertures(params: Params) -> Apertures:
+    """Build the static cut-cell face fractions (see Apertures)."""
+    fl = masks(params).fluid
+    ni, nj = params.i_max, params.j_max
+    dx, dy = params.dx, params.dy
+    phi = _surface_phi(params.obstacle_surfaces)
+    shape = fl.shape
+    solid_int = np.zeros(shape, bool)
+    solid_int[1:-1, 1:-1] = ~fl[1:-1, 1:-1]
+
+    # Level set at cell corners (i*dx, j*dy), i = 0..ni, j = 0..nj.
+    ci = np.arange(ni + 1) * dx
+    cj = np.arange(nj + 1) * dy
+    phi_c = phi(ci[:, None], cj[None, :])
+
+    def fractions(pos0, pos1, sign0, sign1):
+        """Vectorized face fractions from corner signs; bisect only the
+        cut faces."""
+        frac = np.where(sign0 & sign1, 1.0, 0.0)
+        mixed = sign0 != sign1
+        if mixed.any():
+            idx = np.argwhere(mixed)
+            p0 = pos0(idx)
+            p1 = pos1(idx)
+            frac[mixed] = _face_fractions(phi, p0, p1)
+        return frac
+
+    flu_c = phi_c >= 0.0
+    # u-faces: au[i, j], i = 0..ni, j = 1..nj, segment corner (i, j-1) ->
+    # corner (i, j).
+    au = np.zeros(shape)
+    au[: ni + 1, 1 : nj + 1] = fractions(
+        lambda idx: np.stack([idx[:, 0] * dx, idx[:, 1] * dy], axis=1),
+        lambda idx: np.stack([idx[:, 0] * dx, (idx[:, 1] + 1) * dy], axis=1),
+        flu_c[:, :-1], flu_c[:, 1:])
+    # v-faces: av[i, j], i = 1..ni, j = 0..nj, corner (i-1, j) -> (i, j).
+    av = np.zeros(shape)
+    av[1 : ni + 1, : nj + 1] = fractions(
+        lambda idx: np.stack([idx[:, 0] * dx, idx[:, 1] * dy], axis=1),
+        lambda idx: np.stack([(idx[:, 0] + 1) * dx, idx[:, 1] * dy], axis=1),
+        flu_c[:-1, :], flu_c[1:, :])
+
+    # Close faces touching an interior solid cell (their fluxes are not
+    # DOF-corrected; the discrete domain boundary follows the staircase
+    # there, clipped by the true wall elsewhere).
+    au[:-1, :][solid_int[:-1, :] | solid_int[1:, :]] = 0.0
+    av[:, :-1][solid_int[:, :-1] | solid_int[:, 1:]] = 0.0
+    # Floor fluid-fluid faces (see APERTURE_FLOOR).
+    ff_u = np.zeros(shape, bool)
+    ff_u[:-1, :] = fl[:-1, :] & fl[1:, :]
+    ff_v = np.zeros(shape, bool)
+    ff_v[:, :-1] = fl[:, :-1] & fl[:, 1:]
+    au[ff_u] = np.maximum(au[ff_u], APERTURE_FLOOR)
+    av[ff_v] = np.maximum(av[ff_v], APERTURE_FLOOR)
+
+    # Volume fractions: 1 on uncut fluid, 0 on solid, subsampled (64x64
+    # midpoint rule) on flag-fluid cells whose corners straddle the wall.
+    theta = fl[1:-1, 1:-1].astype(float)
+    corner_solid = ~flu_c
+    cut = np.zeros((ni, nj), bool)
+    cut |= corner_solid[:-1, :-1] | corner_solid[1:, :-1]
+    cut |= corner_solid[:-1, 1:] | corner_solid[1:, 1:]
+    cut &= fl[1:-1, 1:-1]
+    if cut.any():
+        s = 64
+        off = (np.arange(s) + 0.5) / s
+        idx = np.argwhere(cut)
+        xs = (idx[:, 0:1] + off[None, :]) * dx      # (N, s)
+        ys = (idx[:, 1:2] + off[None, :]) * dy
+        vals = phi(xs[:, :, None], ys[:, None, :]) >= 0.0
+        theta[cut] = vals.mean(axis=(1, 2))
+    return Apertures(au=au, av=av, theta=theta)
+
+
+def poisson_rhs(F: jax.Array, G: jax.Array, dt, params: Params) -> jax.Array:
+    """Poisson RHS for obstacle domains: the aperture-weighted divergence
+    when the cut-cell closure is active (see `apertures`), else the plain
+    divergence; zero on solid cells either way.  Call with F/G already
+    pinned (`pin_fg`) — in aperture mode the pinned obstacle-face values
+    drop out (their faces are closed) but the outer-wall fluxes remain."""
+    from . import momentum
+
+    if not aperture_active(params):
+        return mask_rhs(momentum.compute_rhs(F, G, dt, params), params)
+    ap = apertures(params)
+    Fa = F * jnp.asarray(ap.au, F.dtype)
+    Ga = G * jnp.asarray(ap.av, G.dtype)
+    div = (Fa[1:-1, 1:-1] - Fa[:-2, 1:-1]) / params.dx + (
+        Ga[1:-1, 1:-1] - Ga[1:-1, :-2]) / params.dy
+    rhs = jnp.zeros_like(F)
+    rhs = rhs.at[1:-1, 1:-1].set(div / dt)
+    return mask_rhs(rhs, params)
 
 
 def pin_fg(F: jax.Array, G: jax.Array, u: jax.Array, v: jax.Array,

@@ -77,11 +77,12 @@ def step(
         F, G = momentum.compute_fg(u, v, dt, gamma, params)
         if params.obstacles:
             # F = u on obstacle faces BEFORE the divergence, then no
-            # equation on solid cells.
+            # equation on solid cells; with the cut-cell closure the
+            # divergence is aperture-weighted (obstacles.poisson_rhs).
             F, G = obs.pin_fg(F, G, u, v, params)
-        rhs = momentum.compute_rhs(F, G, dt, params)
-        if params.obstacles:
-            rhs = obs.mask_rhs(rhs, params)
+            rhs = obs.poisson_rhs(F, G, dt, params)
+        else:
+            rhs = momentum.compute_rhs(F, G, dt, params)
     result = sor.solve_pressure(p, rhs, params, method=pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, result.p, dt, params)
     if params.obstacles:

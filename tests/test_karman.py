@@ -92,15 +92,17 @@ def test_schafer_turek_circle_strouhal_and_forces():
     st, amp = K.strouhal(trace.t, trace.v, skip_frac=0.7)
     assert amp > 0.2, f"wake never saturated (amp={amp})"
     co = K.coefficients(trace, params, skip_frac=0.7)
-    # Golden coarse-grid values (sharp ghost-fluid cylinder, measured
-    # 2026-08-19 on CPU x64 with the f32 state): a 15% force regression
-    # sailed through the old physical-band windows (round-3 verdict);
-    # +-3% around the committed values catches drift while absorbing
-    # cross-platform f32 reduction noise.
-    assert st == pytest.approx(0.2606, rel=0.03), st
-    assert co["cd_max"] == pytest.approx(3.7084, rel=0.03), co
-    assert co["cl_max"] == pytest.approx(0.6675, rel=0.03), co
-    assert co["dp_mean"] == pytest.approx(2.3161, rel=0.03), co
+    # Golden coarse-grid values (sharp ghost-fluid velocity BCs + cut-cell
+    # aperture pressure operator — the sharp default, measured 2026-08-19
+    # on CPU x64 with the f32 state): a 15% force regression sailed
+    # through the old physical-band windows (round-3 verdict); +-3%
+    # around the committed values catches drift while absorbing
+    # cross-platform f32 reduction noise.  The staircase-pressure A/B at
+    # this grid: st 0.2606, cd_max 3.7084, cl_max 0.6675, dp 2.3161.
+    assert st == pytest.approx(0.2626, rel=0.03), st
+    assert co["cd_max"] == pytest.approx(3.6127, rel=0.03), co
+    assert co["cl_max"] == pytest.approx(0.6310, rel=0.03), co
+    assert co["dp_mean"] == pytest.approx(2.3130, rel=0.03), co
     assert abs(co["cl_mean"]) < 0.15, co        # lift oscillates about 0
 
 
