@@ -43,6 +43,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..config import Params
@@ -101,12 +102,18 @@ def _ext_masks(ext_shape, H, ox, oy, i_max, j_max, dx2_inv, dy2_inv):
     return interior, red, black, self_coef
 
 
-def _ext_masked_weights(ext_shape, H, ox, oy, params, dx2_inv, dy2_inv):
+def _ext_masked_weights(ext_shape, H, ox, oy, params, dx2_inv, dy2_inv,
+                        li=None, lj=None):
     """Obstacle-domain analogue of `_ext_masks`: per-cell neighbor weights
     and diagonal of the masked operator (ops/masked.py::_build_weights) on
     the extended block, rebuilt from global indices — the static rect list
-    folds into the program, so no mask arrays cross shard boundaries."""
-    from ..ops.obstacles import fluid_from_indices
+    folds into the program, so no mask arrays cross shard boundaries.
+    With the cut-cell closure active, each fluid-fluid weight is scaled
+    by its face fraction, dynamic-sliced from the same global numpy
+    constants the single-chip operator folds in (`li`/`lj` locate the
+    shard inside the divisibility-padded extent)."""
+    from ..ops.obstacles import aperture_active, apertures, \
+        fluid_from_indices
 
     gi = lax.broadcasted_iota(jnp.int32, ext_shape, 0) + (ox - H + 1)
     gj = lax.broadcasted_iota(jnp.int32, ext_shape, 1) + (oy - H + 1)
@@ -120,6 +127,26 @@ def _ext_masked_weights(ext_shape, H, ox, oy, params, dx2_inv, dy2_inv):
     w_w = jnp.where(fl & fl_w, dx2_inv, jnp.zeros((), f32))
     w_n = jnp.where(fl & fl_n, dy2_inv, jnp.zeros((), f32))
     w_s = jnp.where(fl & fl_s, dy2_inv, jnp.zeros((), f32))
+    if aperture_active(params):
+        ap = apertures(params)
+
+        def cover(arr_np):
+            # Array covering global index range [-H, N_pad + H + 1]
+            # (position = g + H): ext-block slices can start H-1 cells
+            # before the origin and end H past the padded extent.
+            npx = lax.axis_size("x") * li
+            npy = lax.axis_size("y") * lj
+            full = np.zeros((npx + 2 * H + 2, npy + 2 * H + 2), np.float64)
+            full[H : H + arr_np.shape[0], H : H + arr_np.shape[1]] = arr_np
+            return jnp.asarray(full, f32)
+
+        au_cov, av_cov = cover(ap.au), cover(ap.av)
+        # Ext cell (a, b) is global (gi, gj) = (ox - H + 1 + a, ...);
+        # au[gi, gj] sits at cover position gi + H -> slice start ox + 1.
+        w_e = w_e * lax.dynamic_slice(au_cov, (ox + 1, oy + 1), ext_shape)
+        w_w = w_w * lax.dynamic_slice(au_cov, (ox, oy + 1), ext_shape)
+        w_n = w_n * lax.dynamic_slice(av_cov, (ox + 1, oy + 1), ext_shape)
+        w_s = w_s * lax.dynamic_slice(av_cov, (ox + 1, oy), ext_shape)
     diag = w_e + w_w + w_n + w_s
     diag = jnp.where(diag > 0.0, diag, jnp.ones((), f32))
     par = (gi + gj) & 1
@@ -289,7 +316,7 @@ def make_deep_inner(params: Params, li: int, lj: int, *,
             # construction: mask_rhs zeroed them and the sweeps never
             # update non-fluid cells).
             _, weights, red, black = _ext_masked_weights(
-                ext_shape, H, ox, oy, params, dx2_inv, dy2_inv)
+                ext_shape, H, ox, oy, params, dx2_inv, dy2_inv, li, lj)
 
         def clean_extend(local_int):
             ext = extend_block(local_int.astype(f32), H)

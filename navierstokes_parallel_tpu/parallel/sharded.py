@@ -245,6 +245,37 @@ def _obstacle_edge_masks(params: Params, shape):
     return u_solid, u_refl_n, u_refl_s, v_solid, v_refl_e, v_refl_w
 
 
+def _global_block_slice(arr_np, shape, dtype):
+    """Local padded-block slice of a GLOBAL padded-layout numpy constant
+    (shape (i_max+2, j_max+2)): pad on the high side to the sharded
+    (possibly divisibility-padded) extent, embed as a jit constant, and
+    dynamic-slice at the shard origin — global index g lands at array
+    position g, and the block ring starts at g = shard_origin
+    (halo.padded_global_indices), so the slice start IS the origin.
+    This is how static per-cell/per-edge GEOMETRY VALUES (ghost-fluid BC
+    weights, cut-cell face fractions) reach shard_map without scatter
+    machinery: the index-form predicates say WHERE, these slices say HOW
+    MUCH."""
+    li, lj = shape[0] - 2, shape[1] - 2
+    npx = lax.axis_size("x") * li
+    npy = lax.axis_size("y") * lj
+    full = np.zeros((npx + 2, npy + 2), np.float64)
+    full[: arr_np.shape[0], : arr_np.shape[1]] = arr_np
+    ox = lax.axis_index("x") * li
+    oy = lax.axis_index("y") * lj
+    return lax.dynamic_slice(jnp.asarray(full, dtype), (ox, oy), shape)
+
+
+def _aperture_blocks(params: Params, shape, dtype):
+    """(au, av) local-block slices of the cut-cell face fractions
+    (ops/obstacles.py::apertures), aligned with the local F/G blocks."""
+    from ..ops.obstacles import apertures
+
+    ap = apertures(params)
+    return (_global_block_slice(ap.au, shape, dtype),
+            _global_block_slice(ap.av, shape, dtype))
+
+
 def _exchange_seams_only(arr):
     """Re-pull halo rings from their owners where an owner EXISTS, keeping
     physical-boundary ring rows untouched — a plain exchange would zero
@@ -273,10 +304,32 @@ def _apply_obstacle_bcs_sharded(u, v, params: Params):
     v = _exchange_seams_only(v)
     u_solid, u_refl_n, u_refl_s, v_solid, v_refl_e, v_refl_w = \
         _obstacle_edge_masks(params, u.shape)
-    u_bc = jnp.where(u_refl_n, -jnp.roll(u, -1, 1),
-                     jnp.where(u_refl_s, -jnp.roll(u, 1, 1), 0.0))
-    v_bc = jnp.where(v_refl_e, -jnp.roll(v, -1, 0),
-                     jnp.where(v_refl_w, -jnp.roll(v, 1, 0), 0.0))
+    if params.obstacle_surfaces:
+        # Second-order ghost-fluid BCs: the sum-of-products of
+        # ops/obstacles.py::_apply_obstacle_bcs_ib on the local block —
+        # the static global weight arrays are zero off their (disjoint)
+        # edge categories, so only the u_solid/v_solid gate is needed;
+        # each roll reads the fresh halo ring across shard seams.
+        from ..ops.obstacles import ib_weights
+
+        w = ib_weights(params)
+
+        def blk(a):
+            return _global_block_slice(a, u.shape, u.dtype)
+
+        u_bc = (blk(w.u_wn) * jnp.roll(u, -1, 1)
+                + blk(w.u_ws) * jnp.roll(u, 1, 1)
+                + blk(w.u_we) * jnp.roll(u, -1, 0)
+                + blk(w.u_ww) * jnp.roll(u, 1, 0))
+        v_bc = (blk(w.v_we) * jnp.roll(v, -1, 0)
+                + blk(w.v_ww) * jnp.roll(v, 1, 0)
+                + blk(w.v_wn) * jnp.roll(v, -1, 1)
+                + blk(w.v_ws) * jnp.roll(v, 1, 1))
+    else:
+        u_bc = jnp.where(u_refl_n, -jnp.roll(u, -1, 1),
+                         jnp.where(u_refl_s, -jnp.roll(u, 1, 1), 0.0))
+        v_bc = jnp.where(v_refl_e, -jnp.roll(v, -1, 0),
+                         jnp.where(v_refl_w, -jnp.roll(v, 1, 0), 0.0))
     u = jnp.where(u_solid, u_bc.astype(u.dtype), u)
     v = jnp.where(v_solid, v_bc.astype(v.dtype), v)
     return _exchange_seams_only(u), _exchange_seams_only(v)
@@ -359,10 +412,22 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
         u_solid, _, _, v_solid, _, _ = _obstacle_edge_masks(params, u.shape)
         F = jnp.where(u_solid, u, F)
         G = jnp.where(v_solid, v, G)
+    from ..ops.obstacles import aperture_active
+
+    if params.obstacles and aperture_active(params):
+        # Cut-cell closure: aperture-weighted divergence, the sharded twin
+        # of ops/obstacles.py::poisson_rhs (F/G halo edges carry their
+        # owner's values, and the sliced fractions are the same global
+        # constants, so seams are exact).  F/G themselves stay un-scaled —
+        # the projection below needs the tentative velocities.
+        au_b, av_b = _aperture_blocks(params, F.shape, F.dtype)
+        Fa, Ga = F * au_b, G * av_b
+    else:
+        Fa, Ga = F, G
     rhs_int = mask_pad(
         (
-            (F[1:-1, 1:-1] - F[:-2, 1:-1]) / dx
-            + (G[1:-1, 1:-1] - G[1:-1, :-2]) / dy
+            (Fa[1:-1, 1:-1] - Fa[:-2, 1:-1]) / dx
+            + (Ga[1:-1, 1:-1] - Ga[1:-1, :-2]) / dy
         )
         / dt
     )
@@ -448,10 +513,17 @@ def _sharded_pressure_solve(p, rhs, params: Params, pressure_method: str,
         dx2i = 1.0 / (dx * dx)
         dy2i = 1.0 / (dy * dy)
 
+        from ..ops.obstacles import aperture_active
+        use_aperture = aperture_active(params)
+
         def masked_residual_fn(p64, rhs_int64):
             # ops/masked.py::masked_residual on a local padded block:
             # exchange halos so neighbor reads cross shard seams, rebuild
             # the per-cell weights from global indices, evaluate in f64.
+            # In aperture mode the weights additionally carry the cut-cell
+            # face fractions — the SAME global numpy constants the single-
+            # chip operator folds in (_global_block_slice), so the sharded
+            # f64 defect is the single-chip defect to machine epsilon.
             q = halo.exchange_halo(p64)
             f64 = q.dtype
 
@@ -462,6 +534,12 @@ def _sharded_pressure_solve(p, rhs, params: Params, pressure_method: str,
             w_w = jnp.where(fluid_loc & fl(-1, 0), dx2i, 0.0).astype(f64)
             w_n = jnp.where(fluid_loc & fl(0, 1), dy2i, 0.0).astype(f64)
             w_s = jnp.where(fluid_loc & fl(0, -1), dy2i, 0.0).astype(f64)
+            if use_aperture:
+                au_b, av_b = _aperture_blocks(params, q.shape, f64)
+                w_e = w_e * au_b[1:-1, 1:-1]
+                w_w = w_w * au_b[:-2, 1:-1]
+                w_n = w_n * av_b[1:-1, 1:-1]
+                w_s = w_s * av_b[1:-1, :-2]
             diag = w_e + w_w + w_n + w_s
             r = (q[2:, 1:-1] * w_e + q[:-2, 1:-1] * w_w
                  + q[1:-1, 2:] * w_n + q[1:-1, :-2] * w_s
@@ -689,11 +767,6 @@ def _check_method(params: Params, mesh: Mesh, pressure_method: str):
             raise ValueError(
                 "sharded obstacle domains require the f32 state with the "
                 "mixed-precision refinement (sor_refine_every >= 1)")
-        if params.obstacle_surfaces:
-            raise ValueError(
-                "obstacle_surfaces (second-order ghost-fluid BCs) are not "
-                "wired for the shard_map backend yet — use --backend gspmd "
-                "or single-chip")
     px, py = mesh.devices.shape
     li, lj = local_block_dims((px, py), params.i_max, params.j_max)
     padded = (px * li != params.i_max) or (py * lj != params.j_max)

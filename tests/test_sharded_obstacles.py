@@ -185,7 +185,63 @@ def test_sharded_obstacle_gating():
     for method in ("mg", "fft", "cg"):
         with pytest.raises(ValueError, match="masked deep-halo"):
             sharded._check_method(params, mesh, method)
+    # Sharp surfaces (ghost-fluid BCs + cut-cell apertures) are supported
+    # on the deep-halo rb_sor route since round 4 — but still reject the
+    # masked-mg combination like every other sharded obstacle run.
     sharp = params.replace(
         obstacle_surfaces=(("box", 0.25, 0.5, 0.375, 0.625),))
-    with pytest.raises(ValueError, match="ghost-fluid"):
-        sharded._check_method(sharp, mesh, "rb_sor")
+    sharded._check_method(sharp, mesh, "rb_sor")
+    with pytest.raises(ValueError, match="masked deep-halo"):
+        sharded._check_method(sharp, mesh, "mg")
+
+
+def test_sharded_sharp_circle_matches_single_chip():
+    """Sharp geometry multi-chip: a rasterized disk with its analytic
+    circle level set (ghost-fluid velocity BCs + cut-cell aperture
+    pressure operator) solved on the 8-device mesh must match the
+    single-chip solve under the 1e-4 comparator contract — the BC
+    weights and face fractions reach every shard as dynamic slices of
+    the SAME global constants the single-chip path folds in."""
+    from navierstokes_parallel_tpu.models import karman
+    from navierstokes_parallel_tpu.ops import obstacles as obs
+    from navierstokes_parallel_tpu.utils.io import tolerance_errors
+
+    n = 32
+    dx = dy = 1.0 / n
+    cx = cy = 0.5
+    d = 0.35
+    rects = karman.circle_rects(cx, cy, d, dx, dy, n, n)
+    params = Params(problem=1, i_max=n, j_max=n, obstacles=rects,
+                    obstacle_surfaces=(("circle", cx, cy, 0.5 * d),),
+                    **_COMMON)
+    assert obs.aperture_active(params)
+    st_sh, stats_sh = sharded.solve_sharded(params,
+                                            pressure_method="rb_sor")
+    st_sc, stats_sc = solver.solve(params, pressure_method="rb_sor")
+    assert int(stats_sh.sor_failures) == 0
+    assert int(stats_sc.sor_failures) == 0
+    assert int(stats_sh.steps) == int(stats_sc.steps)
+    for a, b in ((st_sh.u, st_sc.u), (st_sh.v, st_sc.v)):
+        err = tolerance_errors(np.asarray(a, np.float64),
+                               np.asarray(b, np.float64))
+        assert float(np.max(err)) <= 1e-4
+
+
+def test_sharded_sharp_staircase_knob_still_runs():
+    """obstacle_pressure='staircase' with surfaces on the sharded path:
+    ghost-fluid velocity BCs, binary pressure weights — must run and
+    match the single-chip solve (the A/B configuration for the ladder)."""
+    from navierstokes_parallel_tpu.utils.io import tolerance_errors
+
+    n = 32
+    params = Params(problem=1, i_max=n, j_max=n,
+                    obstacles=((9, 16, 13, 20),),
+                    obstacle_surfaces=(("box", 0.26, 0.5, 0.39, 0.625),),
+                    obstacle_pressure="staircase", **_COMMON)
+    st_sh, stats_sh = sharded.solve_sharded(params,
+                                            pressure_method="rb_sor")
+    st_sc, stats_sc = solver.solve(params, pressure_method="rb_sor")
+    assert int(stats_sh.steps) == int(stats_sc.steps)
+    err = tolerance_errors(np.asarray(st_sh.u, np.float64),
+                           np.asarray(st_sc.u, np.float64))
+    assert float(np.max(err)) <= 1e-4
