@@ -393,6 +393,29 @@ def force_record_fn(params: Params, margin: int = 5,
     return rec
 
 
+@functools.lru_cache(maxsize=16)
+def surface_force_record_fn(params: Params, margin: int = 5,
+                            pi: int = 0, pj: int = 0):
+    """`force_record_fn` plus the direct surface-traction force (fsx, fsy)
+    integrated on the analytic cylinder (ops/obstacles.py::surface_force)
+    — two INDEPENDENT estimators of the same body force in one trace:
+    the CV balance never touches the boundary, the traction quadrature
+    never leaves it.  Requires `params.obstacle_surfaces` with a single
+    circle."""
+    from ..ops.obstacles import surface_force, surface_quadrature
+
+    quad = surface_quadrature(params)
+    base = force_record_fn(params, margin, pi, pj)
+
+    def rec(state: State):
+        out = dict(base(state))
+        fsx, fsy = surface_force(state.u, state.v, state.p, params, quad)
+        out["fsx"] = fsx
+        out["fsy"] = fsy
+        return out
+    return rec
+
+
 def coefficients(trace: SheddingTrace, params: Params, *,
                  d: float = 1.0, u_mean: float = 2.0 / 3.0,
                  skip_frac: float = 0.5) -> dict:
@@ -414,6 +437,15 @@ def coefficients(trace: SheddingTrace, params: Params, *,
         out[name + "_mean"] = float(np.mean(cc))
         out[name + "_max"] = float(np.max(cc))
         out[name + "_amp"] = float(0.5 * (np.max(cc) - np.min(cc)))
+    if "fsx" in trace.rec:
+        # Surface-traction estimator (surface_force_record_fn): direct
+        # coefficients, no dM/dt term.
+        for comp, name in (("x", "cd_s"), ("y", "cl_s")):
+            c = scale * trace.rec["fs" + comp]
+            cc = c[int(len(c) * skip_frac):]
+            out[name + "_mean"] = float(np.mean(cc))
+            out[name + "_max"] = float(np.max(cc))
+            out[name + "_amp"] = float(0.5 * (np.max(cc) - np.min(cc)))
     dp = trace.rec["dp"][int(len(t) * skip_frac):] / (u_mean * u_mean)
     out["dp_mean"] = float(np.mean(dp))
     out["dp_max"] = float(np.max(dp))

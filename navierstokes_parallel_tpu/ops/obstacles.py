@@ -566,6 +566,175 @@ def mask_rhs(rhs: jax.Array, params: Params) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Surface-traction quadrature: direct force integration on the TRUE wall.
+#
+# The control-volume momentum balance (models/karman.py::force_record_fn)
+# measures body forces without ever touching the staircase boundary, but it
+# inherits the discretization error of every face flux on the CV *and* the
+# time-differentiated CV momentum.  With an analytic level set available the
+# classic immersed-boundary alternative is to integrate the traction on the
+# surface itself,
+#
+#     F = oint_S ( -p n + mu (du_t/dn) t ) ds
+#
+# (the normal viscous term 2 mu du_n/dn vanishes on a no-slip surface by
+# continuity), sampling p and u_t at probe points offset along the outward
+# normal and extrapolating to the wall: p_s linearly from two rings,
+# du_t/dn from a quadratic through u_t(0) = 0 (no slip) and the two rings.
+# Everything geometric — sample points, normals, arc weights, bilinear
+# gather stencils per staggered field, probe distances — is static numpy
+# built once per Params, so the per-step cost inside the record scan is a
+# handful of (N, 4) gathers.  Probe rings start at 1.2h / 2.2h off the wall
+# and are pushed outward per sample point until every bilinear stencil node
+# is a genuine fluid node, so the interpolation never reads solid-cell
+# pressures or BC-controlled edges and reproduces LINEAR fields exactly
+# (asserted in tests via a manufactured linear-pressure state, whose net
+# force is known in closed form from the divergence theorem).
+# ---------------------------------------------------------------------------
+
+
+class SurfaceQuad(NamedTuple):
+    """Static quadrature tables for `surface_force` (all numpy float64 /
+    int32).  Gather tables are (N, 4) [ii, jj] padded indices + weights."""
+
+    nx: np.ndarray
+    ny: np.ndarray
+    tx: np.ndarray
+    ty: np.ndarray
+    ds: np.ndarray
+    d1: np.ndarray
+    d2: np.ndarray
+    p1: tuple     # (ii, jj, w) for pressure ring 1
+    p2: tuple
+    u1: tuple
+    u2: tuple
+    v1: tuple
+    v2: tuple
+
+
+def _bilinear_table(X, Y, dx, dy, ox, oy, shape):
+    """Bilinear gather table for probes (X, Y) on the staggered grid whose
+    node (i, j) sits at ((i - ox) dx, (j - oy) dy) in padded indexing."""
+    fi = X / dx + ox
+    fj = Y / dy + oy
+    i0 = np.clip(np.floor(fi).astype(np.int32), 0, shape[0] - 2)
+    j0 = np.clip(np.floor(fj).astype(np.int32), 0, shape[1] - 2)
+    a = fi - i0
+    b = fj - j0
+    ii = np.stack([i0, i0 + 1, i0, i0 + 1], axis=1)
+    jj = np.stack([j0, j0, j0 + 1, j0 + 1], axis=1)
+    w = np.stack([(1 - a) * (1 - b), a * (1 - b), (1 - a) * b, a * b],
+                 axis=1)
+    return ii, jj, w
+
+
+@functools.lru_cache(maxsize=16)
+def surface_quadrature(params: Params, n_theta: int = 0) -> SurfaceQuad:
+    """Build the static traction quadrature for params' analytic surface.
+    Currently supports exactly one 'circle' level set (the Schäfer-Turek
+    configuration); box/plane obstacles are grid-aligned, where the CV
+    balance is already exact-normal.  `n_theta` = 0 picks ~3 samples per
+    wall-adjacent cell."""
+    surfs = [s for s in params.obstacle_surfaces if s[0] == "circle"]
+    if len(surfs) != 1 or len(surfs) != len(params.obstacle_surfaces):
+        raise ValueError("surface_quadrature needs exactly one 'circle' "
+                         "obstacle surface")
+    _, cx, cy, r = surfs[0]
+    dx, dy = params.dx, params.dy
+    h = max(dx, dy)
+    if not n_theta:
+        n_theta = max(64, int(np.ceil(3.0 * 2.0 * np.pi * r / h)))
+    th = (np.arange(n_theta) + 0.5) * (2.0 * np.pi / n_theta)
+    nx, ny = np.cos(th), np.sin(th)
+    tx, ty = -np.sin(th), np.cos(th)
+    ds = np.full(n_theta, 2.0 * np.pi * r / n_theta)
+    n_hat = np.stack([nx, ny], axis=1)
+
+    m = masks(params)
+    shape = m.fluid.shape
+    # Valid interpolation sources: genuine fluid cells for p; velocity
+    # edges NOT controlled by obstacle BCs (domain-wall edges are fine —
+    # they hold physical values — but the cylinder sits mid-channel).
+    p_valid = m.fluid
+    u_valid = ~m.u_solid
+    v_valid = ~m.v_solid
+
+    # Probe centers are surface points; distances measured along n_hat
+    # from the surface.  Build per-field d1/d2 then take the max across
+    # fields so ONE ring geometry serves p, u and v (keeps the quadratic
+    # fit consistent across the traction terms).
+    surf = np.stack([cx + r * nx, cy + r * ny], axis=1)
+
+    def push(valid, ox, oy, d0):
+        d = np.full(n_theta, float(d0))
+        for _ in range(24):
+            X = surf[:, 0] + d * n_hat[:, 0]
+            Y = surf[:, 1] + d * n_hat[:, 1]
+            ii, jj, _ = _bilinear_table(X, Y, dx, dy, ox, oy, shape)
+            ok = valid[ii, jj].all(axis=1)
+            if ok.all():
+                return d
+            d = np.where(ok, d, d + 0.25 * h)
+        raise ValueError("surface probe found no all-fluid stencil within "
+                         "6h of the wall")
+
+    d1 = np.maximum.reduce([push(p_valid, 0.5, 0.5, 1.2 * h),
+                            push(u_valid, 0.0, 0.5, 1.2 * h),
+                            push(v_valid, 0.5, 0.0, 1.2 * h)])
+    d2 = np.maximum.reduce([push(p_valid, 0.5, 0.5, 2.2 * h),
+                            push(u_valid, 0.0, 0.5, 2.2 * h),
+                            push(v_valid, 0.5, 0.0, 2.2 * h),
+                            d1 + 0.8 * h])
+
+    def table(d, ox, oy):
+        X = surf[:, 0] + d * n_hat[:, 0]
+        Y = surf[:, 1] + d * n_hat[:, 1]
+        return _bilinear_table(X, Y, dx, dy, ox, oy, shape)
+
+    return SurfaceQuad(
+        nx=nx, ny=ny, tx=tx, ty=ty, ds=ds, d1=d1, d2=d2,
+        p1=table(d1, 0.5, 0.5), p2=table(d2, 0.5, 0.5),
+        u1=table(d1, 0.0, 0.5), u2=table(d2, 0.0, 0.5),
+        v1=table(d1, 0.5, 0.0), v2=table(d2, 0.5, 0.0))
+
+
+def surface_force(u, v, p, params: Params, quad: SurfaceQuad = None,
+                  return_samples: bool = False):
+    """(F_x, F_y) by traction quadrature on the analytic surface (see
+    SurfaceQuad) — jit-safe, a handful of static gathers.  Independent of
+    the control-volume balance: no CV fluxes, no dM/dt term.
+    `return_samples` additionally returns the per-sample wall pressure and
+    wall-normal tangential-velocity slope (diagnostics/tests)."""
+    q = quad if quad is not None else surface_quadrature(params)
+    dt_ = p.dtype
+
+    def gather(field, tbl):
+        ii, jj, w = tbl
+        return jnp.sum(field[ii, jj] * jnp.asarray(w, field.dtype), axis=1)
+
+    d1 = jnp.asarray(q.d1, dt_)
+    d2 = jnp.asarray(q.d2, dt_)
+    p1 = gather(p, q.p1)
+    p2 = gather(p, q.p2)
+    ps = p1 + (p1 - p2) * d1 / (d2 - d1)        # linear extrapolation
+    tx = jnp.asarray(q.tx, dt_)
+    ty = jnp.asarray(q.ty, dt_)
+    ut1 = gather(u, q.u1) * tx + gather(v, q.v1) * ty
+    ut2 = gather(u, q.u2) * tx + gather(v, q.v2) * ty
+    # Quadratic u_t(n) through (0, 0), (d1, ut1), (d2, ut2): slope at wall.
+    dutdn = (ut1 * d2 * d2 - ut2 * d1 * d1) / (d1 * d2 * (d2 - d1))
+    nu = 1.0 / params.Re
+    nx = jnp.asarray(q.nx, dt_)
+    ny = jnp.asarray(q.ny, dt_)
+    ds = jnp.asarray(q.ds, dt_)
+    fx = jnp.sum((-ps * nx + nu * dutdn * tx) * ds)
+    fy = jnp.sum((-ps * ny + nu * dutdn * ty) * ds)
+    if return_samples:
+        return fx, fy, ps, dutdn
+    return fx, fy
+
+
+# ---------------------------------------------------------------------------
 # Global-index mask forms: the same geometry as `masks`, expressed as jnp
 # predicates of (gi, gj) global 1-based cell indices.  This is what lets the
 # shard_map backend (parallel/sharded.py) impose obstacle semantics on local

@@ -58,7 +58,15 @@ def main():
     for n in ns:
         params = K.schafer_turek(n_per_d=n, T=args.T,
                                  sharp=not args.staircase)
-        rec = K.force_record_fn(params, 5, *K.probe_node(params))
+        if params.obstacle_surfaces:
+            # Sharp mode also integrates the INDEPENDENT surface-traction
+            # estimator on the analytic circle (cd_s/cl_s columns) — the
+            # CV balance and the traction quadrature converge toward the
+            # published bands from opposite sides.
+            rec = K.surface_force_record_fn(params, 5,
+                                            *K.probe_node(params))
+        else:
+            rec = K.force_record_fn(params, 5, *K.probe_node(params))
         t0 = time.perf_counter()
         trace = K.shedding_signal(params, method=args.method,
                                   chunk=args.chunk, record_fn=rec)
@@ -67,12 +75,15 @@ def main():
         co = K.coefficients(trace, params, skip_frac=0.7)
         rows.append((n, f"{params.i_max}x{params.j_max}",
                      trace.stats.steps, st, amp, co["cd_max"],
-                     co["cl_max"], co["dp_mean"], wall))
+                     co["cl_max"], co["dp_mean"], wall,
+                     co.get("cd_s_max"), co.get("cl_s_max")))
         finest = (params, trace)
+        surf = (f" cd_s={co['cd_s_max']:.3f} cl_s={co['cl_s_max']:.3f}"
+                if "cd_s_max" in co else "")
         print(f"n_per_d={n}: grid {params.i_max}x{params.j_max} "
               f"steps={trace.stats.steps} St={st:.4f} amp={amp:.3f} "
               f"cd_max={co['cd_max']:.3f} cl_max={co['cl_max']:.3f} "
-              f"dp={co['dp_mean']:.3f} "
+              f"dp={co['dp_mean']:.3f}{surf} "
               f"fails={trace.stats.sor_failures} wall={wall:.0f}s",
               flush=True)
         # Rewrite the CSV after EVERY rung: a TPU worker crash on a later
@@ -86,12 +97,15 @@ def main():
 
 
 def _write_csv(csv, rows, staircase):
+    surf = rows and rows[0][9] is not None
     with open(csv, "w") as f:
         f.write("n_per_d,grid,steps,strouhal,amplitude,cd_max,cl_max,"
-                "dp_mean,wall_seconds\n")
+                "dp_mean,wall_seconds" + (",cd_s_max,cl_s_max" if surf
+                                          else "") + "\n")
         for r in rows:
             f.write(f"{r[0]},{r[1]},{r[2]},{r[3]:.4f},{r[4]:.4f},"
-                    f"{r[5]:.4f},{r[6]:.4f},{r[7]:.4f},{r[8]:.1f}\n")
+                    f"{r[5]:.4f},{r[6]:.4f},{r[7]:.4f},{r[8]:.1f}"
+                    + (f",{r[9]:.4f},{r[10]:.4f}" if surf else "") + "\n")
         if len(rows) >= 2:
             # Richardson extrapolation with an OBSERVED-order estimate
             # when >= 3 rungs are available (fit q = q_inf + C h^p on the
@@ -101,21 +115,27 @@ def _write_csv(csv, rows, staircase):
             # rungs or a non-monotone triple.
             p_nom = 1.0 if staircase else 2.0
             ex, orders = [], []
-            for k in (3, 5, 6, 7):
+            cols = (3, 5, 6, 7) + ((9, 10) if surf else ())
+            for k in cols:
                 q = [r[k] for r in rows[-3:]]
                 h = [1.0 / r[0] for r in rows[-3:]]
                 p, q_inf = _richardson(q, h, p_nom)
                 orders.append(p)
                 ex.append(q_inf)
+            tail = (f",{ex[4]:.4f},{ex[5]:.4f}" if surf else "")
+            otail = (f",{orders[4]:.2f},{orders[5]:.2f}" if surf else "")
             f.write(f"extrapolated,-,-,{ex[0]:.4f},-,{ex[1]:.4f},"
-                    f"{ex[2]:.4f},{ex[3]:.4f},-\n")
+                    f"{ex[2]:.4f},{ex[3]:.4f},-{tail}\n")
             f.write(f"observed_order,-,-,{orders[0]:.2f},-,"
-                    f"{orders[1]:.2f},{orders[2]:.2f},{orders[3]:.2f},-\n")
+                    f"{orders[1]:.2f},{orders[2]:.2f},{orders[3]:.2f},-"
+                    f"{otail}\n")
+            surf_msg = (f", surface-traction cd_max={ex[4]:.4f} "
+                        f"cl_max={ex[5]:.4f}" if surf else "")
             print(f"Richardson-extrapolated (orders "
                   f"{', '.join(f'{o:.2f}' for o in orders)}): "
                   f"St={ex[0]:.4f} (band 0.2950-0.3050), "
                   f"cd_max={ex[1]:.4f} (3.22-3.24), cl_max={ex[2]:.4f} "
-                  f"(0.99-1.01), dp={ex[3]:.4f} (2.46-2.50)")
+                  f"(0.99-1.01), dp={ex[3]:.4f} (2.46-2.50){surf_msg}")
 
 
 def _richardson(q, h, p_nominal):

@@ -86,7 +86,7 @@ def test_schafer_turek_circle_strouhal_and_forces():
     control-volume force balance — each of which moves a quantity far
     outside its window."""
     params = K.schafer_turek(n_per_d=10, T=110.0)
-    rec = K.force_record_fn(params, 5, *K.probe_node(params))
+    rec = K.surface_force_record_fn(params, 5, *K.probe_node(params))
     trace = K.shedding_signal(params, method="mg", record_fn=rec)
     assert trace.stats.sor_failures == 0
     st, amp = K.strouhal(trace.t, trace.v, skip_frac=0.7)
@@ -104,6 +104,15 @@ def test_schafer_turek_circle_strouhal_and_forces():
     assert co["cl_max"] == pytest.approx(0.6310, rel=0.03), co
     assert co["dp_mean"] == pytest.approx(2.3130, rel=0.03), co
     assert abs(co["cl_mean"]) < 0.15, co        # lift oscillates about 0
+    # The INDEPENDENT surface-traction estimator on the same trace: at
+    # 10 cells/D its probe rings (1.2h/2.2h off the wall) span a good
+    # fraction of the boundary layer, so it reads systematically low —
+    # the goldens pin that coarse-grid behavior; the two estimators
+    # converge toward each other on the TPU ladder
+    # (artifacts/karman_strouhal.csv).
+    assert co["cd_s_max"] == pytest.approx(2.8473, rel=0.03), co
+    assert co["cl_s_max"] == pytest.approx(0.5553, rel=0.03), co
+    assert abs(co["cl_s_mean"]) < 0.15, co
 
 
 def test_control_volume_force_zero_on_uniform_flow():
@@ -128,6 +137,71 @@ def test_control_volume_force_zero_on_uniform_flow():
     # f32 state by default -> pairwise-sum accumulation noise only.
     np.testing.assert_allclose(float(out["mx"]), 0.7 * area, rtol=1e-5)
     assert abs(float(out["my"])) < 1e-12
+
+
+def test_surface_quadrature_linear_pressure_exact():
+    """Manufactured linear pressure p = a x + b y with zero velocity: the
+    traction integral must equal the divergence-theorem force
+    -grad(p) * pi r^2 to machine precision — bilinear interpolation and
+    the linear wall extrapolation are both exact on linear fields because
+    every probe stencil is all-fluid by construction (surface_quadrature
+    pushes the rings outward until it is)."""
+    params = K.schafer_turek(n_per_d=20, T=1.0)
+    q = obs.surface_quadrature(params)
+    # Every gather stencil reads genuine fluid nodes only.
+    m = obs.masks(params)
+    for tbl, valid in ((q.p1, m.fluid), (q.p2, m.fluid),
+                       (q.u1, ~m.u_solid), (q.u2, ~m.u_solid),
+                       (q.v1, ~m.v_solid), (q.v2, ~m.v_solid)):
+        ii, jj, _ = tbl
+        assert valid[ii, jj].all()
+    ni, nj = params.i_max + 2, params.j_max + 2
+    x = (np.arange(ni)[:, None] - 0.5) * params.dx
+    y = (np.arange(nj)[None, :] - 0.5) * params.dy
+    p = jnp.asarray(3.0 * x + 2.0 * y)
+    z = jnp.zeros((ni, nj))
+    fx, fy = obs.surface_force(z, z, p, params, q)
+    exact = -np.pi * 0.25 * np.array([3.0, 2.0])   # r = 1/2
+    np.testing.assert_allclose([float(fx), float(fy)], exact,
+                               rtol=0, atol=1e-10)
+
+
+def test_surface_quadrature_wall_slope():
+    """Manufactured tangential field u_t = omega * (rho - r) (vanishes on
+    the circle, linear in wall distance along every normal): the fitted
+    wall slope du_t/dn must recover omega at every sample to the bilinear
+    interpolation error O(h^2), and a constant-pressure field must
+    extrapolate to exactly that constant with zero net pressure force."""
+    params = K.schafer_turek(n_per_d=20, T=1.0)
+    q = obs.surface_quadrature(params)
+    cx, cy, r, om = 2.0, 2.0, 0.5, 0.8
+    ni, nj = params.i_max + 2, params.j_max + 2
+
+    def vel(xu, yu, xv, yv):
+        rho_u = np.hypot(xu - cx, yu - cy)
+        rho_v = np.hypot(xv - cx, yv - cy)
+        u = -om * (yu - cy) * (1.0 - r / np.maximum(rho_u, 1e-9))
+        v = om * (xv - cx) * (1.0 - r / np.maximum(rho_v, 1e-9))
+        return u, v
+
+    iu = np.arange(ni)[:, None] * params.dx           # u node x = i dx
+    ju = (np.arange(nj)[None, :] - 0.5) * params.dy
+    iv = (np.arange(ni)[:, None] - 0.5) * params.dx
+    jv = np.arange(nj)[None, :] * params.dy
+    u, v = vel(iu, ju, iv, jv)
+    p = jnp.full((ni, nj), 5.0)
+    fx, fy, ps, dutdn = obs.surface_force(
+        jnp.asarray(u), jnp.asarray(v), p, params, q, return_samples=True)
+    np.testing.assert_allclose(np.asarray(ps), 5.0, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dutdn), om, rtol=0.03)
+    # Constant pressure and the symmetric shear both integrate to ~0 net.
+    assert abs(float(fx)) < 1e-3 and abs(float(fy)) < 1e-3
+
+
+def test_surface_quadrature_rejects_non_circle():
+    params = K.square_cylinder(n_per_d=8, T=1.0)
+    with pytest.raises(ValueError, match="circle"):
+        obs.surface_quadrature(params)
 
 
 def test_initial_state_perturbation_local():
