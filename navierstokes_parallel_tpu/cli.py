@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "utils/diagnostics.py) to the --history-file CSV")
     ap.add_argument("--log-every", type=int, default=0,
                     help="print per-step diagnostics to stderr every N steps")
+    ap.add_argument("--free-wall", choices=["noslip", "freeslip"],
+                    default="noslip",
+                    help="problem-6 container-wall condition (freeslip is "
+                         "the standard dam-break setting — no-slip pins a "
+                         "particle film to the walls)")
     ap.add_argument("--max-steps", type=int, default=0,
                     help="stop after N steps (exit code 3 if t < T remains; "
                          "combine with --checkpoint-every/--resume for "
@@ -207,6 +212,10 @@ def main(argv=None) -> int:
             return 1
     elif thermal_cfg is not None:
         state = allocate_thermal(params, thermal_cfg)
+    elif params.problem == 6:
+        from .models.freesurface import initial_free_state
+
+        state = initial_free_state(params)
     else:
         state = allocate_state(params)
 
@@ -221,6 +230,9 @@ def main(argv=None) -> int:
         if thermal_cfg is not None:
             run = _build_thermal_runner(params, thermal_cfg, state, args,
                                         pressure_method, host_loop)
+        elif params.problem == 6:
+            run = _build_free_runner(params, state, args, pressure_method,
+                                     host_loop)
         else:
             run = _build_runner(params, state, args, pressure_method,
                                 host_loop)
@@ -247,8 +259,14 @@ def main(argv=None) -> int:
         # latter returns before execution finishes (see utils/timing.py),
         # which would let the timer close after dispatch instead of after
         # the solve.
-        device_fence(state.u)
+        device_fence(state.u if hasattr(state, "u") else state.state.u)
         elapsed = time.perf_counter() - start
+
+    if params.problem == 6 and not hasattr(state, "u"):
+        # FreeSurfaceState from the whole-solve path: the protocol outputs
+        # below read the grid fields (the particle set was only needed by
+        # checkpoint writes, which the host loop handles).
+        state = state.state
 
     from .utils.checks import validate_state
     validate_state(state, where="end of integration")
@@ -437,6 +455,99 @@ def _build_thermal_runner(params, cfg, state, args, pressure_method,
         .compile()
     )
     return lambda: compiled(state)
+
+
+def _build_free_runner(params, state, args, pressure_method, host_loop):
+    """Runner for problem 6 (free-surface flow, models/freesurface.py):
+    single-chip, or multi-chip via `--backend gspmd` (grid fields sharded,
+    particles replicated — freesurface.place_free).  The pressure solve is
+    the family's own traced-flag-field operator (the Dirichlet surface
+    condition rebuilds the system every step), so `--method` does not
+    apply; the manual shard_map backend has no moving-boundary halo
+    support."""
+    from .models import freesurface as F
+
+    if args.backend == "sharded":
+        raise ValueError(
+            "problem 6 (free surface) supports the single-chip backends "
+            "and --backend gspmd; the shard_map backend has no "
+            "moving-boundary support")
+    if args.method != "rb_sor":
+        print(f"warning: problem 6 uses the free-surface traced pressure "
+              f"operator; --method {args.method!r} is ignored",
+              file=sys.stderr)
+    wall = args.free_wall
+    if args.backend == "gspmd":
+        mesh = parse_mesh_arg(args.mesh)
+        if mesh is None:
+            from .parallel import gspmd
+            mesh = gspmd._default_mesh()
+        if host_loop:
+            stepper = _FreeStepper(params, state, wall, mesh=mesh)
+            stepper.warm()
+            mon_fn = _make_monitor_fn(params, state.state, args)
+            return lambda: _run_host_loop(params, stepper, args, mon_fn)
+        fn = F._make_free_gspmd(params, mesh, wall, None, "interpolated",
+                                whole_solve=True)
+        placed = F.place_free(state, params, mesh)
+        compiled = fn.lower(placed).compile()
+
+        def run():
+            out, stats = compiled(placed)
+            return F.fetch_free(out, params), stats
+
+        return run
+    if parse_mesh_arg(args.mesh) is not None:
+        raise ValueError(
+            f"--mesh applies to the gspmd backend, not {args.backend!r}")
+    if host_loop:
+        stepper = _FreeStepper(params, state, wall)
+        stepper.warm()
+        mon_fn = _make_monitor_fn(params, state.state, args)
+        return lambda: _run_host_loop(params, stepper, args, mon_fn)
+    compiled = F._solve_free.lower(params, state, wall, None,
+                                   "interpolated").compile()
+    return lambda: compiled(state)
+
+
+class _FreeStepper:
+    """Host-loop adapter for problem 6: steps a FreeSurfaceState, exposes
+    the flat FreeView (grid fields + particle set) so frames, monitors and
+    particle-carrying checkpoints all work unchanged."""
+
+    def __init__(self, params: Params, fs, wall: str, mesh=None):
+        from .models import freesurface as F
+
+        self._F = F
+        self._params = params
+        if mesh is not None:
+            self._fn = F.make_free_step_gspmd(params, mesh, wall=wall)
+            self._fs = F.place_free(fs, params, mesh)
+            self._mesh = mesh
+        else:
+            self._fn = F.make_free_step_fn(params, wall)
+            self._fs = fs
+            self._mesh = None
+
+    def warm(self) -> None:
+        self._fn = self._fn.lower(self._fs).compile()
+
+    @property
+    def t(self) -> float:
+        return float(self._fs.state.t)
+
+    @property
+    def n(self) -> int:
+        return int(self._fs.state.n)
+
+    def step(self):
+        self._fs, diag = self._fn(self._fs)
+        return diag
+
+    def state(self):
+        fs = (self._F.fetch_free(self._fs, self._params)
+              if self._mesh is not None else self._fs)
+        return self._F.free_view(fs)
 
 
 class _SingleChipStepper:

@@ -206,13 +206,36 @@ class Params:
     Pr: float = 0.71
     t_hot: float = 0.5
     t_cold: float = -0.5
+    # Problem 6 (free-surface flow, models/freesurface.py) — the initial
+    # liquid region [fluid_x0, fluid_x1] x [fluid_y0, fluid_y1] seeded
+    # with marker particles, reachable from the reference protocol via
+    # OPTIONAL extra parameter-file lines 16-19 (x0, x1, y0, y1), see
+    # from_lines.  Sentinels -1 derive the dam-break default column
+    # x in [0, a/4], y in [0, b/2] in __post_init__.  Gravity comes from
+    # the standard g_x/g_y lines.
+    fluid_x0: float = 0.0
+    fluid_x1: float = -1.0
+    fluid_y0: float = 0.0
+    fluid_y1: float = -1.0
 
     def __post_init__(self):
-        if self.problem not in (1, 2, 3, 4, 5):
+        if self.problem not in (1, 2, 3, 4, 5, 6):
             raise ValueError(
                 f"unknown problem type {self.problem} (expected 1: cavity, "
                 f"2: oscillating lid, 3: plane channel, 4: free-slip box, "
-                f"5: natural convection)")
+                f"5: natural convection, 6: free surface)")
+        if self.problem == 6:
+            if self.fluid_x1 < 0.0:
+                object.__setattr__(self, "fluid_x1", 0.25 * self.a)
+            if self.fluid_y1 < 0.0:
+                object.__setattr__(self, "fluid_y1", 0.5 * self.b)
+            if not (0.0 <= self.fluid_x0 < self.fluid_x1 <= self.a
+                    and 0.0 <= self.fluid_y0 < self.fluid_y1 <= self.b):
+                raise ValueError(
+                    f"problem 6 fluid region [{self.fluid_x0}, "
+                    f"{self.fluid_x1}] x [{self.fluid_y0}, {self.fluid_y1}]"
+                    f" must be a nonempty box inside the {self.a} x "
+                    f"{self.b} domain")
         if self.problem == 5:
             if self.Pr <= 0.0:
                 raise ValueError(f"Pr must be > 0, got {self.Pr}")
@@ -360,6 +383,15 @@ class Params:
                 token = line.split("#", 1)[0].split()
                 if token:
                     values[name] = float(token[0])
+        # Problem 6 (free surface): optional extra lines 16-19 = the
+        # initial liquid box x0, x1, y0, y1 (defaults: dam-break column,
+        # see __post_init__).
+        if values.get("problem") == 6:
+            names = ("fluid_x0", "fluid_x1", "fluid_y0", "fluid_y1")
+            for name, line in zip(names, lines[len(_FIELD_ORDER):]):
+                token = line.split("#", 1)[0].split()
+                if token:
+                    values[name] = float(token[0])
         values.update(overrides)
         return cls(**values)
 
@@ -376,6 +408,11 @@ class Params:
         if self.problem == 5:
             out.append(f"{self.Ra!r:<12}# Ra: Rayleigh number (problem 5)")
             out.append(f"{self.Pr!r:<12}# Pr: Prandtl number (problem 5)")
+        if self.problem == 6:
+            for name, label in (("fluid_x0", "x0"), ("fluid_x1", "x1"),
+                                ("fluid_y0", "y0"), ("fluid_y1", "y1")):
+                out.append(f"{getattr(self, name)!r:<12}# {label}: initial "
+                           f"liquid box (problem 6)")
         return "\n".join(out) + "\n"
 
     def replace(self, **kw) -> "Params":

@@ -56,6 +56,38 @@ class FreeSurfaceState(NamedTuple):
     pset: P.ParticleSet
 
 
+class FreeView(NamedTuple):
+    """Flat view of a FreeSurfaceState for the CLI host loop: grid fields
+    under the State attribute names (frame writer, physics monitors,
+    center_values) plus the particle set, which utils/checkpoint.py
+    persists when present (problem 6 resume)."""
+
+    u: jax.Array
+    v: jax.Array
+    p: jax.Array
+    t: jax.Array
+    n: jax.Array
+    pset: P.ParticleSet
+
+
+def free_view(fs: FreeSurfaceState) -> FreeView:
+    st = fs.state
+    return FreeView(u=st.u, v=st.v, p=st.p, t=st.t, n=st.n, pset=fs.pset)
+
+
+def initial_free_state(params: Params) -> FreeSurfaceState:
+    """Problem-6 initial condition from the reference-protocol parameters:
+    liquid at rest filling [fluid_x0, fluid_x1] x [fluid_y0, fluid_y1]
+    (optional `.in` lines 16-19; defaults = the dam-break quarter column,
+    config.py::__post_init__)."""
+    if params.problem != 6:
+        raise ValueError(f"initial_free_state is the problem-6 entry "
+                         f"point, got problem {params.problem}")
+    pset = fill_region(params, params.fluid_x0, params.fluid_x1,
+                       params.fluid_y0, params.fluid_y1)
+    return FreeSurfaceState(state=allocate_state(params), pset=pset)
+
+
 def _box_bcs(u, v, wall: str = "noslip", params: Params = None):
     """Container walls: no-slip (reference semantics) or free-slip (the
     standard dam-break setting — no-slip pins a particle film to the

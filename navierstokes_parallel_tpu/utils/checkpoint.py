@@ -17,7 +17,9 @@ from ..grid import State
 
 
 def save_checkpoint(path: str, state) -> None:
-    """State or ThermalState (problem 5 carries the temperature field)."""
+    """State, ThermalState (problem 5 carries the temperature field), or a
+    free-surface view (problem 6 additionally carries the marker-particle
+    set as px/py/pactive)."""
     fields = dict(
         u=np.asarray(state.u),
         v=np.asarray(state.v),
@@ -27,22 +29,51 @@ def save_checkpoint(path: str, state) -> None:
     )
     if hasattr(state, "T"):
         fields["T"] = np.asarray(state.T)
+    if hasattr(state, "pset"):
+        fields["px"] = np.asarray(state.pset.x)
+        fields["py"] = np.asarray(state.pset.y)
+        fields["pactive"] = np.asarray(state.pset.active)
     np.savez_compressed(path, **fields)
 
 
 def load_checkpoint(path: str, params: Params):
-    """State, or ThermalState when params.problem == 5 (the checkpoint
-    must then carry the temperature field — a thermal run cannot resume
-    from an isothermal checkpoint)."""
+    """State, ThermalState when params.problem == 5 (the checkpoint must
+    then carry the temperature field — a thermal run cannot resume from an
+    isothermal checkpoint), or FreeSurfaceState when params.problem == 6
+    (must carry the marker particles)."""
     with np.load(path) as data:
         u, v, p = data["u"], data["v"], data["p"]
         t, n = data["t"], data["n"]
         temp = data["T"] if "T" in data else None
+        pset = ((data["px"], data["py"], data["pactive"])
+                if "px" in data else None)
     if p.shape != params.shape:
         raise ValueError(
             f"checkpoint grid {p.shape} does not match config grid {params.shape}"
         )
     dtype = params.jnp_dtype
+    if params.problem == 6:
+        if pset is None:
+            raise ValueError(
+                f"checkpoint {path!r} has no particle set — it was written "
+                "by a non-free-surface run and cannot resume problem 6")
+        from ..models.freesurface import FreeSurfaceState
+        from ..particles import ParticleSet
+
+        # Particle coordinates keep the solve-time float64 (positions are
+        # advected in the x64 path regardless of the field dtype).
+        return FreeSurfaceState(
+            state=State(
+                u=jnp.asarray(u, dtype),
+                v=jnp.asarray(v, dtype),
+                p=jnp.asarray(p, dtype),
+                t=jnp.asarray(t, dtype),
+                n=jnp.asarray(n, jnp.int32),
+            ),
+            pset=ParticleSet(x=jnp.asarray(pset[0]),
+                             y=jnp.asarray(pset[1]),
+                             active=jnp.asarray(pset[2], bool)),
+        )
     if params.problem == 5:
         if temp is None:
             raise ValueError(

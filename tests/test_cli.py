@@ -340,3 +340,128 @@ def test_cli_rb_sor_sync_gets_auto_upgrade(tmp_path, capsys, monkeypatch):
     capsys.readouterr()
     assert rc == 0
     assert calls, "default_method not consulted for remapped rb_sor_sync"
+
+
+# ---------------------------------------------------------------------------
+# Problem 6: free-surface flows through the reference protocol.
+# ---------------------------------------------------------------------------
+
+
+def _write_free_config(path, **kw):
+    from navierstokes_parallel_tpu.config import Params
+    defaults = dict(problem=6, i_max=20, j_max=12, a=5.0, b=3.0, T=0.4,
+                    Re=1000.0, g_y=-1.0, tau=0.4, epsilon=1e-3, max_it=2000,
+                    n_print=1, fluid_x1=1.0, fluid_y1=2.0)
+    defaults.update(kw)
+    p = Params(**defaults)
+    p.to_file(str(path))
+    return p
+
+
+def test_params_problem6_roundtrip(tmp_path):
+    """Optional lines 16-19 carry the initial liquid box; the 15-line
+    reference format stays valid (dam-break default column a/4 x b/2);
+    an empty/out-of-domain box is rejected."""
+    from navierstokes_parallel_tpu.config import Params
+
+    cfg = tmp_path / "f.in"
+    p = _write_free_config(cfg, fluid_x0=0.5, fluid_x1=2.0, fluid_y0=0.25,
+                           fluid_y1=1.5)
+    q = Params.from_file(str(cfg))
+    assert (q.fluid_x0, q.fluid_x1, q.fluid_y0, q.fluid_y1) == \
+        (0.5, 2.0, 0.25, 1.5)
+    # 15-line file -> derived defaults.
+    lines = cfg.read_text().splitlines()[:15]
+    cfg.write_text("\n".join(lines) + "\n")
+    q15 = Params.from_file(str(cfg))
+    assert q15.fluid_x1 == pytest.approx(5.0 / 4.0)
+    assert q15.fluid_y1 == pytest.approx(3.0 / 2.0)
+    with pytest.raises(ValueError, match="fluid region"):
+        Params(problem=6, a=5.0, b=3.0, fluid_x0=2.0, fluid_x1=1.0)
+    with pytest.raises(ValueError, match="fluid region"):
+        Params(problem=6, a=5.0, b=3.0, fluid_y1=99.0)
+
+
+def test_cli_free_surface_matches_library(tmp_path, capsys):
+    """CLI problem-6 run == models/freesurface.py solve_free on the same
+    params: identical final u field and step/iteration counts (the CLI is
+    a driver, not a second implementation)."""
+    import jax.numpy as jnp
+    from navierstokes_parallel_tpu.models import freesurface as FS
+    from navierstokes_parallel_tpu.utils.io import read_field
+
+    cfg = tmp_path / "f.in"
+    p = _write_free_config(cfg)
+    rc = cli.main([str(cfg), "--stats",
+                   "--final-output-prefix", str(tmp_path / "fin")])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert out.out.startswith("U-CENTER: ")
+    stats_line = [ln for ln in out.err.splitlines() if "steps=" in ln][0]
+    fs, stats = FS.solve_free(p, FS.initial_free_state(p))
+    assert f"steps={int(stats.steps)}" in stats_line
+    assert f"sor_iterations={int(stats.total_sor_iterations)}" in stats_line
+    _, _, _, u_cli = read_field(str(tmp_path / "fin_u.txt"))
+    # The writer trims u to its staggered extent (rows 0..i_max).
+    u_lib = np.asarray(fs.state.u, np.float64)[: u_cli.shape[0]]
+    np.testing.assert_allclose(u_cli, u_lib, atol=1e-5)
+
+
+def test_cli_free_surface_checkpoint_resume(tmp_path, capsys):
+    """Chunked problem-6 run (checkpoint carries the marker particles)
+    resumes onto the straight run's trajectory."""
+    cfg = tmp_path / "f.in"
+    _write_free_config(cfg, T=1.2)      # several steps at this grid's dt
+    ck = tmp_path / "ck.npz"
+    rc = cli.main([str(cfg), "--max-steps", "2", "--checkpoint-every", "1",
+                   "--checkpoint-path", str(ck)])
+    assert rc == 3                      # incomplete by construction
+    capsys.readouterr()
+    d = np.load(ck)
+    assert {"px", "py", "pactive"} <= set(d.keys())
+    assert int(d["pactive"].sum()) > 0
+    rc = cli.main([str(cfg), "--resume", str(ck), "--stats",
+                   "--final-output-prefix", str(tmp_path / "res")])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main([str(cfg), "--stats",
+                   "--final-output-prefix", str(tmp_path / "str")])
+    assert rc == 0
+    capsys.readouterr()
+    from navierstokes_parallel_tpu.utils.io import read_field
+    _, _, _, u_res = read_field(str(tmp_path / "res_u.txt"))
+    _, _, _, u_str = read_field(str(tmp_path / "str_u.txt"))
+    np.testing.assert_allclose(u_res, u_str, atol=1e-6)
+    # A non-free checkpoint cannot resume problem 6.
+    plain = tmp_path / "plain.in"
+    _write_config(plain, i_max=20, j_max=12, a=5.0, b=3.0)
+    ck2 = tmp_path / "ck2.npz"
+    rc = cli.main([str(plain), "--checkpoint-every", "1",
+                   "--checkpoint-path", str(ck2)])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main([str(cfg), "--resume", str(ck2)])
+    assert rc == 1
+    assert "particle" in capsys.readouterr().err
+
+
+def test_cli_free_surface_gspmd_and_rejections(tmp_path, capsys):
+    """--backend gspmd reproduces the single-chip step/iteration counts on
+    the 8-device CPU mesh; the shard_map backend is cleanly rejected and
+    --method warns."""
+    cfg = tmp_path / "f.in"
+    _write_free_config(cfg)
+    rc = cli.main([str(cfg), "--stats"])
+    assert rc == 0
+    ref = [ln for ln in capsys.readouterr().err.splitlines()
+           if "steps=" in ln][0]
+    rc = cli.main([str(cfg), "--backend", "gspmd", "--mesh", "2x4",
+                   "--stats", "--method", "mg"])
+    assert rc == 0
+    out = capsys.readouterr()
+    got = [ln for ln in out.err.splitlines() if "steps=" in ln][0]
+    assert got.split("last_res_norm")[0] == ref.split("last_res_norm")[0]
+    assert "ignored" in out.err          # --method mg warning
+    rc = cli.main([str(cfg), "--backend", "sharded"])
+    assert rc == 1
+    assert "shard_map" in capsys.readouterr().err

@@ -73,9 +73,10 @@ def test_derived():
 
 def test_validation():
     with pytest.raises(ValueError):
-        Params(problem=6)  # 3=channel, 4=free-slip, 5=convection are valid
-    assert Params(problem=4).problem == 4
+        Params(problem=7)  # 3=channel, 4=free-slip, 5=convection,
+    assert Params(problem=4).problem == 4    # 6=free surface are valid
     assert Params(problem=5).problem == 5
+    assert Params(problem=6).fluid_x1 == 0.25  # derived dam-break default
     with pytest.raises(ValueError):
         Params(omega=2.5)
     with pytest.raises(ValueError):
