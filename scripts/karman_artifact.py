@@ -162,8 +162,16 @@ def _richardson(q, h, p_nominal):
                     else:
                         lo = mid
                 p = 0.5 * (lo + hi)
-                C = (q2 - q3) / (h2 ** p - h3 ** p)
-                return p, q3 - C * h3 ** p
+                # A fitted order below ~1/2 means the triple is not in
+                # the asymptotic range (successive differences barely
+                # shrink); the 1/(h2^p - h3^p) factor then amplifies the
+                # rung noise into an absurd limit (observed: a monotone
+                # cl ladder ending at 0.898 "extrapolating" to 1.57).
+                # Fall back to the nominal boundary order on the finest
+                # pair instead, like the non-monotone case below.
+                if p >= 0.5:
+                    C = (q2 - q3) / (h2 ** p - h3 ** p)
+                    return p, q3 - C * h3 ** p
     q2, q3 = q[-2:]
     h2, h3 = h[-2:]
     p = p_nominal
