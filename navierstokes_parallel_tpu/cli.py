@@ -416,10 +416,7 @@ def _build_thermal_runner(params, cfg, state, args, pressure_method,
                                         _make_thermal_gspmd, fetch_thermal,
                                         place_thermal)
 
-        mesh = parse_mesh_arg(args.mesh)
-        if mesh is None:
-            from .parallel import gspmd
-            mesh = gspmd._default_mesh()
+        mesh = _gspmd_mesh(args)
         if host_loop:
             stepper = ThermalGspmdStepper(params, cfg, state, mesh=mesh,
                                           pressure_method=pressure_method)
@@ -457,6 +454,16 @@ def _build_thermal_runner(params, cfg, state, args, pressure_method,
     return lambda: compiled(state)
 
 
+def _gspmd_mesh(args):
+    """--mesh for the gspmd backend, falling back to the backend's own
+    near-square default (shared by the thermal and free-surface runners)."""
+    mesh = parse_mesh_arg(args.mesh)
+    if mesh is None:
+        from .parallel import gspmd
+        mesh = gspmd._default_mesh()
+    return mesh
+
+
 def _build_free_runner(params, state, args, pressure_method, host_loop):
     """Runner for problem 6 (free-surface flow, models/freesurface.py):
     single-chip, or multi-chip via `--backend gspmd` (grid fields sharded,
@@ -476,12 +483,12 @@ def _build_free_runner(params, state, args, pressure_method, host_loop):
         print(f"warning: problem 6 uses the free-surface traced pressure "
               f"operator; --method {args.method!r} is ignored",
               file=sys.stderr)
+    if args.backend == "pallas":
+        print("warning: problem 6 runs the jnp free-surface path; "
+              "--backend pallas is ignored", file=sys.stderr)
     wall = args.free_wall
     if args.backend == "gspmd":
-        mesh = parse_mesh_arg(args.mesh)
-        if mesh is None:
-            from .parallel import gspmd
-            mesh = gspmd._default_mesh()
+        mesh = _gspmd_mesh(args)
         if host_loop:
             stepper = _FreeStepper(params, state, wall, mesh=mesh)
             stepper.warm()

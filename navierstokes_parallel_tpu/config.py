@@ -225,9 +225,12 @@ class Params:
                 f"2: oscillating lid, 3: plane channel, 4: free-slip box, "
                 f"5: natural convection, 6: free surface)")
         if self.problem == 6:
-            if self.fluid_x1 < 0.0:
+            # Only the exact -1 sentinel means "use the default"; any other
+            # negative value is a misconfiguration and falls through to the
+            # box validation below.
+            if self.fluid_x1 == -1.0:
                 object.__setattr__(self, "fluid_x1", 0.25 * self.a)
-            if self.fluid_y1 < 0.0:
+            if self.fluid_y1 == -1.0:
                 object.__setattr__(self, "fluid_y1", 0.5 * self.b)
             if not (0.0 <= self.fluid_x0 < self.fluid_x1 <= self.a
                     and 0.0 <= self.fluid_y0 < self.fluid_y1 <= self.b):

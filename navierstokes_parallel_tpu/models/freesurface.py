@@ -134,6 +134,19 @@ def free_step(fs: FreeSurfaceState, params: Params, *,
     the SUMMAC condition reads); sub-cell wave dynamics needs the fill
     resolution 1/ppc^2 finer than the column-to-column elevation
     increment (sloshing seeds 6)."""
+    from ..ops import obstacles as obs
+
+    if obs.aperture_active(params):
+        # The free-surface pressure operator is rebuilt per step from the
+        # TRACED flag field (ops/surface.py) — the static cut-cell face
+        # fractions don't compose with it.  Guarded here (the single step
+        # every driver path traces) rather than only in the solve_free
+        # wrapper, so CLI/host-loop/gspmd entries can't silently mix
+        # second-order apertures with a moving surface.
+        raise ValueError(
+            "free-surface runs use the traced staircase pressure operator "
+            "— set obstacle_pressure='staircase' (cut-cell apertures are "
+            "static and cannot follow the moving fluid region)")
     if ppc is None:
         ppc = params.particles_per_cell
     u, v, p, t, n = fs.state
@@ -258,17 +271,6 @@ def solve_free(params: Params, fs: FreeSurfaceState, *,
     """Integrate to t >= T in one on-device while_loop.  With `mesh` (a
     jax.sharding.Mesh) the run is multi-chip via the GSPMD recipe — see
     `place_free`; the returned state is the unpadded device view."""
-    from ..ops import obstacles as obs
-
-    if obs.aperture_active(params):
-        # The free-surface pressure operator is rebuilt per step from the
-        # TRACED flag field (ops/surface.py) — the static cut-cell face
-        # fractions don't compose with it.  Refuse rather than silently
-        # mixing second-order velocity BCs with a staircase solve.
-        raise ValueError(
-            "free-surface runs use the traced staircase pressure operator "
-            "— set obstacle_pressure='staircase' (cut-cell apertures are "
-            "static and cannot follow the moving fluid region)")
     if mesh is not None:
         fn = _make_free_gspmd(params, mesh, wall, ppc, p_surface,
                               whole_solve=True)

@@ -667,7 +667,7 @@ def surface_quadrature(params: Params, n_theta: int = 0) -> SurfaceQuad:
 
     def push(valid, ox, oy, d0):
         d = np.full(n_theta, float(d0))
-        for _ in range(24):
+        for _ in range(25):            # checks d0 .. d0 + 6h inclusive
             X = surf[:, 0] + d * n_hat[:, 0]
             Y = surf[:, 1] + d * n_hat[:, 1]
             ii, jj, _ = _bilinear_table(X, Y, dx, dy, ox, oy, shape)
@@ -675,8 +675,10 @@ def surface_quadrature(params: Params, n_theta: int = 0) -> SurfaceQuad:
             if ok.all():
                 return d
             d = np.where(ok, d, d + 0.25 * h)
-        raise ValueError("surface probe found no all-fluid stencil within "
-                         "6h of the wall")
+        raise ValueError(
+            f"surface probe found no all-fluid bilinear stencil within "
+            f"{d0 + 6 * h:.3g} of the wall — obstacle too close to other "
+            f"geometry for surface-traction quadrature")
 
     d1 = np.maximum.reduce([push(p_valid, 0.5, 0.5, 1.2 * h),
                             push(u_valid, 0.0, 0.5, 1.2 * h),

@@ -52,6 +52,13 @@ def load_checkpoint(path: str, params: Params):
             f"checkpoint grid {p.shape} does not match config grid {params.shape}"
         )
     dtype = params.jnp_dtype
+    base = State(
+        u=jnp.asarray(u, dtype),
+        v=jnp.asarray(v, dtype),
+        p=jnp.asarray(p, dtype),
+        t=jnp.asarray(t, dtype),
+        n=jnp.asarray(n, jnp.int32),
+    )
     if params.problem == 6:
         if pset is None:
             raise ValueError(
@@ -63,13 +70,7 @@ def load_checkpoint(path: str, params: Params):
         # Particle coordinates keep the solve-time float64 (positions are
         # advected in the x64 path regardless of the field dtype).
         return FreeSurfaceState(
-            state=State(
-                u=jnp.asarray(u, dtype),
-                v=jnp.asarray(v, dtype),
-                p=jnp.asarray(p, dtype),
-                t=jnp.asarray(t, dtype),
-                n=jnp.asarray(n, jnp.int32),
-            ),
+            state=base,
             pset=ParticleSet(x=jnp.asarray(pset[0]),
                              y=jnp.asarray(pset[1]),
                              active=jnp.asarray(pset[2], bool)),
@@ -89,10 +90,4 @@ def load_checkpoint(path: str, params: Params):
             t=jnp.asarray(t, dtype),
             n=jnp.asarray(n, jnp.int32),
         )
-    return State(
-        u=jnp.asarray(u, dtype),
-        v=jnp.asarray(v, dtype),
-        p=jnp.asarray(p, dtype),
-        t=jnp.asarray(t, dtype),
-        n=jnp.asarray(n, jnp.int32),
-    )
+    return base

@@ -114,36 +114,45 @@ def _write_csv(csv, rows, staircase):
             # the nominal boundary order (2 sharp / 1 staircase) on two
             # rungs or a non-monotone triple.
             p_nom = 1.0 if staircase else 2.0
-            ex, orders = [], []
+            ex, orders, srcs = [], [], []
             cols = (3, 5, 6, 7) + ((9, 10) if surf else ())
             for k in cols:
                 q = [r[k] for r in rows[-3:]]
                 h = [1.0 / r[0] for r in rows[-3:]]
-                p, q_inf = _richardson(q, h, p_nom)
+                p, q_inf, fitted = _richardson(q, h, p_nom)
                 orders.append(p)
                 ex.append(q_inf)
+                srcs.append("fit" if fitted else "nominal")
             tail = (f",{ex[4]:.4f},{ex[5]:.4f}" if surf else "")
             otail = (f",{orders[4]:.2f},{orders[5]:.2f}" if surf else "")
+            stail = (f",{srcs[4]},{srcs[5]}" if surf else "")
             f.write(f"extrapolated,-,-,{ex[0]:.4f},-,{ex[1]:.4f},"
                     f"{ex[2]:.4f},{ex[3]:.4f},-{tail}\n")
             f.write(f"observed_order,-,-,{orders[0]:.2f},-,"
                     f"{orders[1]:.2f},{orders[2]:.2f},{orders[3]:.2f},-"
                     f"{otail}\n")
+            # Which entries carry a genuinely FITTED 3-rung order vs the
+            # nominal-order finest-pair fallback (non-monotone or
+            # non-asymptotic triple) — without this row a fallback 2.00
+            # is indistinguishable from a measured 2.00.
+            f.write(f"order_source,-,-,{srcs[0]},-,{srcs[1]},{srcs[2]},"
+                    f"{srcs[3]},-{stail}\n")
             surf_msg = (f", surface-traction cd_max={ex[4]:.4f} "
                         f"cl_max={ex[5]:.4f}" if surf else "")
             print(f"Richardson-extrapolated (orders "
-                  f"{', '.join(f'{o:.2f}' for o in orders)}): "
-                  f"St={ex[0]:.4f} (band 0.2950-0.3050), "
+                  f"{', '.join(f'{o:.2f}[{s}]' for o, s in zip(orders, srcs))}"
+                  f"): St={ex[0]:.4f} (band 0.2950-0.3050), "
                   f"cd_max={ex[1]:.4f} (3.22-3.24), cl_max={ex[2]:.4f} "
                   f"(0.99-1.01), dp={ex[3]:.4f} (2.46-2.50){surf_msg}")
 
 
 def _richardson(q, h, p_nominal):
-    """(observed order p, extrapolated q_inf) from the finest-available
-    rungs, coarse->fine ordering.  With three rungs, solve
+    """(observed order p, extrapolated q_inf, fitted) from the finest-
+    available rungs, coarse->fine ordering.  With three rungs, solve
     (q1-q2)/(q2-q3) = (h1^p - h2^p)/(h2^p - h3^p) for p by bisection; a
-    non-monotone triple (ratio <= 0, error not decreasing cleanly) falls
-    back to p_nominal on the finest pair."""
+    non-monotone or non-asymptotic triple (ratio <= 0, no bracketing sign
+    change, or fitted p < 1/2) falls back to p_nominal on the finest pair
+    with fitted=False."""
     if len(q) >= 3:
         q1, q2, q3 = q[-3:]
         h1, h2, h3 = h[-3:]
@@ -171,12 +180,12 @@ def _richardson(q, h, p_nominal):
                 # pair instead, like the non-monotone case below.
                 if p >= 0.5:
                     C = (q2 - q3) / (h2 ** p - h3 ** p)
-                    return p, q3 - C * h3 ** p
+                    return p, q3 - C * h3 ** p, True
     q2, q3 = q[-2:]
     h2, h3 = h[-2:]
     p = p_nominal
     C = (q2 - q3) / (h2 ** p - h3 ** p)
-    return p, q3 - C * h3 ** p
+    return p, q3 - C * h3 ** p, False
 
 
 def _plot_street(params, trace, out_path):

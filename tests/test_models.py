@@ -93,7 +93,7 @@ def test_channel_factory_and_config():
     assert prof.max() == pytest.approx(4 * (0.5 - p.dy / 2) * (0.5 + p.dy / 2))
     assert np.all(prof > 0)
     with pytest.raises(ValueError, match="problem type"):
-        Params(problem=6, i_max=8, j_max=8)  # 5 = convection is valid now
+        Params(problem=7, i_max=8, j_max=8)  # 6 = free surface is valid now
 
 
 def test_channel_steady_state_grid_convergence():

@@ -66,7 +66,7 @@ def test_params_problem5_validation():
     with pytest.raises(ValueError, match="Ra"):
         Params(problem=5, Ra=-1.0)
     with pytest.raises(ValueError, match="problem"):
-        Params(problem=6)
+        Params(problem=7)  # 6 = free surface is valid now
     with pytest.raises(ValueError, match="problem=5"):
         conv.config_from_params(Params(problem=1))
 
