@@ -95,6 +95,19 @@ class Params:
 
     # TPU-specific knobs (not part of the .in format).
     dtype: str = "float32"
+    # Donor-cell upwind weight override.  The reference ties gamma to the
+    # CFL number every step (main.c:92: gamma = max(u dt/dx, v dt/dy) —
+    # when dt is advection-limited this is exactly tau), which entangles
+    # the temporal refinement with the spatial operator: reducing dt also
+    # reduces the upwind dissipation by O(dt), an error term LINEAR in
+    # tau that no higher-order integrator can remove (measured: the AB2
+    # stepper's observed temporal order is 1 under adaptive gamma, 2 with
+    # gamma held fixed — tests/test_ab2.py).  Set a float to decouple:
+    # any fixed gamma >= the worst-step CFL (<= tau by construction) is
+    # admissible (Griebel et al. sect. 3.2.4 require CFL <= gamma <= 1);
+    # 0.0 selects pure central differencing (stable when the cell Peclet
+    # number u*dx*Re < 2).  None keeps the reference's adaptive gamma.
+    gamma_fixed: float | None = None
     # Mixed-precision SOR: re-baseline the f64 master pressure (and check
     # convergence) every K f32 sweeps; 0 disables refinement (see ops/sor.py).
     # Only used when dtype == float32 and jax x64 is enabled.

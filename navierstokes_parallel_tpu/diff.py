@@ -82,7 +82,11 @@ def _safe_dt_gamma(u, v, params: Params):
         jnp.minimum(dx / jnp.maximum(jnp.abs(u_max), tiny),
                     dy / jnp.maximum(jnp.abs(v_max), tiny)),
     )
-    gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+    if params.gamma_fixed is not None:
+        # Fixed upwind weight (config.py::gamma_fixed).
+        gamma = jnp.asarray(params.gamma_fixed, dt.dtype)
+    else:
+        gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
     return dt, gamma
 
 
@@ -245,7 +249,11 @@ def diff_thermal_step(ts, params: Params, cfg, pressure_method: str = "mg"):
         jnp.minimum(visc, energy.thermal_dt_limit(params, cfg.alpha)),
         jnp.minimum(dx / jnp.maximum(jnp.abs(u_max), tiny),
                     dy / jnp.maximum(jnp.abs(v_max), tiny)))
-    gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+    if params.gamma_fixed is not None:
+        # Fixed upwind weight (config.py::gamma_fixed).
+        gamma = jnp.asarray(params.gamma_fixed, dt.dtype)
+    else:
+        gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
 
     u, v = _apply_vel_bcs(u, v, cfg)
     if params.obstacles:

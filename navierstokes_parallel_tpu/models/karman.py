@@ -230,24 +230,39 @@ def _probe_record_fn(params: Params, pi: int, pj: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _make_chunk_fn(params: Params, method: str, chunk: int, record_fn):
+def _make_chunk_fn(params: Params, method: str, chunk: int, record_fn,
+                   time_order: int = 1):
     """`chunk` steps per dispatch, per-step diagnostics recorded ON
     DEVICE via lax.scan — one dispatch + one small-array fetch per chunk,
     instead of a scalar D2H fence per step (~30 ms over the TPU tunnel,
     which would dominate these small unsteady grids).  `record_fn(state)
     -> dict of scalars` runs inside the scan body; keep it cached /
-    identity-stable or every call retraces."""
+    identity-stable or every call retraces.  `time_order=2` scans the
+    Adams-Bashforth-2 stepper (solver.step_ab2); the AB2 tendency carry
+    threads through the scan AND across chunk dispatches, so the chunked
+    trajectory is identical to unchunked stepping."""
     import jax
     from jax import lax
 
+    if time_order == 1:
+        _step = lambda s: _solver.step(s, params, pressure_method=method)
+        _base = lambda s: s
+    elif time_order == 2:
+        _step = lambda s: _solver.step_ab2(s, params,
+                                           pressure_method=method)
+        _base = lambda s: s.s
+    else:
+        raise ValueError(f"time_order must be 1 or 2, got {time_order}")
+
     @jax.jit
-    def _chunk(state: State):
+    def _chunk(carry):
         def body(s, _):
-            s2, d = _solver.step(s, params, pressure_method=method)
-            return s2, (s2.t, record_fn(s2), d.sor_iterations,
+            s2, d = _step(s)
+            b = _base(s2)
+            return s2, (b.t, record_fn(b), d.sor_iterations,
                         (~d.sor_converged).astype(jnp.int32),
                         d.sor_res_norm)
-        return lax.scan(body, state, None, length=chunk)
+        return lax.scan(body, carry, None, length=chunk)
 
     return _chunk
 
@@ -255,7 +270,8 @@ def _make_chunk_fn(params: Params, method: str, chunk: int, record_fn):
 def shedding_signal(params: Params, state: Optional[State] = None, *,
                     method: str = "rb_sor", probe: Optional[Tuple[float,
                     float]] = None, perturb: float = 0.3,
-                    chunk: int = 64, record_fn=None) -> SheddingTrace:
+                    chunk: int = 64, record_fn=None,
+                    time_order: int = 1) -> SheddingTrace:
     """Integrate past params.T recording per-step wake diagnostics.
 
     Default record: v at the probe, one diameter behind the cylinder's
@@ -264,12 +280,16 @@ def shedding_signal(params: Params, state: Optional[State] = None, *,
     populates trace.v.  Steps run in `chunk`-sized on-device lax.scan
     dispatches (see _make_chunk_fn), so the final state may overshoot T
     by up to chunk - 1 steps — irrelevant for spectral measurements, and
-    the trace itself is returned untrimmed with its exact times."""
+    the trace itself is returned untrimmed with its exact times.
+    `time_order=2` uses the Adams-Bashforth-2 stepper (solver.step_ab2)
+    — second order in dt, so the resolution ladder's temporal bias
+    (scripts/karman_dt_study.py) vanishes at the native tau."""
     if state is None:
         state = initial_state(params, perturb=perturb)
     if record_fn is None:
         record_fn = _probe_record_fn(params, *probe_node(params, probe))
-    fn = _make_chunk_fn(params, method, chunk, record_fn)
+    fn = _make_chunk_fn(params, method, chunk, record_fn, time_order)
+    carry = _solver.ab2_init(state) if time_order == 2 else state
     ts, recs = [], []
     steps = iters = fails = 0
     last = 0.0
@@ -282,7 +302,8 @@ def shedding_signal(params: Params, state: Optional[State] = None, *,
             f"state.t = {float(state.t):g} already >= T = {t_end:g} — "
             f"raise params.T to continue this run")
     while float(state.t) < t_end:
-        state, (ct, crec, cit, cfl, cres) = fn(state)
+        carry, (ct, crec, cit, cfl, cres) = fn(carry)
+        state = carry.s if time_order == 2 else carry
         ts.append(np.asarray(ct))
         recs.append({k: np.asarray(a) for k, a in crec.items()})
         steps += chunk

@@ -115,5 +115,11 @@ def adaptive_dt_gamma(u, v, params: Params):
     dt = tau * jnp.minimum(
         visc, jnp.minimum(dx / jnp.abs(u_max), dy / jnp.abs(v_max))
     )
-    gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+    if params.gamma_fixed is not None:
+        # Decouple the upwind weight from dt (see config.py::gamma_fixed):
+        # the donor-cell blend becomes a fixed spatial operator, so
+        # temporal refinement measures the integrator alone.
+        gamma = jnp.asarray(params.gamma_fixed, dt.dtype)
+    else:
+        gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
     return dt, gamma

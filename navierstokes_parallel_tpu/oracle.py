@@ -201,7 +201,10 @@ def oracle_step(u, v, p, t, prm: Params) -> Tuple[float, int]:
             dx / abs(u_max) if u_max != 0 else np.inf,
             dy / abs(v_max) if v_max != 0 else np.inf,
         )
-    gamma = max(u_max * dt / dx, v_max * dt / dy)
+    if prm.gamma_fixed is not None:
+        gamma = prm.gamma_fixed  # fixed upwind weight (config.py)
+    else:
+        gamma = max(u_max * dt / dx, v_max * dt / dy)
 
     if prm.obstacles:
         raise ValueError("the serial oracle has no flag-field support — "

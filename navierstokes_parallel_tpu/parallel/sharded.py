@@ -388,7 +388,11 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
     dt = params.tau * jnp.minimum(
         visc, jnp.minimum(dx / jnp.abs(u_max), dy / jnp.abs(v_max))
     )
-    gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+    if params.gamma_fixed is not None:
+        # Fixed upwind weight (config.py::gamma_fixed).
+        gamma = jnp.asarray(params.gamma_fixed, dt.dtype)
+    else:
+        gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
 
     if params.problem == 3:
         u, v = _apply_channel_bcs_sharded(u, v, params)

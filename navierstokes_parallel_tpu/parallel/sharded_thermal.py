@@ -169,7 +169,11 @@ def _sharded_thermal_step(u, v, p, T, t, params: Params, cfg,
     dt = params.tau * jnp.minimum(
         jnp.minimum(visc, energy.thermal_dt_limit(params, cfg.alpha)),
         jnp.minimum(dx / jnp.abs(u_max), dy / jnp.abs(v_max)))
-    gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+    if params.gamma_fixed is not None:
+        # Fixed upwind weight (config.py::gamma_fixed).
+        gamma = jnp.asarray(params.gamma_fixed, dt.dtype)
+    else:
+        gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
 
     u, v = _apply_thermal_vel_bcs_sharded(u, v, params, cfg)
     T = _apply_t_bcs_sharded(T, params, cfg)

@@ -83,9 +83,17 @@ def step(
             rhs = obs.poisson_rhs(F, G, dt, params)
         else:
             rhs = momentum.compute_rhs(F, G, dt, params)
+    return _advance(u, v, p, t, n, F, G, rhs, dt, params, pressure_method)
+
+
+def _advance(u, v, p, t, n, F, G, rhs, dt, params: Params,
+             pressure_method: str) -> Tuple[State, StepDiagnostics]:
+    """Pressure solve + projection tail shared by `step` and `step_ab2`."""
     result = sor.solve_pressure(p, rhs, params, method=pressure_method)
     u, v = momentum.project_velocities(u, v, F, G, result.p, dt, params)
     if params.obstacles:
+        from .ops import obstacles as obs
+
         # The projection slice sweeps obstacle faces too (unlike the outer
         # walls, which it excludes by construction) — restore no-slip so
         # the state is always consistent between steps.
@@ -111,6 +119,159 @@ def make_step_fn(params: Params, pressure_method: str = "rb_sor"):
         return step(state, params, pressure_method=pressure_method)
 
     return _step
+
+
+@functools.lru_cache(maxsize=32)
+def make_ab2_step_fn(params: Params, pressure_method: str = "rb_sor"):
+    """Jitted step_ab2 closure for host-driven loops (same caching
+    rationale as make_step_fn)."""
+    @jax.jit
+    def _step(ab2: "AB2State") -> Tuple["AB2State", StepDiagnostics]:
+        return step_ab2(ab2, params, pressure_method=pressure_method)
+
+    return _step
+
+
+class AB2State(NamedTuple):
+    """Carry for the second-order (Adams-Bashforth 2) time integrator:
+    the base State plus the previous step's explicit spatial tendency
+    (advection + diffusion + body force, on the F/G face layouts) and the
+    previous dt for the variable-step AB2 weights.  `dt_prev == 0` marks
+    the bootstrap — the first step is plain explicit Euler."""
+
+    s: State
+    ru: jax.Array       # dU/dt at the previous step, F layout
+    rv: jax.Array       # dV/dt at the previous step, G layout
+    dt_prev: jax.Array  # previous dt (scalar; 0.0 = bootstrap)
+
+
+def ab2_init(state: State) -> AB2State:
+    return AB2State(s=state, ru=jnp.zeros_like(state.u),
+                    rv=jnp.zeros_like(state.v),
+                    dt_prev=jnp.zeros((), state.t.dtype))
+
+
+def step_ab2(
+    ab2: AB2State,
+    params: Params,
+    *,
+    pressure_method: str = "rb_sor",
+) -> Tuple[AB2State, StepDiagnostics]:
+    """One second-order (variable-step Adams-Bashforth 2) time step.
+
+    The reference integrates the momentum equations with explicit Euler
+    (integration.c:73-96 — F = u + dt*(...)), first order in dt; the
+    Kármán space-time study (scripts/karman_dt_study.py) measured that
+    temporal bias at 2-4% on the Schäfer-Turek force coefficients, larger
+    than the spatial error at 20+ cells/diameter.  AB2 extrapolates the
+    explicit tendency through the previous step,
+
+        u* = u + dt*[(1 + w) R_n - w R_{n-1}],   w = dt / (2 dt_{n-1}),
+
+    the variable-step form needed under the adaptive CFL dt; the pressure
+    projection is unchanged (it enforces the divergence constraint at
+    t_{n+1} regardless of the tentative scheme's order).  The first step
+    bootstraps with Euler (w = 0).  Stability: AB2's real-axis interval is
+    (-1, 0) vs Euler's (-2, 0), so the viscous-limited dt must satisfy
+    tau <= 0.5 — exactly the reference's default; donor-cell upwinding
+    keeps the advective eigenvalues off the imaginary axis.
+
+    Routed through the jnp momentum formulation (the fused Pallas
+    momentum kernel computes F/G/rhs in one pass and has no tendency
+    output); the extra state is two face arrays + one scalar.
+
+    Accuracy fine print (all measured, tests/test_ab2.py): interior AND
+    first-ring velocities are clean order 2 — but only with a
+    dt-decoupled donor-cell weight (config.py::gamma_fixed; under the
+    reference's adaptive gamma the upwind dissipation itself is O(dt)
+    and dominates).  Ghost cells are refreshed at the START of the next
+    step, so a final state's ghosts lag one step (O(dt) staleness, not a
+    trajectory error).  The returned pressure is the AB2 tendency's
+    midpoint pressure — a uniform half-step time offset, O(dt^2) beyond
+    the shift; cycle maxima/means of recorded signals (the Kármán
+    cd/cl/dp protocol) are shift-invariant.
+    """
+    u, v, p, t, n = ab2.s
+
+    dt, gamma = momentum.adaptive_dt_gamma(u, v, params)
+    if params.problem == 3:
+        u, v = boundary.apply_channel_bcs(u, v, params)
+    elif params.problem == 4:
+        u, v = boundary.apply_freeslip_box(u, v)
+    else:
+        lid = boundary.lid_velocity(params.problem, params.f, t)
+        u, v = boundary.apply_cavity_bcs(u, v, lid)
+    if params.obstacles:
+        from .ops import obstacles as obs
+
+        u, v = obs.apply_obstacle_bcs(u, v, params)
+    F, G = momentum.compute_fg(u, v, dt, gamma, params)
+    # Tendencies from the Euler tentative fields: R = (F - u)/dt.  Exact
+    # zeros on the wall faces (compute_fg sets F = u there); the ghost
+    # rows/columns hold junk that no downstream read touches (the RHS
+    # divergence and the projection only read interior + wall faces).
+    ru = (F - u) / dt
+    rv = (G - v) / dt
+    w = jnp.where(ab2.dt_prev > 0, dt / (2.0 * ab2.dt_prev), 0.0)
+    F = F + (dt * w) * (ru - ab2.ru)
+    G = G + (dt * w) * (rv - ab2.rv)
+    if params.obstacles:
+        F, G = obs.pin_fg(F, G, u, v, params)
+        rhs = obs.poisson_rhs(F, G, dt, params)
+    else:
+        rhs = momentum.compute_rhs(F, G, dt, params)
+    state, diag = _advance(u, v, p, t, n, F, G, rhs, dt, params,
+                           pressure_method)
+    return AB2State(s=state, ru=ru, rv=rv, dt_prev=dt), diag
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _solve_ab2_on_device(
+    params: Params,
+    ab2: AB2State,
+    pressure_method: str = "rb_sor",
+) -> Tuple[AB2State, SolveStats]:
+    T = jnp.asarray(params.T, ab2.s.t.dtype)
+
+    def cond(carry):
+        ab2, _ = carry
+        return ab2.s.t < T
+
+    def body(carry):
+        ab2, stats = carry
+        ab2, diag = step_ab2(ab2, params, pressure_method=pressure_method)
+        stats = SolveStats(
+            steps=stats.steps + 1,
+            total_sor_iterations=stats.total_sor_iterations
+            + diag.sor_iterations,
+            sor_failures=stats.sor_failures
+            + jnp.where(diag.sor_converged, 0, 1).astype(jnp.int32),
+            last_res_norm=diag.sor_res_norm,
+        )
+        return ab2, stats
+
+    zero = jnp.zeros((), jnp.int32)
+    init_stats = SolveStats(
+        steps=zero,
+        total_sor_iterations=zero,
+        sor_failures=zero,
+        last_res_norm=jnp.zeros((), ab2.s.t.dtype),
+    )
+    return lax.while_loop(cond, body, (ab2, init_stats))
+
+
+def solve_ab2(
+    params: Params,
+    state: Optional[State] = None,
+    *,
+    pressure_method: str = "rb_sor",
+) -> Tuple[State, SolveStats]:
+    """Integrate to t >= T on device with second-order time stepping."""
+    if state is None:
+        state = allocate_state(params)
+    ab2, stats = _solve_ab2_on_device(params, ab2_init(state),
+                                      pressure_method)
+    return ab2.s, stats
 
 
 def solve_stepwise(

@@ -42,14 +42,14 @@ BANDS = {"st": (0.2950, 0.3050), "cd_max": (3.22, 3.24),
          "cd_s_max": (3.22, 3.24), "cl_s_max": (0.99, 1.01)}
 
 
-def run_rung(n, tau, T, method, chunk):
+def run_rung(n, tau, T, method, chunk, time_order=1):
     from navierstokes_parallel_tpu.models import karman as K
 
     params = K.schafer_turek(n_per_d=n, T=T, tau=tau)
     rec = K.surface_force_record_fn(params, 5, *K.probe_node(params))
     t0 = time.perf_counter()
     tr = K.shedding_signal(params, method=method, chunk=chunk,
-                           record_fn=rec)
+                           record_fn=rec, time_order=time_order)
     wall = time.perf_counter() - t0
     st, _ = K.strouhal(tr.t, tr.v, skip_frac=0.7)
     co = K.coefficients(tr, params, skip_frac=0.7)
@@ -130,6 +130,13 @@ def main():
     ap.add_argument("--taus", default="0.5,0.25")
     ap.add_argument("--T", type=float, default=150.0)
     ap.add_argument("--method", default="mg")
+    ap.add_argument("--time-order", type=int, default=1, choices=(1, 2),
+                    help="2 = Adams-Bashforth-2 momentum stepping "
+                         "(solver.step_ab2): the Euler O(dt) error is "
+                         "gone, so the remaining tau-sensitivity "
+                         "isolates the donor-cell gamma=tau dissipation "
+                         "— an independent route to the same tau->0 "
+                         "rung limits (cross-validation)")
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--cpu", action="store_true")
@@ -143,7 +150,8 @@ def main():
     ns = [int(s) for s in args.resolutions.split(",")]
     taus = sorted((float(s) for s in args.taus.split(",")), reverse=True)
     os.makedirs(args.out, exist_ok=True)
-    csv = os.path.join(args.out, "karman_dt_study.csv")
+    suffix = "_ab2" if args.time_order == 2 else ""
+    csv = os.path.join(args.out, f"karman_dt_study{suffix}.csv")
 
     # Resume: measured (n, tau) cells already in the CSV are reused, so a
     # worker crash (or a ladder row measured by scripts/karman_artifact.py
@@ -204,7 +212,8 @@ def main():
                 per_rung.append(have[0])
                 continue
             print(f"n_per_d={n} tau={tau}:", flush=True)
-            r = run_rung(n, tau, args.T, args.method, args.chunk)
+            r = run_rung(n, tau, args.T, args.method, args.chunk,
+                         args.time_order)
             per_rung.append(r)
             rows.append(r)
             write_csv()          # crash-proof: rewrite after every run

@@ -1,0 +1,154 @@
+"""Second-order time integration (solver.step_ab2 / solve_ab2).
+
+The reference integrates momentum with explicit Euler (integration.c:
+73-96), first order in dt; the Kármán space-time study measured that
+temporal bias at 2-4% on the Schäfer-Turek force coefficients.  These
+tests validate the variable-step Adams-Bashforth-2 alternative: the
+Euler bootstrap is bit-identical to step(), the observed temporal order
+on the EXACT Taylor-Green solution is 2 (vs 1 for Euler, measured in the
+same harness), the chunked Kármán driver threads the AB2 carry across
+dispatch boundaries exactly, and the steady lid-driven cavity limit is
+integrator-independent.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokes_parallel_tpu import solver
+from navierstokes_parallel_tpu.models import taylorgreen as TG
+
+
+def test_first_step_bootstraps_to_euler():
+    """With dt_prev = 0 the AB2 weight vanishes: the first step_ab2 must
+    equal step() exactly (same jnp momentum formulation on CPU)."""
+    params, state = TG.taylor_green(n=32, Re=50.0, T=0.3)
+    s_euler, d1 = solver.step(state, params)
+    ab2, d2 = solver.step_ab2(solver.ab2_init(state), params)
+    for a, b in zip(s_euler[:3], ab2.s[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(d1.dt) == float(d2.dt)
+    # The stored tendency is the Euler tentative increment / dt.
+    assert float(ab2.dt_prev) == float(d2.dt)
+    assert np.isfinite(np.asarray(ab2.ru)).all()
+
+
+def test_second_step_differs_from_euler():
+    params, state = TG.taylor_green(n=32, Re=50.0, T=0.3)
+    s_e = state
+    ab2 = solver.ab2_init(state)
+    for _ in range(2):
+        s_e, _ = solver.step(s_e, params)
+        ab2, _ = solver.step_ab2(ab2, params)
+    assert not np.allclose(np.asarray(s_e.u), np.asarray(ab2.s.u),
+                           rtol=0, atol=1e-12)
+
+
+def _run_fixed_steps(params, state, n_steps, order):
+    """n_steps with either integrator.  At Re=50 on a fixed grid the
+    adaptive dt is viscosity-limited and state-independent, so dt is the
+    SAME constant every step and runs with (tau, N) and (tau/2, 2N) end
+    at the identical physical time — the clean temporal-refinement
+    setup (no end-time overshoot contamination)."""
+    if order == 1:
+        fn = solver.make_step_fn(params)
+        for _ in range(n_steps):
+            state, _ = fn(state)
+        return state
+    fn = solver.make_ab2_step_fn(params)
+    ab2 = solver.ab2_init(state)
+    for _ in range(n_steps):
+        ab2, _ = fn(ab2)
+    return ab2.s
+
+
+@pytest.mark.parametrize("order,lo,hi", [(1, 0.75, 1.3), (2, 1.7, 2.4)])
+def test_observed_temporal_order(order, lo, hi):
+    """Richardson triple on the Taylor-Green vortex at fixed 32^2 grid:
+    tau in {0.4, 0.2, 0.1} with matched end times; the observed order
+    log2(|s1-s2|/|s2-s3|) of the velocity field must be ~1 for Euler
+    and ~2 for AB2.  gamma_fixed=0 (pure central, stable here: cell
+    Peclet = u dx Re = 1.56 < 2) decouples the donor-cell weight from
+    dt — under the reference's adaptive gamma the upwind dissipation
+    itself changes by O(dt) and BOTH integrators measure order 1 (the
+    finding that motivated the gamma_fixed knob).  The pressure solve
+    runs tight (eps=1e-6) so solver tolerance noise stays far below the
+    temporal differences."""
+    sols = []
+    for tau, n_steps in ((0.4, 32), (0.2, 64), (0.1, 128)):
+        params, state = TG.taylor_green(n=32, Re=50.0, T=10.0, tau=tau,
+                                        epsilon=1e-6, max_it=5000,
+                                        gamma_fixed=0.0,
+                                        dtype="float64")
+        final = _run_fixed_steps(params, state, n_steps, order)
+        # Guard the constant-dt premise: t must land on N * tau * visc.
+        visc = params.Re / 2.0 / (1 / params.dx**2 + 1 / params.dy**2)
+        np.testing.assert_allclose(float(final.t), n_steps * tau * visc,
+                                   rtol=1e-12)
+        # Ghost cells excluded: BCs refresh them at step START, so the
+        # final state's ghosts lag one step behind — an O(dt) staleness
+        # (measured 1000x the interior difference) that is not a
+        # trajectory error.  Interior AND the first ring are clean
+        # order 2 (measured 2.002/2.002 vs Euler's 1.001/1.001).
+        sols.append(np.stack([np.asarray(final.u)[1:-1, 1:-1],
+                              np.asarray(final.v)[1:-1, 1:-1]]))
+    d1 = np.linalg.norm(sols[0] - sols[1])
+    d2 = np.linalg.norm(sols[1] - sols[2])
+    p = np.log2(d1 / d2)
+    assert lo <= p <= hi, (order, p, d1, d2)
+
+
+def test_solve_ab2_reaches_steady_cavity():
+    """The steady lid-driven cavity limit is integrator-independent:
+    solve() and solve_ab2() agree at T=6 (Re=10, 32^2 reaches steady
+    state quickly) to well under the transient differences."""
+    from navierstokes_parallel_tpu.config import Params
+
+    params = Params(problem=1, i_max=32, j_max=32, a=1.0, b=1.0, T=6.0,
+                    Re=10.0, g_x=0.0, g_y=0.0, tau=0.5, omega=1.7,
+                    epsilon=1e-5, max_it=3000, f=0.0)
+    s1, st1 = solver.solve(params)
+    s2, st2 = solver.solve_ab2(params)
+    assert int(st1.sor_failures) == 0 and int(st2.sor_failures) == 0
+    np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s2.u),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s1.v), np.asarray(s2.v),
+                               atol=2e-4)
+
+
+def test_karman_chunked_ab2_carry_threads_exactly():
+    """Chunked AB2 shedding must equal a single-dispatch run: the
+    tendency carry crosses lax.scan chunk boundaries without reset.
+    8 steps as 2x4-chunks vs 1x8-chunk, bit-compared."""
+    from navierstokes_parallel_tpu.models import karman as K
+
+    params = K.square_cylinder(n_per_d=8, T=1e9)  # never stops on T
+    state = K.initial_state(params, perturb=0.3)
+    rec = K._probe_record_fn(params, *K.probe_node(params))
+
+    def run(chunk, n_dispatch):
+        fn = K._make_chunk_fn(params, "rb_sor", chunk, rec, time_order=2)
+        carry = solver.ab2_init(state)
+        vs = []
+        for _ in range(n_dispatch):
+            carry, (ct, crec, *_rest) = fn(carry)
+            vs.append(np.asarray(crec["v"]))
+        return carry.s, np.concatenate(vs)
+
+    s_a, v_a = run(4, 2)
+    s_b, v_b = run(8, 1)
+    np.testing.assert_array_equal(v_a, v_b)
+    np.testing.assert_array_equal(np.asarray(s_a.u), np.asarray(s_b.u))
+
+
+def test_karman_square_cylinder_sheds_ab2():
+    """End-to-end: the cheap square-cylinder street runs under
+    time_order=2 with a clean pressure solve and a finite signal."""
+    from navierstokes_parallel_tpu.models import karman as K
+
+    params = K.square_cylinder(n_per_d=8, T=40.0)
+    tr = K.shedding_signal(params, method="rb_sor", chunk=64,
+                           time_order=2)
+    assert int(tr.stats.sor_failures) == 0
+    assert np.isfinite(tr.v).all()
+    assert np.abs(tr.v[-len(tr.v) // 4:]).max() > 1e-3  # street alive
