@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "= sharded backend's legacy exchange-per-half-sweep "
                          "path, for comparison with the default deep-halo "
                          "communication-avoiding inner)")
+    ap.add_argument("--time-order", type=int, choices=[1, 2], default=1,
+                    help="momentum time integrator: 1 = the reference's "
+                         "explicit Euler (default), 2 = variable-step "
+                         "Adams-Bashforth 2 (solver.step_ab2; single-chip "
+                         "backends, problems 1-4). A resumed run "
+                         "re-bootstraps with one Euler step (checkpoints "
+                         "carry the State, not the AB2 tendency)")
     ap.add_argument("--mesh", default=None, metavar="PxQ",
                     help="device mesh shape for the sharded/gspmd backends, "
                          "e.g. 2x4 (default: auto — pad-optimal for sharded, "
@@ -197,6 +204,18 @@ def main(argv=None) -> int:
     if args.tile_size:
         from .ops.pallas import sor_kernel
         sor_kernel.set_default_tile(args.tile_size)
+
+    if args.time_order == 2:
+        if args.backend in ("sharded", "gspmd"):
+            print("error: --time-order 2 runs the single-chip backends "
+                  "only (the sharded/gspmd steppers have no AB2 twin yet)",
+                  file=sys.stderr)
+            return 1
+        if params.problem in (5, 6):
+            print("error: --time-order 2 supports problems 1-4 (the "
+                  "thermal and free-surface steppers integrate their own "
+                  "couplings)", file=sys.stderr)
+            return 1
 
     thermal_cfg = None
     if params.problem == 5:
@@ -371,6 +390,21 @@ def _build_runner(params, state, args, pressure_method, host_loop):
             return lambda: _run_host_loop(params, stepper, args, mon_fn)
         return gspmd.compile_gspmd_solve(params, state, mesh,
                                          pressure_method=pressure_method)
+    if getattr(args, "time_order", 1) == 2:
+        from . import solver as _s
+
+        if host_loop:
+            stepper = _AB2Stepper(params, state, pressure_method)
+            stepper.warm()
+            mon_fn = _make_monitor_fn(params, state, args)
+            return lambda: _run_host_loop(params, stepper, args, mon_fn)
+        ab2 = _s.ab2_init(state)
+        compiled = (
+            jax.jit(_s._solve_ab2_on_device, static_argnums=(0, 2))
+            .lower(params, ab2, pressure_method)
+            .compile()
+        )
+        return lambda: (lambda out: (out[0].s, out[1]))(compiled(ab2))
     if host_loop:
         stepper = _SingleChipStepper(params, state, pressure_method)
         stepper.warm()
@@ -555,6 +589,37 @@ class _FreeStepper:
         fs = (self._F.fetch_free(self._fs, self._params)
               if self._mesh is not None else self._fs)
         return self._F.free_view(fs)
+
+
+class _AB2Stepper:
+    """Host-loop adapter for --time-order 2: steps an AB2State (State +
+    previous-step tendency, solver.step_ab2) while exposing the plain
+    State to frames/monitors/checkpoints.  A checkpoint saves the State
+    only; resuming re-bootstraps the tendency with one Euler step."""
+
+    def __init__(self, params: Params, state: State, pressure_method: str):
+        from .solver import ab2_init, make_ab2_step_fn
+
+        self._fn = make_ab2_step_fn(params, pressure_method)
+        self._ab2 = ab2_init(state)
+
+    def warm(self) -> None:
+        self._fn = self._fn.lower(self._ab2).compile()
+
+    @property
+    def t(self) -> float:
+        return float(self._ab2.s.t)
+
+    @property
+    def n(self) -> int:
+        return int(self._ab2.s.n)
+
+    def step(self):
+        self._ab2, diag = self._fn(self._ab2)
+        return diag
+
+    def state(self) -> State:
+        return self._ab2.s
 
 
 class _SingleChipStepper:

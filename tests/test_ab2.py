@@ -141,6 +141,27 @@ def test_karman_chunked_ab2_carry_threads_exactly():
     np.testing.assert_array_equal(np.asarray(s_a.u), np.asarray(s_b.u))
 
 
+def test_cli_time_order(tmp_path, capsys):
+    """--time-order 2 through the reference protocol surface: the
+    whole-solve and host-loop (frame-writing) paths agree exactly, and
+    the unsupported backends reject with a clean error."""
+    from navierstokes_parallel_tpu import cli
+
+    inp = tmp_path / "cav.in"
+    inp.write_text("\n".join(["1", "1", "32", "32", "1.0", "1.0", "0.05",
+                              "100.0", "0.0", "0.0", "0.5", "1.7",
+                              "0.0001", "300", "1"]) + "\n")
+    assert cli.main([str(inp), "--time-order", "2"]) == 0
+    whole = capsys.readouterr().out
+    assert cli.main([str(inp), "--time-order", "2",
+                     "--output-dir", str(tmp_path / "f")]) == 0
+    hosted = capsys.readouterr().out
+    assert whole.splitlines()[:2] == hosted.splitlines()[:2]
+    assert cli.main([str(inp), "--time-order", "2",
+                     "--backend", "gspmd"]) == 1
+    capsys.readouterr()
+
+
 def test_karman_square_cylinder_sheds_ab2():
     """End-to-end: the cheap square-cylinder street runs under
     time_order=2 with a clean pressure solve and a finite signal."""
