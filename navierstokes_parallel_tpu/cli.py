@@ -216,6 +216,14 @@ def main(argv=None) -> int:
                   "thermal and free-surface steppers integrate their own "
                   "couplings)", file=sys.stderr)
             return 1
+        if params.tau > 0.5:
+            # AB2's real-axis stability interval is half of Euler's
+            # (solver.py::step_ab2 docstring): the viscous-limited dt
+            # needs tau <= 0.5 or the integrator is silently unstable.
+            print(f"warning: --time-order 2 with tau={params.tau} > 0.5 "
+                  "exceeds the AB2 stability bound on the viscous dt "
+                  "limit; expect blow-up (use tau <= 0.5)",
+                  file=sys.stderr)
 
     thermal_cfg = None
     if params.problem == 5:
@@ -423,10 +431,11 @@ def _build_runner(params, state, args, pressure_method, host_loop):
 def _build_thermal_runner(params, cfg, state, args, pressure_method,
                           host_loop):
     """Runner for problem 5 (natural convection, models/convection.py):
-    single-chip jnp/pallas or multi-chip `--backend gspmd` (the GSPMD
+    single-chip jnp/pallas, multi-chip `--backend gspmd` (the GSPMD
     recipe shards u/v/p/T alike — no thermal-specific communication
-    code).  The manual shard_map backend has no energy-equation halo
-    support; gspmd covers multi-chip thermal."""
+    code), or multi-chip `--backend sharded` (the shard_map deep-halo
+    twin in parallel/sharded_thermal.py exchanges T halos alongside
+    u/v)."""
     if args.backend == "sharded":
         from .parallel import sharded_thermal
 

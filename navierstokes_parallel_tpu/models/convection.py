@@ -269,7 +269,12 @@ def thermal_step(ts: ThermalState, params: Params, cfg: ThermalConfig,
     dt = params.tau * jnp.minimum(
         jnp.minimum(visc, energy.thermal_dt_limit(params, cfg.alpha)),
         jnp.minimum(dx / jnp.abs(u_max), dy / jnp.abs(v_max)))
-    gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+    if params.gamma_fixed is not None:
+        # Fixed upwind weight (config.py::gamma_fixed) — must match the
+        # diff/sharded thermal twins or the 1e-4 parity contract breaks.
+        gamma = jnp.asarray(params.gamma_fixed, dt.dtype)
+    else:
+        gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
 
     u, v = _apply_vel_bcs(u, v, cfg)
     if params.obstacles:

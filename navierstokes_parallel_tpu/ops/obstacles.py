@@ -362,6 +362,7 @@ def ib_weights(params: Params) -> IBWeights:
     # double-write them (disjoint by construction for u_refl vs u_norm —
     # both-solid vs one-fluid — but assert the invariant cheaply).
     assert not (m.u_refl_n & u_norm_e).any() and not (m.u_refl_s & u_norm_w).any()
+    assert not (m.v_refl_e & v_norm_n).any() and not (m.v_refl_w & v_norm_s).any()
 
     return IBWeights(
         u_wn=weights_on(m.u_refl_n, u_xy, 1, +1, -1.0),

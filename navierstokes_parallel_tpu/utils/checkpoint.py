@@ -90,4 +90,15 @@ def load_checkpoint(path: str, params: Params):
             t=jnp.asarray(t, dtype),
             n=jnp.asarray(n, jnp.int32),
         )
+    # The opposite mismatch of the errors above: a problem-1..4 resume
+    # from a thermal / free-surface checkpoint would silently drop state
+    # fields — almost certainly a config/checkpoint mix-up, so warn.
+    dropped = [name for name, extra in (("T", temp), ("particles", pset))
+               if extra is not None]
+    if dropped:
+        import sys
+
+        print(f"warning: checkpoint {path!r} carries {'/'.join(dropped)} "
+              f"that problem {params.problem} will discard — resuming as "
+              "an isothermal single-phase run", file=sys.stderr)
     return base

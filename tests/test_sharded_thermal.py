@@ -133,3 +133,26 @@ def test_cli_problem5_sharded_backend(tmp_path, capsys):
     u2 = float(multi.out.splitlines()[0].split()[-1])
     assert u2 == pytest.approx(u1, abs=1e-4)
     assert any(n.endswith("_temp.txt") for n in os.listdir(outdir))
+
+
+def test_sharded_thermal_gamma_fixed_parity():
+    """gamma_fixed must reach all thermal steppers identically: the primal
+    thermal_step ignoring it while its twins honored it silently broke the
+    1e-4 twin-parity contract (round-4 ADVICE finding — the parity gates
+    only covered gamma_fixed=None)."""
+    from navierstokes_parallel_tpu import diff
+
+    params = _params(T=0.15, gamma_fixed=0.4)
+    cfg = conv.config_from_params(params)
+    ts0 = conv.allocate_thermal(params, cfg)
+    single, st1 = conv.thermal_solve(params, cfg, ts0,
+                                     pressure_method="rb_sor")
+    multi, _ = sht.solve_sharded_thermal(params, cfg, ts0, _mesh(2, 4),
+                                         pressure_method="rb_sor")
+    _assert_parity(single, multi)
+    # The differentiable twin integrates the same fixed-gamma operator.
+    dts = ts0
+    for _ in range(int(st1.steps)):
+        dts, _ = diff.diff_thermal_step(dts, params, cfg,
+                                        pressure_method="rb_sor")
+    _assert_parity(single, dts)
