@@ -202,6 +202,18 @@ def _bench_thermal(params, args, mesh_arg):
         def run():
             out, stats = compiled(placed)
             return out.u, stats
+    elif getattr(args, "time_order", 1) == 2:
+        print(f"pressure solver: {method} (thermal, AB2)", file=sys.stderr)
+        ab2 = conv.thermal_ab2_init(state)
+        compiled = (
+            conv._thermal_solve_ab2_on_device
+            .lower(params, cfg, ab2, method)
+            .compile()
+        )
+
+        def run():
+            out, stats = compiled(ab2)
+            return out.ts.u, stats
     else:
         print(f"pressure solver: {method} (thermal)", file=sys.stderr)
         compiled = (
@@ -306,6 +318,13 @@ def main(argv=None):
                          "crash the tunneled TPU worker)")
     ap.add_argument("--dispatch-steps", type=int, default=8,
                     help="steps per dispatch for --dispatch segmented")
+    ap.add_argument("--time-order", type=int, choices=[1, 2], default=1,
+                    help="momentum time integrator: 1 = explicit Euler "
+                         "(the reference's), 2 = variable-step AB2 "
+                         "(solver.step_ab2 / thermal_step_ab2 for problem "
+                         "5; sharded/gspmd twins for problems 1-4).  AB2 "
+                         "requires --dispatch monolithic (the default for "
+                         "converging methods)")
     ap.add_argument("--mg-cycles", type=int, default=0,
                     help="mg method: V-cycles chained per f64 refinement "
                          "pass (Params.mg_cycles_per_outer; 0 = default 1). "
@@ -423,7 +442,8 @@ def main(argv=None):
         )
 
         _runner = compile_sharded_solve(params, state, mesh_arg,
-                                        pressure_method=sharded_method)
+                                        pressure_method=sharded_method,
+                                        time_order=args.time_order)
 
         def run():
             # Device phase only: the host gather of the full state costs
@@ -434,7 +454,9 @@ def main(argv=None):
             uo, vo, po, t, stats = _runner.run_device()
             return uo, stats
     elif args.backend == "gspmd":
-        from navierstokes_parallel_tpu.parallel.gspmd import solve_gspmd
+        from navierstokes_parallel_tpu.parallel.gspmd import (
+            compile_gspmd_solve,
+        )
 
         # Honor --method, mirroring the single-chip auto policy (fft at
         # 2048^2+ where plain SOR is impractical; gspmd supports fft).
@@ -449,9 +471,9 @@ def main(argv=None):
         print(f"pressure solver: {gspmd_method} (gspmd)", file=sys.stderr)
         resolved_method = gspmd_method
 
-        def run():
-            return solve_gspmd(params, state, mesh_arg,
-                               pressure_method=gspmd_method)
+        run = compile_gspmd_solve(params, state, mesh_arg,
+                                  pressure_method=gspmd_method,
+                                  time_order=args.time_order)
     else:
         if args.method != "auto":
             method = args.method
@@ -486,7 +508,27 @@ def main(argv=None):
                 dispatch = "segmented"
             else:
                 dispatch = "monolithic"
-        if dispatch == "stepwise":
+        if args.time_order == 2 and dispatch != "monolithic":
+            ap.error("--time-order 2 runs as one monolithic while_loop "
+                     "program (the AB2 carry is while_loop state); pass "
+                     "--dispatch monolithic explicitly to override the "
+                     f"auto choice ({dispatch})")
+        if args.time_order == 2:
+            from navierstokes_parallel_tpu.solver import (
+                _solve_ab2_on_device, ab2_init,
+            )
+
+            ab2 = ab2_init(state)
+            compiled_ab2 = (
+                jax.jit(_solve_ab2_on_device, static_argnums=(0, 2))
+                .lower(params, ab2, method)
+                .compile()
+            )
+
+            def run():
+                out, stats = compiled_ab2(ab2)
+                return out.s, stats
+        elif dispatch == "stepwise":
             from navierstokes_parallel_tpu.solver import solve_stepwise
 
             def run():

@@ -61,10 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--time-order", type=int, choices=[1, 2], default=1,
                     help="momentum time integrator: 1 = the reference's "
                          "explicit Euler (default), 2 = variable-step "
-                         "Adams-Bashforth 2 (solver.step_ab2; single-chip "
-                         "backends, problems 1-4). A resumed run "
-                         "re-bootstraps with one Euler step (checkpoints "
-                         "carry the State, not the AB2 tendency)")
+                         "Adams-Bashforth 2 (solver.step_ab2; problems 1-4 "
+                         "on every backend incl. sharded/gspmd, problem 5 "
+                         "single-chip via thermal_step_ab2; problem 6 is "
+                         "excluded by design — reflagging invalidates the "
+                         "carried tendency). A resumed run re-bootstraps "
+                         "with one Euler step (checkpoints carry the "
+                         "State, not the AB2 tendency)")
     ap.add_argument("--mesh", default=None, metavar="PxQ",
                     help="device mesh shape for the sharded/gspmd backends, "
                          "e.g. 2x4 (default: auto — pad-optimal for sharded, "
@@ -206,15 +209,20 @@ def main(argv=None) -> int:
         sor_kernel.set_default_tile(args.tile_size)
 
     if args.time_order == 2:
-        if args.backend in ("sharded", "gspmd"):
-            print("error: --time-order 2 runs the single-chip backends "
-                  "only (the sharded/gspmd steppers have no AB2 twin yet)",
-                  file=sys.stderr)
+        if params.problem == 6:
+            # Deliberately unsupported: the free-surface reflagging changes
+            # the fluid domain between steps, so a tendency extrapolated
+            # across a topology change is evaluated on the wrong cell set —
+            # AB2 across reflags is ill-defined, not merely unimplemented.
+            print("error: --time-order 2 does not apply to problem 6 "
+                  "(free surfaces reflag the fluid domain every step; an "
+                  "Adams-Bashforth tendency carried across a reflag is "
+                  "ill-defined)", file=sys.stderr)
             return 1
-        if params.problem in (5, 6):
-            print("error: --time-order 2 supports problems 1-4 (the "
-                  "thermal and free-surface steppers integrate their own "
-                  "couplings)", file=sys.stderr)
+        if params.problem == 5 and args.backend in ("sharded", "gspmd"):
+            print("error: --time-order 2 for problem 5 runs single-chip "
+                  "(the multi-chip thermal steppers integrate first-order; "
+                  "drop --backend or --time-order)", file=sys.stderr)
             return 1
         if params.tau > 0.5:
             # AB2's real-axis stability interval is half of Euler's
@@ -380,24 +388,30 @@ def _build_runner(params, state, args, pressure_method, host_loop):
                   f"runs every jnp method multi-chip, including {method!r})",
                   file=sys.stderr)
             method = "rb_sor"
+        t_ord = getattr(args, "time_order", 1)
         if host_loop:
             stepper = sharded.ShardedStepper(params, state, mesh=mesh,
-                                             pressure_method=method)
+                                             pressure_method=method,
+                                             time_order=t_ord)
             stepper.warm()
             mon_fn = _make_monitor_fn(params, state, args)
             return lambda: _run_host_loop(params, stepper, args, mon_fn)
         return sharded.compile_sharded_solve(params, state, mesh,
-                                             pressure_method=method)
+                                             pressure_method=method,
+                                             time_order=t_ord)
     if args.backend == "gspmd":
         from .parallel import gspmd
+        t_ord = getattr(args, "time_order", 1)
         if host_loop:
             stepper = gspmd.GspmdStepper(params, state, mesh=mesh,
-                                         pressure_method=pressure_method)
+                                         pressure_method=pressure_method,
+                                         time_order=t_ord)
             stepper.warm()
             mon_fn = _make_monitor_fn(params, state, args)
             return lambda: _run_host_loop(params, stepper, args, mon_fn)
         return gspmd.compile_gspmd_solve(params, state, mesh,
-                                         pressure_method=pressure_method)
+                                         pressure_method=pressure_method,
+                                         time_order=t_ord)
     if getattr(args, "time_order", 1) == 2:
         from . import solver as _s
 
@@ -479,9 +493,29 @@ def _build_thermal_runner(params, cfg, state, args, pressure_method,
     if parse_mesh_arg(args.mesh) is not None:
         raise ValueError(
             f"--mesh applies to the gspmd backend, not {args.backend!r}")
-    from .models.convection import (_thermal_solve_on_device,
-                                    make_thermal_step_fn)
+    from .models.convection import (_thermal_solve_ab2_on_device,
+                                    _thermal_solve_on_device,
+                                    make_thermal_step_ab2_fn,
+                                    make_thermal_step_fn, thermal_ab2_init)
 
+    if getattr(args, "time_order", 1) == 2:
+        # Second-order Boussinesq stepping (thermal_step_ab2) — the
+        # host-loop stepper carries the ThermalAB2State; the monitor /
+        # output paths read .ts through _AB2Stepper-style unwrapping.
+        if host_loop:
+            stepper = _ThermalAB2Stepper(
+                thermal_ab2_init(state),
+                make_thermal_step_ab2_fn(params, cfg, pressure_method))
+            stepper.warm()
+            mon_fn = _make_monitor_fn(params, state, args)
+            return lambda: _run_host_loop(params, stepper, args, mon_fn)
+        ab2 = thermal_ab2_init(state)
+        compiled = (
+            _thermal_solve_ab2_on_device
+            .lower(params, cfg, ab2, pressure_method)
+            .compile()
+        )
+        return lambda: (lambda out: (out[0].ts, out[1]))(compiled(ab2))
     if host_loop:
         stepper = _SingleChipStepper(
             params, state, pressure_method,
@@ -629,6 +663,36 @@ class _AB2Stepper:
 
     def state(self) -> State:
         return self._ab2.s
+
+
+class _ThermalAB2Stepper:
+    """Host-loop adapter for --time-order 2 on problem 5: steps a
+    ThermalAB2State (models/convection.py::thermal_step_ab2) while
+    exposing the plain ThermalState to frames/monitors/checkpoints.
+    Like _AB2Stepper, a checkpoint saves the state only; resume
+    re-bootstraps the tendencies with one Euler step."""
+
+    def __init__(self, ab2, fn):
+        self._fn = fn
+        self._ab2 = ab2
+
+    def warm(self) -> None:
+        self._fn = self._fn.lower(self._ab2).compile()
+
+    @property
+    def t(self) -> float:
+        return float(self._ab2.ts.t)
+
+    @property
+    def n(self) -> int:
+        return int(self._ab2.ts.n)
+
+    def step(self):
+        self._ab2, diag = self._fn(self._ab2)
+        return diag
+
+    def state(self):
+        return self._ab2.ts
 
 
 class _SingleChipStepper:

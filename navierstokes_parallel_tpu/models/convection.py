@@ -309,6 +309,165 @@ def thermal_step(ts: ThermalState, params: Params, cfg: ThermalConfig,
     return new, (dt, max_dT, result)
 
 
+class ThermalAB2State(NamedTuple):
+    """AB2 carry for the Boussinesq system: the state plus the previous
+    step's momentum AND energy tendencies (solver.AB2State grows rT)."""
+    ts: ThermalState
+    ru: jax.Array
+    rv: jax.Array
+    rT: jax.Array
+    dt_prev: jax.Array
+
+
+def thermal_ab2_init(ts: ThermalState) -> ThermalAB2State:
+    """Euler-bootstrap carry (dt_prev = 0 -> w = 0 on the first step)."""
+    return ThermalAB2State(ts=ts, ru=jnp.zeros_like(ts.u),
+                           rv=jnp.zeros_like(ts.v),
+                           rT=jnp.zeros_like(ts.T),
+                           dt_prev=jnp.zeros((), ts.t.dtype))
+
+
+def thermal_step_ab2(ab2: ThermalAB2State, params: Params,
+                     cfg: ThermalConfig, pressure_method: str = "mg"):
+    """Second-order (variable-step Adams-Bashforth 2) Boussinesq step —
+    the problem-5 twin of solver.step_ab2 (round-4 verdict item 3).
+
+    Both tendencies extrapolate through the previous step:
+
+        T_{n+1} = T_n + dt [(1 + w) S_n - w S_{n-1}],
+        u*      = u_n + dt [(1 + w) R_n - w R_{n-1}],   w = dt / (2 dt_{n-1}),
+
+    with S from ops/energy.py::advance_temperature and R from the Euler
+    tentative fields (compute_fg + buoyancy).  One deliberate difference
+    from thermal_step's Griebel ch.9 ordering: the buoyant term in R_n is
+    evaluated at T_n, NOT the freshly advanced T_{n+1} — R_n must be the
+    true time-t_n tendency or the extrapolation carries an O(dt)
+    perturbation (beta * S_n * dt) that caps the observed order at one.
+    The two orderings differ by O(dt^2) per step and share the continuum
+    limit; tests/test_ab2.py asserts the observed order ~2 of this form
+    (with gamma_fixed, same fine print as the isothermal step).  The
+    pressure projection is order-agnostic (enforces div u = 0 at t_{n+1})
+    and the explicit stability interval halves exactly like the
+    isothermal AB2 (tau <= 0.5)."""
+    u, v, p, T, t, n = ab2.ts
+
+    dx, dy = params.dx, params.dy
+    u_max = st.max_interior(u)
+    v_max = st.max_interior(v)
+    visc = params.Re / 2.0 / (1.0 / (dx * dx) + 1.0 / (dy * dy))
+    dt = params.tau * jnp.minimum(
+        jnp.minimum(visc, energy.thermal_dt_limit(params, cfg.alpha)),
+        jnp.minimum(dx / jnp.abs(u_max), dy / jnp.abs(v_max)))
+    if params.gamma_fixed is not None:
+        gamma = jnp.asarray(params.gamma_fixed, dt.dtype)
+    else:
+        gamma = jnp.maximum(u_max * dt / dx, v_max * dt / dy)
+    w = jnp.where(ab2.dt_prev > 0, dt / (2.0 * ab2.dt_prev), 0.0)
+
+    u, v = _apply_vel_bcs(u, v, cfg)
+    if params.obstacles:
+        from ..ops import obstacles as obs
+
+        u, v = obs.apply_obstacle_bcs(u, v, params)
+    T = _apply_t_bcs(T, params, cfg)
+    T = energy.apply_obstacle_temperature_bcs(T, params, cfg.t_obstacle)
+    # Energy tendency at t_n (advance_temperature is one explicit Euler
+    # update, so (T' - T)/dt IS the semi-discrete dT/dt).
+    S = (energy.advance_temperature(T, u, v, dt, gamma, params, cfg.alpha)
+         - T) / dt
+    T_new = T + dt * (S + w * (S - ab2.rT))
+    T_new = _apply_t_bcs(T_new, params, cfg)
+    T_new = energy.apply_obstacle_temperature_bcs(T_new, params,
+                                                  cfg.t_obstacle)
+
+    F, G = momentum.compute_fg(u, v, dt, gamma, params)
+    F, G = energy.buoyant_fg(F, G, T, dt, cfg.beta_gx, cfg.beta_gy)
+    ru = (F - u) / dt
+    rv = (G - v) / dt
+    F = F + (dt * w) * (ru - ab2.ru)
+    G = G + (dt * w) * (rv - ab2.rv)
+    if params.obstacles:
+        from ..ops import obstacles as obs
+
+        F, G = obs.pin_fg(F, G, u, v, params)
+        rhs = obs.poisson_rhs(F, G, dt, params)
+    else:
+        rhs = momentum.compute_rhs(F, G, dt, params)
+    result = sor.solve_pressure(p, rhs, params, method=pressure_method)
+    u, v = momentum.project_velocities(u, v, F, G, result.p, dt, params)
+    if params.obstacles:
+        from ..ops import obstacles as obs
+
+        u, v = obs.apply_obstacle_bcs(u, v, params)
+
+    max_dT = jnp.max(jnp.abs(T_new[1:-1, 1:-1] - T[1:-1, 1:-1]))
+    new = ThermalState(u=u, v=v, p=result.p, T=T_new, t=t + dt, n=n + 1)
+    return (ThermalAB2State(ts=new, ru=ru, rv=rv, rT=S, dt_prev=dt),
+            (dt, max_dT, result))
+
+
+@functools.lru_cache(maxsize=32)
+def make_thermal_step_ab2_fn(params: Params, cfg: ThermalConfig,
+                             pressure_method: str = "mg"):
+    """Jitted AB2 thermal step for host-driven loops (the --time-order 2
+    problem-5 CLI path; twin of make_thermal_step_fn)."""
+    from ..solver import StepDiagnostics
+
+    @jax.jit
+    def _step(ab2: ThermalAB2State):
+        new, (dt, _, res) = thermal_step_ab2(ab2, params, cfg,
+                                             pressure_method=pressure_method)
+        return new, StepDiagnostics(dt=dt, sor_iterations=res.iterations,
+                                    sor_res_norm=res.res_norm,
+                                    sor_converged=res.converged)
+
+    return _step
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def _thermal_solve_ab2_on_device(params: Params, cfg: ThermalConfig,
+                                 ab2: ThermalAB2State,
+                                 pressure_method: str):
+    from ..solver import SolveStats
+
+    T_end = jnp.asarray(params.T, ab2.ts.t.dtype)
+
+    def cond(carry):
+        return carry[0].ts.t < T_end
+
+    def body(carry):
+        ab2, stats = carry
+        ab2, (dt, _, res) = thermal_step_ab2(ab2, params, cfg,
+                                             pressure_method=pressure_method)
+        stats = SolveStats(
+            steps=stats.steps + 1,
+            total_sor_iterations=stats.total_sor_iterations + res.iterations,
+            sor_failures=stats.sor_failures
+            + jnp.where(res.converged, 0, 1).astype(jnp.int32),
+            last_res_norm=res.res_norm,
+        )
+        return ab2, stats
+
+    zero = jnp.zeros((), jnp.int32)
+    init = SolveStats(steps=zero, total_sor_iterations=zero,
+                      sor_failures=zero,
+                      last_res_norm=jnp.zeros((), ab2.ts.t.dtype))
+    return lax.while_loop(cond, body, (ab2, init))
+
+
+def thermal_solve_ab2(params: Params, cfg: ThermalConfig,
+                      state: Optional[ThermalState] = None, *,
+                      pressure_method: str = "mg"):
+    """Second-order fixed-horizon Boussinesq integration (single chip) —
+    thermal_solve's --time-order 2 twin.  Returns (ThermalState,
+    SolveStats)."""
+    if state is None:
+        state = allocate_thermal(params, cfg)
+    ab2, stats = _thermal_solve_ab2_on_device(
+        params, cfg, thermal_ab2_init(state), pressure_method)
+    return ab2.ts, stats
+
+
 def config_from_params(params: Params) -> ThermalConfig:
     """ThermalConfig for a problem-5 `Params` (the reference-protocol
     surface: CLI / ``.in`` files — config.py lines 16/17 carry Ra/Pr).

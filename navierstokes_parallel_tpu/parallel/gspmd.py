@@ -44,7 +44,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Params
 from ..grid import State, allocate_state
-from ..solver import SolveStats, StepDiagnostics, _solve_on_device, step
+from ..solver import (AB2State, SolveStats, StepDiagnostics, ab2_init,
+                      _solve_ab2_on_device, _solve_on_device, step,
+                      step_ab2)
 from .topology import MESH_AXES, choose_mesh_shape_square
 
 
@@ -206,6 +208,85 @@ def _make_padded_jit(params: Params, mesh: Mesh, inner, aux_shardings):
     return jax.jit(fn, out_shardings=(out_state, aux_shardings))
 
 
+def _pad_grid(a, pi, pj, ni, nj):
+    return jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(a)
+
+
+def _make_padded_jit_ab2(params: Params, mesh: Mesh, inner, aux_shardings):
+    """AB2State twin of _make_padded_jit: the carried pytree additionally
+    holds the two tendency grids (block-sharded like u/v) and the
+    replicated dt_prev scalar — the GSPMD recipe shards the UNMODIFIED
+    second-order stepper (solver.step_ab2), per the round-4 verdict."""
+    grid, rep = _shardings(mesh)
+    out_ab2 = AB2State(
+        s=State(u=grid, v=grid, p=grid, t=rep, n=rep),
+        ru=grid, rv=grid, dt_prev=rep,
+    )
+    ni, nj = params.shape
+    pi, pj = _padded_shape(mesh, (ni, nj))
+
+    def fn(padded: AB2State):
+        out, aux = inner(AB2State(
+            s=unpad_state(padded.s, params),
+            ru=padded.ru[:ni, :nj], rv=padded.rv[:ni, :nj],
+            dt_prev=padded.dt_prev,
+        ))
+        s = out.s
+        return (
+            AB2State(
+                s=State(u=_pad_grid(s.u, pi, pj, ni, nj),
+                        v=_pad_grid(s.v, pi, pj, ni, nj),
+                        p=_pad_grid(s.p, pi, pj, ni, nj),
+                        t=s.t, n=s.n),
+                ru=_pad_grid(out.ru, pi, pj, ni, nj),
+                rv=_pad_grid(out.rv, pi, pj, ni, nj),
+                dt_prev=out.dt_prev,
+            ),
+            aux,
+        )
+
+    return jax.jit(fn, out_shardings=(out_ab2, aux_shardings))
+
+
+def place_ab2(ab2: AB2State, mesh: Mesh) -> AB2State:
+    """Device-place an AB2State (see place_state)."""
+    grid, rep = _shardings(mesh)
+    pi, pj = _padded_shape(mesh, ab2.s.u.shape)
+
+    def put(arr):
+        ni, nj = arr.shape
+        if _all_local(grid):
+            return jax.device_put(
+                _pad_grid(jnp.asarray(arr), pi, pj, ni, nj), grid)
+        host = np.zeros((pi, pj), np.asarray(arr).dtype)
+        host[:ni, :nj] = np.asarray(arr)
+        return _put(host, grid)
+
+    return AB2State(s=place_state(ab2.s, mesh), ru=put(ab2.ru),
+                    rv=put(ab2.rv),
+                    dt_prev=_put(np.asarray(ab2.dt_prev), rep))
+
+
+@functools.lru_cache(maxsize=32)
+def _make_solve_ab2(params: Params, mesh: Mesh, pressure_method: str):
+    rep = _shardings(mesh)[1]
+    return _make_padded_jit_ab2(
+        params, mesh,
+        lambda ab2: _solve_ab2_on_device(params, ab2, pressure_method),
+        SolveStats(rep, rep, rep, rep),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_step_ab2(params: Params, mesh: Mesh, pressure_method: str):
+    rep = _shardings(mesh)[1]
+    return _make_padded_jit_ab2(
+        params, mesh,
+        lambda ab2: step_ab2(ab2, params, pressure_method=pressure_method),
+        StepDiagnostics(rep, rep, rep, rep),
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def _make_solve(params: Params, mesh: Mesh, pressure_method: str):
     rep = _shardings(mesh)[1]
@@ -237,10 +318,13 @@ def compile_gspmd_solve(
     mesh: Optional[Mesh] = None,
     *,
     pressure_method: str = "rb_sor",
+    time_order: int = 1,
 ):
     """Place the state and AOT-compile the full gspmd solve; returns
     `run() -> (State, SolveStats)` so callers can time execution without
-    compile dilution (reference protocol: solver seconds only)."""
+    compile dilution (reference protocol: solver seconds only).
+    time_order=2 shards the unmodified AB2 integration (solver.solve_ab2);
+    the returned State is the .s of the final AB2State."""
     _check_method(pressure_method)
     params = params.replace(disable_pallas=True)
     if state is None:
@@ -248,15 +332,20 @@ def compile_gspmd_solve(
     if mesh is None:
         mesh = _default_mesh()
     _check_mesh(mesh)
-    placed = place_state(state, mesh)
+    if time_order == 2:
+        placed = place_ab2(ab2_init(state), mesh)
+        maker = _make_solve_ab2
+    else:
+        placed = place_state(state, mesh)
+        maker = _make_solve
     # Cache the AOT executable: .lower().compile() bypasses jit's call
     # cache, so without this every solve_gspmd call would re-trace and
     # re-compile (10-60 s per shape on the remote compile service).
-    key = (params, mesh, pressure_method,
+    key = (params, mesh, pressure_method, time_order,
            jax.tree.map(lambda x: (x.shape, str(x.dtype)), placed))
     compiled = _SOLVE_EXEC_CACHE.get(key)
     if compiled is None:
-        compiled = _make_solve(params, mesh, pressure_method).lower(
+        compiled = maker(params, mesh, pressure_method).lower(
             placed).compile()
         if len(_SOLVE_EXEC_CACHE) >= 32:
             _SOLVE_EXEC_CACHE.clear()
@@ -264,6 +353,8 @@ def compile_gspmd_solve(
 
     def run() -> Tuple[State, SolveStats]:
         out, stats = compiled(placed)
+        if time_order == 2:
+            out = out.s
         return unpad_state(out, params), stats
 
     return run
@@ -289,7 +380,8 @@ class GspmdStepper:
 
     def __init__(self, params: Params, state: State,
                  mesh: Optional[Mesh] = None,
-                 pressure_method: str = "rb_sor"):
+                 pressure_method: str = "rb_sor",
+                 time_order: int = 1):
         _check_method(pressure_method)
         params = params.replace(disable_pallas=True)
         if mesh is None:
@@ -297,16 +389,24 @@ class GspmdStepper:
         _check_mesh(mesh)
         self.params = params
         self.mesh = mesh
-        self._fn = _make_step(params, mesh, pressure_method)
-        self._state = place_state(state, mesh)
+        self.time_order = time_order
+        if time_order == 2:
+            self._fn = _make_step_ab2(params, mesh, pressure_method)
+            self._state = place_ab2(ab2_init(state), mesh)
+        else:
+            self._fn = _make_step(params, mesh, pressure_method)
+            self._state = place_state(state, mesh)
+
+    def _base(self) -> State:
+        return self._state.s if self.time_order == 2 else self._state
 
     @property
     def t(self) -> float:
-        return float(self._state.t)
+        return float(self._base().t)
 
     @property
     def n(self) -> int:
-        return int(self._state.n)
+        return int(self._base().n)
 
     def warm(self) -> None:
         """AOT-compile the step so timed host loops exclude compilation."""
@@ -317,4 +417,4 @@ class GspmdStepper:
         return diag
 
     def state(self) -> State:
-        return fetch_state(self._state, self.params)
+        return fetch_state(self._base(), self.params)

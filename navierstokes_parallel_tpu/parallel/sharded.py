@@ -36,6 +36,7 @@ Semantics notes:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -368,8 +369,13 @@ def _local_fg(u, v, dt, gamma, params: Params, gi, gj):
     return F, G
 
 
-def _sharded_step(u, v, p, t, params: Params, pressure_method):
-    """One full time step on local padded blocks (reference main.c:86-146)."""
+def _sharded_step(u, v, p, t, params: Params, pressure_method, ab2=None):
+    """One full time step on local padded blocks (reference main.c:86-146).
+
+    `ab2`: optional (ru_prev, rv_prev, dt_prev) carried tendency blocks for
+    second-order (variable-step Adams-Bashforth 2) momentum stepping — the
+    shard_map twin of solver.step_ab2.  Returns a 6-tuple whose last element
+    is the new (ru, rv, dt) carry (None in Euler mode)."""
     li, lj = u.shape[0] - 2, u.shape[1] - 2
     dx, dy = params.dx, params.dy
     valid, gi, gj = _valid_mask_or_none(params, li, lj)
@@ -408,6 +414,23 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
         u, v = _apply_obstacle_bcs_sharded(u, v, params)
 
     F, G = _local_fg(u, v, dt, gamma, params, gi, gj)
+    new_ab2 = None
+    if ab2 is not None:
+        # AB2 tendency extrapolation on the full padded block
+        # (solver.step_ab2 math).  Halo consistency is free: the west/south
+        # F/G halo edges _local_fg fills are the owners' own values, and
+        # the u/v halos are fresh (exchanged by the BC pass above), so the
+        # carried ru/rv halo copies always equal their owner's — the
+        # extrapolated F[0, :]/G[:, 0] match the neighbor's extrapolation
+        # with no extra exchange.  Obstacle pinning stays AFTER the
+        # extrapolation, exactly like the single-chip twin.
+        ru_p, rv_p, dt_prev = ab2
+        ru = (F - u) / dt
+        rv = (G - v) / dt
+        w = jnp.where(dt_prev > 0, dt / (2.0 * dt_prev), 0.0)
+        F = F + (dt * w) * (ru - ru_p)
+        G = G + (dt * w) * (rv - rv_p)
+        new_ab2 = (ru, rv, dt)
     if params.obstacles:
         # F = u / G = v on BC-controlled obstacle edges BEFORE the
         # divergence (ops/obstacles.py::pin_fg), applied over the whole
@@ -461,7 +484,7 @@ def _sharded_step(u, v, p, t, params: Params, pressure_method):
         # The projection sweeps obstacle faces too — restore no-slip so
         # the state stays consistent (solver.step does the same).
         u, v = _apply_obstacle_bcs_sharded(u, v, params)
-    return u, v, p, dt, result
+    return u, v, p, dt, result, new_ab2
 
 
 def _sharded_pressure_solve(p, rhs, params: Params, pressure_method: str,
@@ -661,10 +684,41 @@ def _sharded_pressure_solve(p, rhs, params: Params, pressure_method: str,
     return result
 
 
-def _local_solve(u, v, p, t0, params: Params, pressure_method: str):
-    """Full `while t < T` on local padded blocks; runs inside shard_map."""
+def _local_solve(u, v, p, t0, params: Params, pressure_method: str,
+                 time_order: int = 1):
+    """Full `while t < T` on local padded blocks; runs inside shard_map.
+    time_order=2 carries the AB2 tendency blocks (ru, rv, dt_prev) through
+    the loop, bootstrapping with Euler like solver.solve_ab2."""
     T = jnp.asarray(params.T, t0.dtype)
     zero = jnp.zeros((), jnp.int32)
+
+    def tally(stats, result, t):
+        return SolveStats(
+            steps=stats.steps + 1,
+            total_sor_iterations=stats.total_sor_iterations + result.iterations,
+            sor_failures=stats.sor_failures
+            + jnp.where(result.converged, 0, 1).astype(jnp.int32),
+            last_res_norm=result.res_norm.astype(t.dtype),
+        )
+
+    stats0 = SolveStats(
+        steps=zero, total_sor_iterations=zero, sor_failures=zero,
+        last_res_norm=jnp.zeros((), t0.dtype),
+    )
+    if time_order == 2:
+        def cond2(carry):
+            return carry[3] < T
+
+        def body2(carry):
+            u, v, p, t, stats, ru, rv, dtp = carry
+            u, v, p, dt, result, nab2 = _sharded_step(
+                u, v, p, t, params, pressure_method, ab2=(ru, rv, dtp))
+            return (u, v, p, t + dt, tally(stats, result, t)) + nab2
+
+        carry0 = (u, v, p, t0, stats0, jnp.zeros_like(u),
+                  jnp.zeros_like(v), jnp.zeros((), t0.dtype))
+        u, v, p, t, stats = lax.while_loop(cond2, body2, carry0)[:5]
+        return u, v, p, t, stats
 
     def cond(carry):
         _, _, _, t, _ = carry
@@ -672,21 +726,10 @@ def _local_solve(u, v, p, t0, params: Params, pressure_method: str):
 
     def body(carry):
         u, v, p, t, stats = carry
-        u, v, p, dt, result = _sharded_step(u, v, p, t, params,
-                                            pressure_method)
-        stats = SolveStats(
-            steps=stats.steps + 1,
-            total_sor_iterations=stats.total_sor_iterations + result.iterations,
-            sor_failures=stats.sor_failures
-            + jnp.where(result.converged, 0, 1).astype(jnp.int32),
-            last_res_norm=result.res_norm.astype(t.dtype),
-        )
-        return u, v, p, t + dt, stats
+        u, v, p, dt, result, _ = _sharded_step(u, v, p, t, params,
+                                               pressure_method)
+        return u, v, p, t + dt, tally(stats, result, t)
 
-    stats0 = SolveStats(
-        steps=zero, total_sor_iterations=zero, sor_failures=zero,
-        last_res_norm=jnp.zeros((), t0.dtype),
-    )
     u, v, p, t, stats = lax.while_loop(cond, body, (u, v, p, t0, stats0))
     return u, v, p, t, stats
 
@@ -756,6 +799,18 @@ def _gather_blocks(blocks, px: int, py: int, li: int, lj: int, shape):
     return out[: shape[0], : shape[1]]
 
 
+def _on_axon_tunnel() -> bool:
+    """True when the default backend is the remote-tunneled axon TPU —
+    the platform whose worker the 2048^2+ sharded parity programs crash
+    (directly-attached TPUs and CPU meshes are not affected)."""
+    try:
+        configured = str(jax.config.jax_platforms
+                         or os.environ.get("JAX_PLATFORMS", "")).lower()
+        return "axon" in configured
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _check_method(params: Params, mesh: Mesh, pressure_method: str):
     if params.obstacles:
         if pressure_method not in ("rb_sor", "pallas_sor"):
@@ -771,6 +826,25 @@ def _check_method(params: Params, mesh: Mesh, pressure_method: str):
             raise ValueError(
                 "sharded obstacle domains require the f32 state with the "
                 "mixed-precision refinement (sor_refine_every >= 1)")
+    if (pressure_method in ("rb_sor", "rb_sor_sync", "jacobi", "pallas_sor")
+            and max(params.i_max, params.j_max) >= 2048
+            and _on_axon_tunnel()
+            and not os.environ.get("NSP_ALLOW_SHARDED_PARITY_2048")):
+        # Measured round 4: BOTH sharded parity inners (pallas VMEM kernel
+        # and jnp deep-halo) kill the tunneled TPU worker at 2048^2 within
+        # ~2.5 min ("kernel fault", the 4096^2-mg family), while 1024^2
+        # runs clean and single-chip 2048^2 parity is a committed headline.
+        # Minimized-repro bisect: scripts/repro_2048_sharded.py /
+        # artifacts/repro_2048_sharded.json.  Refuse up front instead of
+        # crashing the worker mid-benchmark; the env var overrides on
+        # directly-attached TPUs.
+        raise ValueError(
+            f"sharded {pressure_method} at "
+            f"{params.i_max}x{params.j_max} crashes the tunneled TPU "
+            "worker (round-4 measurement; repro: scripts/"
+            "repro_2048_sharded.py) — use pressure_method 'fft'/'mg', the "
+            "gspmd backend, or set NSP_ALLOW_SHARDED_PARITY_2048=1 on a "
+            "directly-attached TPU")
     px, py = mesh.devices.shape
     li, lj = local_block_dims((px, py), params.i_max, params.j_max)
     padded = (px * li != params.i_max) or (py * lj != params.j_max)
@@ -799,20 +873,42 @@ def _check_method(params: Params, mesh: Mesh, pressure_method: str):
 
 
 def make_sharded_step_fn(params: Params, mesh: Mesh,
-                         pressure_method: str = "rb_sor"):
+                         pressure_method: str = "rb_sor",
+                         time_order: int = 1):
     """Jitted shard_mapped single time step over block-concatenated padded
     arrays (see `_scatter_blocks` layout).
 
     Returns fn(u_blocks, v_blocks, p_blocks, t) ->
     (u_blocks, v_blocks, p_blocks, t+dt, dt, sor_iters, res_norm, converged).
+    With time_order=2 the signature grows the AB2 tendency carry:
+    fn(u, v, p, ru, rv, t, dt_prev) -> (u, v, p, ru, rv, t+dt, dt,
+    iters, res_norm, converged) — ru/rv are block-laid-out like u/v.
     Used by the host-driven sharded loop (ShardedStepper: periodic output /
     checkpointing) and by the multi-chip compile dry run."""
     _check_method(params, mesh, pressure_method)
     spec = P(*MESH_AXES)
 
+    if time_order == 2:
+        def local_step2(u, v, p, ru, rv, t, dtp):
+            u, v, p, dt, result, nab2 = _sharded_step(
+                u, v, p, t, params, pressure_method, ab2=(ru, rv, dtp))
+            ru, rv, dt_new = nab2
+            return (u, v, p, ru, rv, t + dt, dt_new, result.iterations,
+                    result.res_norm, result.converged)
+
+        mapped = shard_map(
+            local_step2,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec, spec, P(), P()),
+            out_specs=(spec, spec, spec, spec, spec, P(), P(), P(), P(),
+                       P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
     def local_step(u, v, p, t):
-        u, v, p, dt, result = _sharded_step(u, v, p, t, params,
-                                            pressure_method)
+        u, v, p, dt, result, _ = _sharded_step(u, v, p, t, params,
+                                               pressure_method)
         return (u, v, p, t + dt, dt, result.iterations, result.res_norm,
                 result.converged)
 
@@ -827,13 +923,16 @@ def make_sharded_step_fn(params: Params, mesh: Mesh,
 
 
 @functools.lru_cache(maxsize=32)
-def make_sharded_solve(params: Params, mesh: Mesh, pressure_method: str = "rb_sor"):
+def make_sharded_solve(params: Params, mesh: Mesh,
+                       pressure_method: str = "rb_sor",
+                       time_order: int = 1):
     """Build the jitted shard_mapped full-solve callable (cached: repeated
     solve_sharded calls must not re-jit)."""
     _check_method(params, mesh, pressure_method)
     spec = P(*MESH_AXES)
     fn = functools.partial(
-        _local_solve, params=params, pressure_method=pressure_method
+        _local_solve, params=params, pressure_method=pressure_method,
+        time_order=time_order,
     )
     mapped = shard_map(
         fn,
@@ -855,21 +954,29 @@ class ShardedStepper:
 
     def __init__(self, params: Params, state: State,
                  mesh: Optional[Mesh] = None,
-                 pressure_method: str = "rb_sor"):
+                 pressure_method: str = "rb_sor",
+                 time_order: int = 1):
         if mesh is None:
             mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
         self.params = params
         self.mesh = mesh
+        self.time_order = time_order
         self.px, self.py, self.li, self.lj = _check_method(
             params, mesh, pressure_method)
         self._sharding = grid_sharding(mesh)
-        self._step_fn = make_sharded_step_fn(params, mesh, pressure_method)
+        self._step_fn = make_sharded_step_fn(params, mesh, pressure_method,
+                                             time_order)
         dims = (self.px, self.py, self.li, self.lj)
         self._u = _put_blocks(_scatter_blocks(state.u, *dims), self._sharding)
         self._v = _put_blocks(_scatter_blocks(state.v, *dims), self._sharding)
         self._p = _put_blocks(_scatter_blocks(state.p, *dims), self._sharding)
         self._t = jnp.asarray(state.t)
         self._n = int(state.n)
+        if time_order == 2:
+            # AB2 tendency carry (Euler bootstrap: zeros + dt_prev=0).
+            self._ru = jnp.zeros_like(self._u)
+            self._rv = jnp.zeros_like(self._v)
+            self._dtp = jnp.zeros((), self._t.dtype)
 
     @property
     def t(self) -> float:
@@ -882,12 +989,23 @@ class ShardedStepper:
     def warm(self) -> None:
         """AOT-compile the step so the first .step() call (and any timer
         around the host loop) excludes compilation."""
-        self._step_fn = self._step_fn.lower(
-            self._u, self._v, self._p, self._t).compile()
+        self._step_fn = self._step_fn.lower(*self._step_args()).compile()
+
+    def _step_args(self):
+        if self.time_order == 2:
+            return (self._u, self._v, self._p, self._ru, self._rv,
+                    self._t, self._dtp)
+        return (self._u, self._v, self._p, self._t)
 
     def step(self) -> StepDiagnostics:
-        (self._u, self._v, self._p, self._t, dt, iters, res_norm,
-         converged) = self._step_fn(self._u, self._v, self._p, self._t)
+        if self.time_order == 2:
+            (self._u, self._v, self._p, self._ru, self._rv, self._t,
+             self._dtp, iters, res_norm, converged) = self._step_fn(
+                *self._step_args())
+            dt = self._dtp
+        else:
+            (self._u, self._v, self._p, self._t, dt, iters, res_norm,
+             converged) = self._step_fn(*self._step_args())
         self._n += 1
         return StepDiagnostics(dt=dt, sor_iterations=iters,
                                sor_res_norm=res_norm, sor_converged=converged)
@@ -915,6 +1033,7 @@ def compile_sharded_solve(
     mesh: Optional[Mesh] = None,
     *,
     pressure_method: str = "rb_sor",
+    time_order: int = 1,
 ):
     """Scatter the state and AOT-compile the full sharded solve; returns
     `run() -> (State, SolveStats)`.  Compilation happens HERE, not inside
@@ -939,10 +1058,12 @@ def compile_sharded_solve(
     # does not apply to .lower().compile()), so cache the executable:
     # repeated solve_sharded calls — bench --repeats, parity sweeps —
     # must pay compile once per (params, mesh, method, dtype).
-    key = (params, mesh, pressure_method, str(u.dtype), str(t0.dtype))
+    key = (params, mesh, pressure_method, time_order, str(u.dtype),
+           str(t0.dtype))
     compiled = _SOLVE_EXEC_CACHE.get(key)
     if compiled is None:
-        solve_fn = make_sharded_solve(params, mesh, pressure_method)
+        solve_fn = make_sharded_solve(params, mesh, pressure_method,
+                                      time_order)
         compiled = solve_fn.lower(u, v, p, t0).compile()
         if len(_SOLVE_EXEC_CACHE) >= 32:
             _SOLVE_EXEC_CACHE.clear()
@@ -984,8 +1105,10 @@ def solve_sharded(
     mesh: Optional[Mesh] = None,
     *,
     pressure_method: str = "rb_sor",
+    time_order: int = 1,
 ) -> Tuple[State, SolveStats]:
     """Sharded drop-in for solver.solve(): scatter -> on-device solve ->
     gather, returning a reference-layout padded State with ghost parity."""
     return compile_sharded_solve(
-        params, state, mesh, pressure_method=pressure_method)()
+        params, state, mesh, pressure_method=pressure_method,
+        time_order=time_order)()

@@ -106,6 +106,77 @@ def make_grid_mesh(
     return Mesh(dev_array, MESH_AXES)
 
 
+def make_multislice_mesh(
+    n_slices: int,
+    slice_shape: Optional[Tuple[int, int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Multi-slice (DCN-aware) 2D grid mesh (SURVEY.md §2.4/§5: "DCN-ready
+    by making the mesh multi-slice-aware").
+
+    A multi-pod TPU job sees devices from `n_slices` ICI islands joined by
+    the data-center network.  This constructor keeps the solver's flat
+    ("x", "y") mesh contract — no sharding, halo-exchange, or collective
+    code changes anywhere — and encodes the hierarchy purely in the DEVICE
+    LAYOUT: each slice's devices form a contiguous (sx, sy) block and the
+    slices stack along the mesh x axis, giving an (n_slices*sx, sy) mesh in
+    which
+
+      * every y-axis ppermute halo pair is intra-slice (ICI);
+      * x-axis ppermute halo pairs are intra-slice EXCEPT the n_slices - 1
+        seam rows between adjacent slices — the only per-step grid traffic
+        that rides DCN, one halo strip per seam per exchange (and the
+        deep-halo inner already amortizes that to one exchange per K
+        sweeps, parallel/deep_halo.py);
+      * psum/pmax reductions cross both networks but carry scalars
+        (latency-, not bandwidth-bound);
+      * the pencil-fft all_to_all (the one bandwidth-heavy collective,
+        ops/fft.py::make_sharded_inner) transposes over single mesh axes —
+        its x-axis phase would ride DCN, so spectral runs should prefer
+        slicing meshes with sx large enough that mg/rb_sor families carry
+        the multi-slice load (docs/parallelism.md).
+
+    Devices are grouped by their `slice_index` attribute when the runtime
+    exposes one (real multi-slice jobs), else taken in id order in
+    contiguous blocks of sx*sy (virtual CPU meshes, CI).  `slice_shape`
+    defaults to the nearest-square factorization of the per-slice count.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if n_slices < 1 or len(devices) % n_slices:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {n_slices} slices")
+    per_slice = len(devices) // n_slices
+    if slice_shape is None:
+        slice_shape = _factor_pairs(per_slice)[0]
+    sx, sy = slice_shape
+    if sx * sy != per_slice:
+        raise ValueError(
+            f"slice_shape {slice_shape} != {per_slice} devices per slice")
+    # Stable hierarchy sort: slice first (runtime attribute when present),
+    # then device id within the slice.
+    devices.sort(key=lambda d: (getattr(d, "slice_index", None) or 0, d.id))
+    rows = [
+        np.asarray(devices[s * per_slice: (s + 1) * per_slice]).reshape(
+            sx, sy)
+        for s in range(n_slices)
+    ]
+    return Mesh(np.concatenate(rows, axis=0), MESH_AXES)
+
+
+def dcn_seam_rows(mesh: Mesh, n_slices: int) -> list:
+    """The mesh-x indices whose NORTH halo exchange crosses a slice
+    boundary on a `make_multislice_mesh(n_slices, ...)` mesh — i.e. the
+    last block-row of each slice except the final one.  Diagnostic /
+    test helper: everything else is ICI."""
+    px = mesh.devices.shape[0]
+    if px % n_slices:
+        raise ValueError(f"mesh x={px} does not split into {n_slices}")
+    sx = px // n_slices
+    return [s * sx + sx - 1 for s in range(n_slices - 1)]
+
+
 def grid_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding of an (i_max, j_max) interior block over the mesh."""
     return NamedSharding(mesh, P(*MESH_AXES))

@@ -96,7 +96,18 @@ def tau_limit(rows):
 
 def h_limit(ns, limits, p_spatial=2.0):
     """h -> 0 Richardson on the per-rung tau->0 limits (fitted spatial
-    order from the finest monotone triple, nominal fallback)."""
+    order from the finest monotone triple, nominal fallback) WITH an
+    extrapolation error bar.
+
+    The error bar follows Roache's grid-convergence-index discipline
+    (ASME V&V 20 practice): the uncertainty of a Richardson limit is a
+    safety factor times the magnitude of the correction it applied,
+    |f_limit - f_finest|.  Fs = 1.25 when the observed order was actually
+    demonstrated by the fit; Fs = 3.0 when the triple was non-monotone /
+    outside the fit window and the NOMINAL order had to be assumed — the
+    honest admission that the rungs are not yet asymptotic (the round-4
+    ladders' cd differences at 20/30/40 cells/D are nearly equal, so the
+    fit fails and the 3x bar applies)."""
     out = {}
     h = [1.0 / n for n in ns]
     for q in QUANTS:
@@ -121,6 +132,13 @@ def h_limit(ns, limits, p_spatial=2.0):
         out[q] = v[-1] - C * h[-1] ** p
         out[q + "_order"] = p
         out[q + "_fitted"] = fitted
+        # Scatter floor: a near-zero finest correction can coexist with
+        # visible rung-to-rung scatter (e.g. the AB2 St ladder: 0.3040 /
+        # 0.3032 / 0.3031) — the bar must not report more certainty than
+        # the rungs themselves show.
+        floor = (max(v[-3:]) - min(v[-3:])) / 2 if len(v) >= 3 else 0.0
+        out[q + "_err"] = max(
+            (1.25 if fitted else 3.0) * abs(out[q] - v[-1]), floor)
     return out
 
 
@@ -140,6 +158,14 @@ def main():
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cache-only", action="store_true",
+                    help="recompute the tau->0 / h->0 / order summary rows "
+                         "from the cells already in the CSV without running "
+                         "anything: rungs keep whatever (possibly partial) "
+                         "tau ladder they have, rungs with < 2 tau points "
+                         "are skipped.  For regenerating summaries after a "
+                         "crash-truncated finer-rung attempt (the 50+ "
+                         "cells/D rungs crash the tunneled TPU worker).")
     args = ap.parse_args()
 
     import jax
@@ -194,15 +220,23 @@ def main():
                         + ",".join(f"{fin[q + '_order']:.2f}"
                                    f"[{'fit' if fin[q + '_fitted'] else 'nom'}]"
                                    for q in QUANTS) + "\n")
-                print("space-time limits vs bands:")
+                f.write("extrap_err,-,-,-,-,"
+                        + ",".join(f"{fin[q + '_err']:.4f}"
+                                   for q in QUANTS) + "\n")
+                print("space-time limits vs bands (err = GCI bar, "
+                      "Fs=1.25 fit / 3.0 nominal):")
                 for q in QUANTS:
                     lo, hi = BANDS[q]
-                    v = fin[q]
+                    v, e = fin[q], fin[q + "_err"]
                     where = ("IN" if lo <= v <= hi else
+                             "IN(+err)" if lo - e <= v <= hi + e else
                              f"{(v - hi) / hi * 100:+.1f}%" if v > hi else
                              f"{(v - lo) / lo * 100:+.1f}%")
-                    print(f"  {q}: {v:.4f}  band [{lo}, {hi}]  {where}")
+                    print(f"  {q}: {v:.4f} +/- {e:.4f}  band [{lo}, {hi}]"
+                          f"  {where}")
 
+    if args.cache_only:
+        ns = sorted({r["n"] for r in rows})
     for n in ns:
         per_rung = []
         for tau in taus:
@@ -211,12 +245,18 @@ def main():
                 print(f"n_per_d={n} tau={tau}: cached", flush=True)
                 per_rung.append(have[0])
                 continue
+            if args.cache_only:
+                continue
             print(f"n_per_d={n} tau={tau}:", flush=True)
             r = run_rung(n, tau, args.T, args.method, args.chunk,
                          args.time_order)
             per_rung.append(r)
             rows.append(r)
             write_csv()          # crash-proof: rewrite after every run
+        if len(per_rung) < 2:
+            print(f"n_per_d={n}: {len(per_rung)} tau point(s) — skipped "
+                  "from the ladder", flush=True)
+            continue
         limits[n] = tau_limit(per_rung)
         print(f"n_per_d={n} tau->0: " + " ".join(
             f"{q}={limits[n][q]:.4f}(p={limits[n][q + '_order']:.2f})"

@@ -144,7 +144,11 @@ def test_karman_chunked_ab2_carry_threads_exactly():
 def test_cli_time_order(tmp_path, capsys):
     """--time-order 2 through the reference protocol surface: the
     whole-solve and host-loop (frame-writing) paths agree exactly, and
-    the unsupported backends reject with a clean error."""
+    since round 5 the multi-chip backends integrate AB2 too — the gspmd
+    and sharded runs must agree with the single-chip one to the 1e-4
+    contract (CPU mesh)."""
+    import jax
+
     from navierstokes_parallel_tpu import cli
 
     inp = tmp_path / "cav.in"
@@ -157,9 +161,139 @@ def test_cli_time_order(tmp_path, capsys):
                      "--output-dir", str(tmp_path / "f")]) == 0
     hosted = capsys.readouterr().out
     assert whole.splitlines()[:2] == hosted.splitlines()[:2]
-    assert cli.main([str(inp), "--time-order", "2",
-                     "--backend", "gspmd"]) == 1
+    if len(jax.devices()) >= 8:
+        u_ref = float(whole.splitlines()[0].split()[-1])
+        for backend in ("gspmd", "sharded"):
+            assert cli.main([str(inp), "--time-order", "2",
+                             "--backend", backend, "--mesh", "2x4"]) == 0
+            out = capsys.readouterr().out
+            u_b = float(out.splitlines()[0].split()[-1])
+            assert u_b == pytest.approx(u_ref, abs=1e-4), backend
     capsys.readouterr()
+
+
+def test_multichip_ab2_matches_single_chip():
+    """AB2 on both multi-chip backends == single-chip solve_ab2 (the
+    round-4 verdict's 'unfence AB2' item): same step count, fields within
+    the 1e-4 contract on the 2x4 CPU mesh.  The sharded twin carries the
+    tendency BLOCKS through the while_loop (halo-consistent ru/rv, see
+    parallel/sharded.py::_sharded_step); the gspmd twin shards the
+    unmodified AB2State pytree."""
+    import jax
+    from jax.sharding import Mesh
+
+    from navierstokes_parallel_tpu.config import Params
+    from navierstokes_parallel_tpu.grid import allocate_state
+    from navierstokes_parallel_tpu.parallel import gspmd, sharded
+    from navierstokes_parallel_tpu.parallel.topology import MESH_AXES
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), MESH_AXES)
+    # 17^2: pad-to-divisible on both mesh axes.
+    params = Params(problem=1, i_max=17, j_max=17, T=0.5, Re=100.0,
+                    tau=0.5, omega=1.7, epsilon=1e-6, max_it=5000,
+                    dtype="float32")
+    state = allocate_state(params)
+    ref, st_ref = solver.solve_ab2(params, state)
+    out_s, st_s = sharded.solve_sharded(params, state, mesh, time_order=2)
+    assert int(st_s.steps) == int(st_ref.steps)
+    out_g, st_g = gspmd.compile_gspmd_solve(params, state, mesh,
+                                            time_order=2)()
+    assert int(st_g.steps) == int(st_ref.steps)
+    for name in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_s, name)),
+            np.asarray(getattr(ref, name)), atol=1e-4,
+            err_msg=f"sharded {name}")
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_g, name)),
+            np.asarray(getattr(ref, name)), atol=1e-4,
+            err_msg=f"gspmd {name}")
+
+
+def test_sharded_ab2_obstacles_first_steps():
+    """The sharded AB2 extrapolation composes with obstacle domains the
+    same way the single-chip step_ab2 does (tendency from unpinned F/G,
+    pin AFTER extrapolation): 3 steps on a blocked cavity, stepper vs
+    single-chip, exact-parity contract."""
+    import jax
+    from jax.sharding import Mesh
+
+    from navierstokes_parallel_tpu.config import Params
+    from navierstokes_parallel_tpu.grid import allocate_state
+    from navierstokes_parallel_tpu.parallel import sharded
+    from navierstokes_parallel_tpu.parallel.topology import MESH_AXES
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), MESH_AXES)
+    params = Params(problem=1, i_max=16, j_max=16, T=1.0, Re=100.0,
+                    tau=0.5, omega=1.7, epsilon=1e-6, max_it=4000,
+                    dtype="float32", obstacles=((6, 10, 6, 10),))
+    state = allocate_state(params)
+    stepper = sharded.ShardedStepper(params, state, mesh=mesh,
+                                     time_order=2)
+    ab2 = solver.ab2_init(state)
+    fn = solver.make_ab2_step_fn(params)
+    for _ in range(3):
+        stepper.step()
+        ab2, _ = fn(ab2)
+    out = stepper.state()
+    for name in ("u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ab2.s, name)), atol=1e-4, err_msg=name)
+
+
+def _run_thermal_fixed_steps(params, cfg, ts0, n_steps, order):
+    from navierstokes_parallel_tpu.models import convection as conv
+
+    if order == 1:
+        fn = conv.make_thermal_step_fn(params, cfg, "rb_sor")
+        ts = ts0
+        for _ in range(n_steps):
+            ts, _ = fn(ts)
+        return ts
+    fn = conv.make_thermal_step_ab2_fn(params, cfg, "rb_sor")
+    ab2 = conv.thermal_ab2_init(ts0)
+    for _ in range(n_steps):
+        ab2, _ = fn(ab2)
+    return ab2.ts
+
+
+@pytest.mark.parametrize("order,lo,hi", [(1, 0.75, 1.3), (2, 1.7, 2.4)])
+def test_thermal_observed_temporal_order(order, lo, hi):
+    """Richardson triple on the Boussinesq cavity (problem-5 physics) at
+    fixed 16^2 grid: the observed temporal order of (u, v, T) must be ~1
+    for thermal_step and ~2 for thermal_step_ab2.  Same protocol as
+    test_observed_temporal_order: gamma_fixed decouples the donor-cell
+    weight from dt; at Ra=5000 from a conduction start the dt limit is
+    the (state-independent) diffusive bound, so runs at (tau, N) and
+    (tau/2, 2N) end at identical physical times.  This is the golden-order
+    gate for the buoyancy-at-T_n tendency choice documented in
+    thermal_step_ab2."""
+    from navierstokes_parallel_tpu.models import convection as conv
+
+    sols = []
+    for tau, n_steps in ((0.4, 24), (0.2, 48), (0.1, 96)):
+        params, cfg = conv.convection_setup(Ra=5000.0, Pr=0.71, n=16,
+                                            tau=tau, epsilon=1e-8,
+                                            dtype="float64")
+        params = params.replace(T=1e9, gamma_fixed=0.0, max_it=20000)
+        ts0 = conv.allocate_thermal(params, cfg)
+        final = _run_thermal_fixed_steps(params, cfg, ts0, n_steps, order)
+        sols.append(np.stack([np.asarray(final.u)[1:-1, 1:-1],
+                              np.asarray(final.v)[1:-1, 1:-1],
+                              np.asarray(final.T)[1:-1, 1:-1]]))
+        if len(sols) == 1:
+            t_end = float(final.t)
+        else:
+            np.testing.assert_allclose(float(final.t), t_end, rtol=1e-12)
+    d1 = np.linalg.norm(sols[0] - sols[1])
+    d2 = np.linalg.norm(sols[1] - sols[2])
+    p = np.log2(d1 / d2)
+    assert lo <= p <= hi, (order, p, d1, d2)
 
 
 def test_karman_square_cylinder_sheds_ab2():

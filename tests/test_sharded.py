@@ -374,3 +374,38 @@ def test_solve_gspmd_compiles_once():
     finally:
         gspmd._make_solve = orig
     np.testing.assert_array_equal(np.asarray(first.u), np.asarray(second.u))
+
+
+def test_sharded_parity_2048_refused_on_tunnel(monkeypatch):
+    """Auto-policy guard (round-4 verdict item 5): the sharded parity
+    inners at 2048^2+ crash the tunneled TPU worker (repro: scripts/
+    repro_2048_sharded.py), so _check_method refuses them up front on the
+    axon platform.  Converging methods and the env override stay open;
+    CPU meshes (this test's platform) are unaffected without the
+    monkeypatch."""
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    from navierstokes_parallel_tpu.config import Params
+    from navierstokes_parallel_tpu.parallel import sharded as sh
+
+    params = Params(problem=1, i_max=2048, j_max=2048, T=0.01, Re=1000.0,
+                    tau=0.5, omega=1.7, epsilon=1e-4, max_it=100,
+                    dtype="float32")
+    mesh = Mesh(np.asarray(_jax.devices()[:1]).reshape(1, 1),
+                topology.MESH_AXES)
+    # Not on the tunnel: no refusal.
+    sh._check_method(params, mesh, "pallas_sor")
+    monkeypatch.setattr(sh, "_on_axon_tunnel", lambda: True)
+    for method in ("rb_sor", "pallas_sor", "rb_sor_sync"):
+        with pytest.raises(ValueError, match="crashes the tunneled"):
+            sh._check_method(params, mesh, method)
+    # Converging methods pass (the measured-crash-free 2048^2 routes).
+    sh._check_method(params, mesh, "fft")
+    sh._check_method(params, mesh, "mg")
+    # 1024^2 parity passes (measured clean, round-4 route race).
+    sh._check_method(params.replace(i_max=1024, j_max=1024), mesh,
+                     "pallas_sor")
+    # Directly-attached-TPU override.
+    monkeypatch.setenv("NSP_ALLOW_SHARDED_PARITY_2048", "1")
+    sh._check_method(params, mesh, "pallas_sor")
