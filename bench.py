@@ -318,6 +318,13 @@ def main(argv=None):
                          "crash the tunneled TPU worker)")
     ap.add_argument("--dispatch-steps", type=int, default=8,
                     help="steps per dispatch for --dispatch segmented")
+    ap.add_argument("--fence", choices=["differenced", "per-run"],
+                    default="differenced",
+                    help="timing protocol: 'differenced' (default) cancels "
+                         "the ~20-30 ms tunnel D2H fence by timing "
+                         "(run;run;fence) - (run;fence) — the solver time "
+                         "a directly-attached TPU would see; 'per-run' is "
+                         "the raw fenced wall time (pre-round-5 behavior)")
     ap.add_argument("--time-order", type=int, choices=[1, 2], default=1,
                     help="momentum time integrator: 1 = explicit Euler "
                          "(the reference's), 2 = variable-step AB2 "
@@ -563,12 +570,38 @@ def main(argv=None):
     out_state, stats = run()
     sync(out_state)
 
+    # Chained-difference timing (--fence differenced, the default): the
+    # only reliable completion fence on the axon tunnel is a scalar D2H
+    # fetch costing a jittery ~20-30 ms of NETWORK round trip — at 256^2
+    # that is a third of the whole parity number and none of it is device
+    # work (directly-attached TPUs fence in microseconds; the reference's
+    # synchronous CUDA timer pays no such tax).  Timing (run; run; fence)
+    # minus (run; fence) cancels the shared fence epilogue exactly and
+    # yields one full solve INCLUDING any internal host syncs it performs
+    # (segmented/stepwise loops keep their per-chunk syncs) — the same
+    # latency-differencing discipline as scripts/parity_breakdown.py.
     best = float("inf")
+    best2 = float("inf")
     for _ in range(max(1, args.repeats)):
         t0 = time.perf_counter()
         out_state, stats = run()
         sync(out_state)
         best = min(best, time.perf_counter() - t0)
+        if args.fence == "differenced":
+            t0 = time.perf_counter()
+            run()
+            out_state, stats = run()
+            sync(out_state)
+            best2 = min(best2, time.perf_counter() - t0)
+    raw_best = best
+    if args.fence == "differenced":
+        diff = best2 - best
+        if 0.0 < diff <= best:
+            best = diff
+        else:
+            print(f"fence differencing degenerate (t1={best:.4f}, "
+                  f"t2={best2:.4f}) — reporting the fenced time",
+                  file=sys.stderr)
 
     n = params.i_max
     total_iters = int(stats.total_sor_iterations)
@@ -636,6 +669,7 @@ def main(argv=None):
     print(
         f"steps={steps} sor_iterations={total_iters} "
         f"sor_failures={int(stats.sor_failures)} "
+        f"fenced_seconds={raw_best:.6f} fence_mode={args.fence} "
         f"mlups={mlups:.1f} hbm_gbps={bw / 1e9:.0f} "
         f"roofline_mlups={roofline:.0f} roofline_pct={roofline_pct:.1f} "
         f"vpu_gslots={vpu_slots / 1e9:.0f} "

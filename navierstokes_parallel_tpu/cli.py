@@ -544,18 +544,33 @@ def _gspmd_mesh(args):
 def _build_free_runner(params, state, args, pressure_method, host_loop):
     """Runner for problem 6 (free-surface flow, models/freesurface.py):
     single-chip, or multi-chip via `--backend gspmd` (grid fields sharded,
-    particles replicated — freesurface.place_free).  The pressure solve is
-    the family's own traced-flag-field operator (the Dirichlet surface
-    condition rebuilds the system every step), so `--method` does not
-    apply; the manual shard_map backend has no moving-boundary halo
-    support."""
+    particles replicated — freesurface.place_free) or `--backend sharded`
+    (parallel/sharded_free.py: replicated master, shard_mapped correction
+    sweeps).  The pressure solve is the family's own traced-flag-field
+    operator (the Dirichlet surface condition rebuilds the system every
+    step), so `--method` does not apply."""
     from .models import freesurface as F
 
     if args.backend == "sharded":
-        raise ValueError(
-            "problem 6 (free surface) supports the single-chip backends "
-            "and --backend gspmd; the shard_map backend has no "
-            "moving-boundary support")
+        from .parallel import sharded_free as SF
+
+        mesh = parse_mesh_arg(args.mesh)
+        if mesh is None:
+            from .parallel.topology import make_grid_mesh
+
+            mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
+        wall = args.free_wall
+        inner = SF.make_free_inner(params, mesh)
+        if host_loop:
+            stepper = _FreeStepper(params, state, wall, step_fn=SF.
+                                   make_free_step_sharded(params, mesh,
+                                                          wall=wall))
+            stepper.warm()
+            mon_fn = _make_monitor_fn(params, state.state, args)
+            return lambda: _run_host_loop(params, stepper, args, mon_fn)
+        compiled = F._solve_free.lower(params, state, wall, None,
+                                       "interpolated", inner).compile()
+        return lambda: compiled(state)
     if args.method != "rb_sor":
         print(f"warning: problem 6 uses the free-surface traced pressure "
               f"operator; --method {args.method!r} is ignored",
@@ -599,12 +614,19 @@ class _FreeStepper:
     the flat FreeView (grid fields + particle set) so frames, monitors and
     particle-carrying checkpoints all work unchanged."""
 
-    def __init__(self, params: Params, fs, wall: str, mesh=None):
+    def __init__(self, params: Params, fs, wall: str, mesh=None,
+                 step_fn=None):
         from .models import freesurface as F
 
         self._F = F
         self._params = params
-        if mesh is not None:
+        if step_fn is not None:
+            # Caller-built step (the sharded_free twin: replicated state,
+            # no placement/gather needed).
+            self._fn = step_fn
+            self._fs = fs
+            self._mesh = None
+        elif mesh is not None:
             self._fn = F.make_free_step_gspmd(params, mesh, wall=wall)
             self._fs = F.place_free(fs, params, mesh)
             self._mesh = mesh

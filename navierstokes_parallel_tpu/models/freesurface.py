@@ -110,6 +110,7 @@ def _box_bcs(u, v, wall: str = "noslip", params: Params = None):
 def free_step(fs: FreeSurfaceState, params: Params, *,
               wall: str = "noslip", ppc: Optional[int] = None,
               p_surface: str = "interpolated",
+              pressure_inner_fn=None,
               ) -> Tuple[FreeSurfaceState, _solver.StepDiagnostics]:
     """One free-surface time step.  Pure; jit over `fs` (the flag field is
     traced data, so geometry changes never retrace).
@@ -188,7 +189,8 @@ def free_step(fs: FreeSurfaceState, params: Params, *,
     else:
         raise ValueError(f"unknown p_surface {p_surface!r}")
     result = surf.solve_pressure_free(p, rhs, flags, params, p_surf,
-                                      interpolated=interpolated)
+                                      interpolated=interpolated,
+                                      inner_fn=pressure_inner_fn)
     # Project on fluid-fluid faces ONLY: free faces keep their BC values.
     # (With the plain p=0 surface condition the unmasked projection is
     # automatically a no-op there, but the sub-cell hydrostatic p_surf is
@@ -233,9 +235,9 @@ def make_free_step_fn(params: Params, wall: str = "noslip",
     return _step
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def _solve_free(params: Params, fs: FreeSurfaceState, wall: str,
-                ppc: int, p_surface: str):
+                ppc: int, p_surface: str, pressure_inner_fn=None):
     T = jnp.asarray(params.T, fs.state.t.dtype)
 
     def cond(carry):
@@ -245,7 +247,8 @@ def _solve_free(params: Params, fs: FreeSurfaceState, wall: str,
     def body(carry):
         fs, stats = carry
         fs, diag = free_step(fs, params, wall=wall, ppc=ppc,
-                             p_surface=p_surface)
+                             p_surface=p_surface,
+                             pressure_inner_fn=pressure_inner_fn)
         stats = _solver.SolveStats(
             steps=stats.steps + 1,
             total_sor_iterations=(stats.total_sor_iterations

@@ -320,7 +320,8 @@ def mask_pressure(p: jax.Array, flags: Flags,
 def solve_pressure_free(p: jax.Array, rhs: jax.Array, flags: Flags,
                         params: Params,
                         p_surf: Optional[jax.Array] = None,
-                        interpolated: bool = False) -> SORResult:
+                        interpolated: bool = False,
+                        inner_fn=None) -> SORResult:
     """Pressure solve on the traced free-surface geometry: ops/masked.py's
     f64-master / f32-correction refinement outer over the traced-weight
     operator.  The surface Dirichlet cells (value `p_surf`, default 0)
@@ -334,7 +335,12 @@ def solve_pressure_free(p: jax.Array, rhs: jax.Array, flags: Flags,
     |alpha| <= 0.82 per outer on top of the defect correction (the
     residual is only measured over bulk cells, whose equations see the
     refreshed values).  Requires x64 like every
-    refined solve (CLI/bench enable it)."""
+    refined solve (CLI/bench enable it).
+
+    `inner_fn(neg_r32, n_inner, w, red, black) -> delta` optionally
+    replaces the f32 correction-sweep stage — the hook the shard_map twin
+    (parallel/sharded_free.py) plugs its partitioned sweeps into; the f64
+    master/defect/refresh logic is shared verbatim."""
     if not jax.config.jax_enable_x64:
         raise ValueError("free-surface runs need jax x64 for the f64 "
                          "refinement master (CLI/bench enable it)")
@@ -356,12 +362,16 @@ def solve_pressure_free(p: jax.Array, rhs: jax.Array, flags: Flags,
     black = _checkerboard(shape_int, 1) & w.fluid
     K = max(1, params.sor_refine_every)
 
-    def inner(neg_r32, n_inner):
-        def sweep(_, d):
-            return masked.masked_rb_iteration(d, neg_r32, omega32, w,
-                                              red, black)
-        return lax.fori_loop(0, n_inner, sweep,
-                             jnp.zeros(params.shape, f32))
+    if inner_fn is not None:
+        def inner(neg_r32, n_inner):
+            return inner_fn(neg_r32, n_inner, w, red, black)
+    else:
+        def inner(neg_r32, n_inner):
+            def sweep(_, d):
+                return masked.masked_rb_iteration(d, neg_r32, omega32, w,
+                                                  red, black)
+            return lax.fori_loop(0, n_inner, sweep,
+                                 jnp.zeros(params.shape, f32))
 
     if interpolated:
         use_below, use_above, alpha = interp_coeffs(flags)

@@ -58,15 +58,25 @@ run auto_2048 2400 $B --config configs/4.in --repeats 3
 run speedup 4800 python scripts/run_benchmarks.py --tests 1,2,3,4 \
   --skip-serial --runs 3 --results-dir "$OUT/speedup"
 
-# --- Item 1: one finer Kármán rung attempt.  50 cells/D crashed the
-# worker on the mg route in round 4; retry once AB2 (tau=0.25, the
-# mid-tau rung — enough for the tau ladder to use it) with generous
-# timeout; a crash here is an expected, recorded outcome and the worker
-# recovers for the next item.
-run karman50_ab2 7200 python scripts/karman_dt_study.py \
-  --resolutions 50 --taus 0.25 --time-order 2 --method mg
-run karman50_euler 7200 python scripts/karman_dt_study.py \
-  --resolutions 50 --taus 0.25 --method mg
+# --- Item 1: one finer Kármán rung attempt (tau = 0.5 and 0.25 — two
+# points make the rung usable in the h ladder via its own tau->0 limit).
+# 50 cells/D crashed the worker on the mg route in round 4; a crash here
+# is an expected, recorded outcome (the worker recovers per-subprocess).
+# The cg attempt is the fallback: a different pressure-solve program
+# family than the faulting mg step.
+run karman50_ab2 5400 python scripts/karman_dt_study.py \
+  --resolutions 50 --taus 0.5,0.25 --time-order 2 --method mg
+run karman50_euler 5400 python scripts/karman_dt_study.py \
+  --resolutions 50 --taus 0.5,0.25 --method mg
+run karman50_cg 5400 python scripts/karman_dt_study.py \
+  --resolutions 50 --taus 0.5,0.25 --method cg
+# Regenerate the summary rows from whatever cells survived (cache-only
+# never runs a rung) + the cross-integrator reconciliation.
+run karman_regen 600 python scripts/karman_dt_study.py --cache-only \
+  --taus 0.5,0.25,0.125
+run karman_regen_ab2 600 python scripts/karman_dt_study.py --cache-only \
+  --taus 0.5,0.25,0.125 --time-order 2
+run karman_continuum 120 python scripts/karman_continuum.py
 
 # --- Item 5: the 2048^2 sharded crash bisect — LAST: each crashing
 # variant kills the worker (it recovers per-subprocess, but a degraded
