@@ -107,17 +107,23 @@ def sweep_roofline_mlups(bandwidth_bytes_per_s: float) -> float:
 # VPU issue slots per CELL of one full red-black sweep of the VMEM-resident
 # kernel (ops/pallas/sor_kernel.py::half_sweep, counted from the code —
 # the kernel computes every element and masks, so the per-CELL cost is the
-# per-element cost).  Per half-sweep per element:
+# per-element cost).  Per half-sweep per element, FMA-FUSED scheduling
+# (the probe below counts one FMA chain link as one slot, so the model
+# must count the kernel's ops the same way):
 #   4 rolls (lane/sublane shifts — one vector op each on the VPU)
-#   7 arith for nb   (2 add pairing the rolls, 2 mul by dx2/dy2_inv,
-#                     1 add combining, 1 mul d*self_coef, 1 add)
-#   5 arith for d_new + select ((nb-rhs), *coef, (1-omega)*d, +, where)
-# = 16 slots; a full sweep is two half-sweeps = 32 slots/cell.  Rolls and
-# selects are counted as one slot like an FMA — approximate (a lane roll
-# can cost more than an ALU op; an FMA retires 2 flops in 1 slot), but
-# it is the honest order-of-magnitude model the VPU probe below is
-# calibrated against.
-SWEEP_VPU_SLOTS_PER_CELL = 32
+#   5 for nb    (add r1+r2, add r3+r4, mul *dx2, fma *dy2+, fma d*self+)
+#   3 for d_new ((nb-rhs) sub, coef* mul, fma d*(1-omega)+)
+#   1 select (where)
+# = 13 slots; a full sweep is two half-sweeps = 26 slots/cell.
+# History: the round-4 model used a non-fused count of 32, which the
+# round-5 measurements FALSIFIED as a bound — the 1024^2 end-to-end
+# parity run sustained 74,658 MLUPS = 110% of the 32-slot "roofline"
+# (fence-differenced bench, 2026-08-20), so XLA/Mosaic demonstrably
+# schedules the mul+add pairs as single FMA slots.  With 26 the same
+# measurement sits at 89% and the 256^2 kernel-only probe at ~110%
+# (an issue-slot model is ~±10% honest at best — rolls may cost more
+# than one slot, selects may fuse away).
+SWEEP_VPU_SLOTS_PER_CELL = 26
 
 
 def vpu_throughput_probe(repeats: int = 3, n: int = 1024) -> float:

@@ -20,7 +20,12 @@ def test_dryrun_multichip_in_process():
 
 
 def test_dryrun_multichip_small_mesh():
-    graft.dryrun_multichip(4)
+    """Mesh-shape variation (a (2,2) mesh vs the 8-device (2,4)): legs
+    1-3 cover the pad-to-divisible/chooser/pencil logic that depends on
+    the mesh shape; legs 4-7 are model families whose mesh handling is
+    identical and already paid for in test_dryrun_multichip_in_process
+    (each costs real compile time on the one-CPU CI host)."""
+    graft._dryrun_impl(4, legs={1, 2, 3})
 
 
 def test_entry_compiles():
