@@ -60,16 +60,18 @@ run speedup 4800 python scripts/run_benchmarks.py --tests 1,2,3,4 \
 
 # --- Item 1: one finer Kármán rung attempt (tau = 0.5 and 0.25 — two
 # points make the rung usable in the h ladder via its own tau->0 limit).
-# 50 cells/D crashed the worker on the mg route in round 4; a crash here
-# is an expected, recorded outcome (the worker recovers per-subprocess).
-# The cg attempt is the fallback: a different pressure-solve program
-# family than the faulting mg step.
+# 50 cells/D crashed the worker on the mg route in round 4 AND in the
+# round-5 re-attempts under both integrators; a crash here is an
+# expected, recorded outcome (the worker recovers per-subprocess).
+# NOTE: there is no cg fallback — obstacle domains support rb_sor/mg
+# only (ops/masked.py raises for cg/fft/pallas; verified 2026-08-20),
+# and masked rb_sor at 1100x205 hits max_it without converging.  The
+# documented error-budget path (docs/userguide.md) is the answer at
+# rungs the tunnel cannot run.
 run karman50_ab2 5400 python scripts/karman_dt_study.py \
   --resolutions 50 --taus 0.5,0.25 --time-order 2 --method mg
 run karman50_euler 5400 python scripts/karman_dt_study.py \
   --resolutions 50 --taus 0.5,0.25 --method mg
-run karman50_cg 5400 python scripts/karman_dt_study.py \
-  --resolutions 50 --taus 0.5,0.25 --method cg
 # Regenerate the summary rows from whatever cells survived (cache-only
 # never runs a rung) + the cross-integrator reconciliation.
 run karman_regen 600 python scripts/karman_dt_study.py --cache-only \
