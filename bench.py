@@ -150,6 +150,46 @@ def _bench_ensemble(params, args):
     return 0
 
 
+def _time_solver(run, sync, args):
+    """Min-over-repeats wall time under the --fence protocol.
+
+    `differenced` (the default): the only reliable completion fence on the
+    axon tunnel is a scalar D2H fetch costing a jittery ~20-30 ms of
+    NETWORK round trip — at 256^2 that is a third of the whole parity
+    number and none of it is device work (directly-attached TPUs fence in
+    microseconds; the reference's synchronous CUDA timer pays no such
+    tax).  Timing (run; run; fence) minus (run; fence) cancels the shared
+    fence epilogue exactly and yields one full solve INCLUDING any
+    internal host syncs it performs (segmented/stepwise loops keep their
+    per-chunk syncs) — the same latency-differencing discipline as
+    scripts/parity_breakdown.py.  Returns (best, raw_best, out, stats);
+    callers must have warmed/compiled `run` already.
+    """
+    best = float("inf")
+    best2 = float("inf")
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        out, stats = run()
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+        if args.fence == "differenced":
+            t0 = time.perf_counter()
+            run()
+            out, stats = run()
+            sync(out)
+            best2 = min(best2, time.perf_counter() - t0)
+    raw_best = best
+    if args.fence == "differenced":
+        diff = best2 - best
+        if 0.0 < diff <= best:
+            best = diff
+        else:
+            print(f"fence differencing degenerate (t1={best:.4f}, "
+                  f"t2={best2:.4f}) — reporting the fenced time",
+                  file=sys.stderr)
+    return best, raw_best, out, stats
+
+
 def _bench_thermal(params, args, mesh_arg):
     """Problem-5 (natural convection) benchmark arm: times the Boussinesq
     `while t < T` integration on the requested backend.  Beyond-reference
@@ -158,6 +198,16 @@ def _bench_thermal(params, args, mesh_arg):
 
     from navierstokes_parallel_tpu.models import convection as conv
     from navierstokes_parallel_tpu.utils.timing import device_fence
+
+    if getattr(args, "time_order", 1) == 2 and args.backend in ("sharded",
+                                                                "gspmd"):
+        # Mirror cli.py's gate: the multi-chip thermal steppers integrate
+        # first-order — silently benchmarking Euler under an AB2 flag
+        # would corrupt the Euler-vs-AB2 A/B.
+        print("error: --time-order 2 for problem 5 runs single-chip "
+              "(the multi-chip thermal steppers integrate first-order; "
+              "drop --backend or --time-order)", file=sys.stderr)
+        return 2
 
     cfg = conv.config_from_params(params)
     state = conv.allocate_thermal(params, cfg)
@@ -227,21 +277,17 @@ def _bench_thermal(params, args, mesh_arg):
             return out.u, stats
 
     out, stats = run()
-    device_fence(out)
-    best = float("inf")
-    for _ in range(max(1, args.repeats)):
-        t0 = time.perf_counter()
-        out, stats = run()
-        device_fence(out)
-        best = min(best, time.perf_counter() - t0)
+    device_fence(out)  # warm + compile
+    best, raw_best, out, stats = _time_solver(run, device_fence, args)
 
     n = params.i_max
     total_iters = int(stats.total_sor_iterations)
     mlups = total_iters * params.i_max * params.j_max / best / 1e6
     print(
         f"steps={int(stats.steps)} sor_iterations={total_iters} "
-        f"sor_failures={int(stats.sor_failures)} mlups={mlups:.1f} "
-        f"device={jax.devices()[0].device_kind}",
+        f"sor_failures={int(stats.sor_failures)} "
+        f"fenced_seconds={raw_best:.6f} fence_mode={args.fence} "
+        f"mlups={mlups:.1f} device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -526,10 +572,10 @@ def main(argv=None):
             )
 
             ab2 = ab2_init(state)
+            # Already @jit-decorated (solver.py) — lower directly, like
+            # the thermal twin above.
             compiled_ab2 = (
-                jax.jit(_solve_ab2_on_device, static_argnums=(0, 2))
-                .lower(params, ab2, method)
-                .compile()
+                _solve_ab2_on_device.lower(params, ab2, method).compile()
             )
 
             def run():
@@ -549,12 +595,9 @@ def main(argv=None):
         else:
             # AOT-compile so the timed run excludes compilation (the C
             # reference has no JIT; its harness times only the solver loop,
-            # run.sh:57-66).
-            compiled = (
-                jax.jit(_solve_on_device, static_argnums=(0, 2))
-                .lower(params, state, method)
-                .compile()
-            )
+            # run.sh:57-66).  Already @jit-decorated — lower directly.
+            compiled = _solve_on_device.lower(params, state,
+                                              method).compile()
 
             def run():
                 return compiled(state)
@@ -566,42 +609,11 @@ def main(argv=None):
         from navierstokes_parallel_tpu.utils.timing import device_fence
         return device_fence(out)
 
-    # Warmup (also compiles the sharded path) + hard sync.
+    # Warmup (also compiles the sharded path) + hard sync, then the
+    # --fence timing protocol (see _time_solver).
     out_state, stats = run()
     sync(out_state)
-
-    # Chained-difference timing (--fence differenced, the default): the
-    # only reliable completion fence on the axon tunnel is a scalar D2H
-    # fetch costing a jittery ~20-30 ms of NETWORK round trip — at 256^2
-    # that is a third of the whole parity number and none of it is device
-    # work (directly-attached TPUs fence in microseconds; the reference's
-    # synchronous CUDA timer pays no such tax).  Timing (run; run; fence)
-    # minus (run; fence) cancels the shared fence epilogue exactly and
-    # yields one full solve INCLUDING any internal host syncs it performs
-    # (segmented/stepwise loops keep their per-chunk syncs) — the same
-    # latency-differencing discipline as scripts/parity_breakdown.py.
-    best = float("inf")
-    best2 = float("inf")
-    for _ in range(max(1, args.repeats)):
-        t0 = time.perf_counter()
-        out_state, stats = run()
-        sync(out_state)
-        best = min(best, time.perf_counter() - t0)
-        if args.fence == "differenced":
-            t0 = time.perf_counter()
-            run()
-            out_state, stats = run()
-            sync(out_state)
-            best2 = min(best2, time.perf_counter() - t0)
-    raw_best = best
-    if args.fence == "differenced":
-        diff = best2 - best
-        if 0.0 < diff <= best:
-            best = diff
-        else:
-            print(f"fence differencing degenerate (t1={best:.4f}, "
-                  f"t2={best2:.4f}) — reporting the fenced time",
-                  file=sys.stderr)
+    best, raw_best, out_state, stats = _time_solver(run, sync, args)
 
     n = params.i_max
     total_iters = int(stats.total_sor_iterations)

@@ -64,14 +64,23 @@ def make_free_inner(params: Params, mesh: Mesh):
     i_max, j_max = params.i_max, params.j_max
     omega = jnp.asarray(params.omega, f32)
 
+    # Pad-to-divisible extents (zero when the mesh divides the grid).
+    ex = px * li - i_max
+    ey = py * lj - j_max
+
     def shard_body(neg_r32, w_e, w_w, w_n, w_s, diag, red, black, n_inner):
         ox = lax.axis_index("x") * li
         oy = lax.axis_index("y") * lj
 
         def win(a):
             # Interior-shaped global array -> this shard's H-ringed window.
-            return lax.dynamic_slice(jnp.pad(a, H), (ox, oy),
-                                     (li + 2 * H, lj + 2 * H))
+            # Zero-pad to the mesh-divisible extent FIRST: lax.dynamic_slice
+            # CLAMPS an out-of-bounds start, which would silently shift the
+            # last shard's core rows on non-divisible grids.  Pad cells have
+            # zero weights and False red/black masks, so they are inert.
+            return lax.dynamic_slice(
+                jnp.pad(a, ((H, H + ex), (H, H + ey))), (ox, oy),
+                (li + 2 * H, lj + 2 * H))
 
         rhs_w = win(neg_r32)
         we_w, ww_w = win(w_e), win(w_w)
@@ -91,8 +100,7 @@ def make_free_inner(params: Params, mesh: Mesh):
         def round_body(carry):
             delta, remaining = carry
             ns = jnp.minimum(remaining, C)
-            d = lax.dynamic_slice(jnp.pad(delta, H), (ox, oy),
-                                  (li + 2 * H, lj + 2 * H))
+            d = win(delta)
 
             def sweep(k, d):
                 # Guarded sweep: rounds are C long except possibly the

@@ -9,8 +9,10 @@ is a property of the PDE + geometry, not of the integrator.  This script
 
   1. loads both ladders' joint limits and their GCI error bars
      (Fs=1.25 fitted / 3.0 nominal-order, see karman_dt_study.h_limit);
-  2. ASSERTS cross-integrator agreement: |lim_E - lim_A| must be within
-     the smaller of the two bars (a failure means at least one
+  2. ASSERTS cross-integrator agreement with the standard consistency
+     test for two independent estimates carrying (non-statistical,
+     GCI-style) uncertainty bars: the intervals must overlap,
+     |lim_E - lim_A| <= err_E + err_A (a failure means at least one
      extrapolation is unconverged — the round-4 state before the AB2
      ladder's 40/0.125 rung landed);
   3. emits artifacts/karman_continuum.csv — the single citable table:

@@ -105,6 +105,35 @@ def test_bench_invalid_knobs_get_clean_errors(tiny_config, capsys):
         capsys.readouterr()
 
 
+@pytest.fixture
+def tiny_thermal_config(tmp_path):
+    path = tmp_path / "thermal.in"
+    path.write_text(
+        "5\n1\n16\n16\n1.0\n1.0\n0.05\n37.5\n0.0\n0.0\n0.5\n1.7\n"
+        "0.0001\n2000\n1\n1000.0\n0.71\n"
+    )
+    return str(path)
+
+
+def test_thermal_arm_fence_mode_and_ab2_guard(tiny_thermal_config, capsys):
+    """The problem-5 arm follows the --fence protocol (fence_mode on
+    stderr, like every other arm) and mirrors cli.py's gate: --time-order
+    2 is single-chip only — a sharded/gspmd AB2 'benchmark' would
+    silently measure Euler."""
+    res, err = _run(["--config", tiny_thermal_config], capsys)
+    assert "convection16" in res["metric"]
+    assert "fence_mode=differenced" in err
+    res, err = _run(["--config", tiny_thermal_config, "--fence", "per-run",
+                     "--time-order", "2"], capsys)
+    assert "fence_mode=per-run" in err
+    assert "(thermal, AB2)" in err
+    for backend in ("sharded", "gspmd"):
+        rc = bench.main(["--config", tiny_thermal_config, "--backend",
+                         backend, "--time-order", "2"])
+        assert rc == 2
+        assert "single-chip" in capsys.readouterr().err
+
+
 def test_device_probe_skipped_on_local_platform():
     """cpu-forced runs (every test) must not spawn a probe subprocess —
     the probe targets the pinned remote platform and would hang."""

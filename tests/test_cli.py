@@ -447,8 +447,9 @@ def test_cli_free_surface_checkpoint_resume(tmp_path, capsys):
 
 def test_cli_free_surface_gspmd_and_rejections(tmp_path, capsys):
     """--backend gspmd reproduces the single-chip step/iteration counts on
-    the 8-device CPU mesh; the shard_map backend is cleanly rejected and
-    --method warns."""
+    the 8-device CPU mesh; --method warns.  The shard_map backend is
+    supported since round 5 (parity in test_sharded_free.py) — here we
+    only check it is accepted."""
     cfg = tmp_path / "f.in"
     _write_free_config(cfg)
     rc = cli.main([str(cfg), "--stats"])
@@ -463,5 +464,5 @@ def test_cli_free_surface_gspmd_and_rejections(tmp_path, capsys):
     assert got.split("last_res_norm")[0] == ref.split("last_res_norm")[0]
     assert "ignored" in out.err          # --method mg warning
     rc = cli.main([str(cfg), "--backend", "sharded"])
-    assert rc == 1
-    assert "shard_map" in capsys.readouterr().err
+    assert rc == 0
+    capsys.readouterr()

@@ -42,9 +42,12 @@ def _assert_fs_close(a, b, tol=1e-9):
 
 
 def test_sharded_free_dam_break_matches_single_chip():
-    """Whole dam-break solve: fields, particles, step AND sweep counts
-    (the 82x50 padded grid exercises ragged windows on both axes)."""
-    params, fs = FS.dam_break(n=16, T=0.5, width=1.0, height=2.0)
+    """Whole dam-break solve: fields, particles, step AND sweep counts.
+    75x45 interior on the 2x4 mesh is GENUINELY ragged on both axes
+    (li=38 -> 76 > 75, lj=12 -> 48 > 45): this pins the pad-to-divisible
+    window fix — lax.dynamic_slice clamping used to shift the last
+    shard's core on exactly these shapes."""
+    params, fs = FS.dam_break(n=15, T=0.5, width=1.0, height=2.0)
     ref, st1 = FS.solve_free(params, fs)
     out, st2 = SF.solve_free_sharded(params, fs, _mesh(2, 4))
     assert int(st2.steps) == int(st1.steps)
