@@ -50,14 +50,32 @@ from ..config import Params
 from .halo import _shift_down, _shift_up
 
 
-def ext_block_fits_vmem(ext_shape, budget_bytes: int = 48 * 1024 * 1024,
-                        itemsize: int = 4) -> bool:
-    """Whether a shard's extended block can run the whole-block VMEM kernel
-    — delegates to sor_kernel.vmem_bytes_required so the empirically-tuned
-    footprint/budget heuristic is defined in exactly one place."""
-    from ..ops.pallas.sor_kernel import vmem_bytes_required
+# Measured on v5e (artifacts/repro_2048_sharded.json, step_half): the ext
+# kernel's in-kernel mask rebuild (iota gi/gj, red/black, self_coef, roll
+# temps) peaks at ~14.5 live block-sized buffers during Mosaic's scoped
+# allocation — a 2080x1056 block demanded 127.73 MB against a 109.69 MB
+# limit and failed to COMPILE (deterministic, not the worker-crash family).
+# The whole-grid kernel's 3-array vmem_bytes_required model does not apply
+# here (its masks are baked constants).  Gate and compile limit share this
+# multiplier; budget 100 MB leaves headroom under the 128 MB physical VMEM.
+EXT_KERNEL_LIVE_ARRAYS = 15
+EXT_KERNEL_VMEM_BUDGET = 100 * 1024 * 1024
 
-    return vmem_bytes_required(tuple(ext_shape), itemsize) <= budget_bytes
+
+def _ext_per_array_bytes(ext_shape, itemsize: int = 4) -> int:
+    ni, nj = ext_shape
+    return -(-ni // 8) * 8 * -(-nj // 128) * 128 * itemsize
+
+
+def ext_block_fits_vmem(ext_shape, budget_bytes: int = EXT_KERNEL_VMEM_BUDGET,
+                        itemsize: int = 4) -> bool:
+    """Whether a shard's extended block can run the whole-block VMEM ext
+    kernel — gated on the ext kernel's own measured liveness (see
+    EXT_KERNEL_LIVE_ARRAYS above), NOT sor_kernel.vmem_bytes_required's
+    3-array whole-grid model, which under-counted by ~5x and let
+    2048x1024 shards through to a guaranteed compile failure."""
+    per = _ext_per_array_bytes(tuple(ext_shape), itemsize)
+    return EXT_KERNEL_LIVE_ARRAYS * per <= budget_bytes
 
 
 def comm_depth(params: Params, li: int, lj: int) -> int:
@@ -256,8 +274,8 @@ def _ext_sweeps_call(ns, origin, delta_ext, rhs_ext, *, ext_shape, H, i_max,
 
     kernel = _make_ext_kernel(ext_shape, H, i_max, j_max, omega, dx2_inv,
                               dy2_inv, use_pltpu_roll=not interpret)
-    per_array = ext_shape[0] * -(-ext_shape[1] // 128) * 128 * 4
-    limit = max(16 << 20, 12 * per_array)
+    per_array = _ext_per_array_bytes(ext_shape)
+    limit = max(16 << 20, EXT_KERNEL_LIVE_ARRAYS * per_array)
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,

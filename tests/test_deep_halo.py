@@ -322,3 +322,18 @@ def test_pallas_route_falls_back_when_ext_block_exceeds_vmem(monkeypatch):
     assert not calls, "oversized block must not call the kernel"
     np.testing.assert_allclose(got[1:-1, 1:-1], want[1:-1, 1:-1],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_ext_vmem_gate_matches_measured_mosaic_liveness():
+    """Pin the gate against the measured v5e compile failure
+    (artifacts/repro_2048_sharded.json step_half): a 2048x1024 shard's
+    2080x1056 ext block demanded 127.73 MB of scoped VMEM (~14.5 live
+    block buffers) and deterministically failed Mosaic compilation, while
+    1024^2 shards (1056^2 ext) compiled and won the round-4 route race on
+    the real chip.  The gate must refuse the former and keep the latter."""
+    assert not deep_halo.ext_block_fits_vmem((2080, 1056))
+    assert deep_halo.ext_block_fits_vmem((1056, 1056))
+    # The compile limit the call will request must stay under physical
+    # VMEM (128 MB on v5e) for every shape the gate admits.
+    per = deep_halo._ext_per_array_bytes((1056, 1056))
+    assert deep_halo.EXT_KERNEL_LIVE_ARRAYS * per < 128 * 1024 * 1024
