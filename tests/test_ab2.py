@@ -165,7 +165,7 @@ def test_cli_time_order(tmp_path, capsys):
         u_ref = float(whole.splitlines()[0].split()[-1])
         for backend in ("gspmd", "sharded"):
             assert cli.main([str(inp), "--time-order", "2",
-                             "--backend", backend, "--mesh", "2x4"]) == 0
+                             "--backend", backend, "--mesh", "2x2"]) == 0
             out = capsys.readouterr().out
             u_b = float(out.splitlines()[0].split()[-1])
             assert u_b == pytest.approx(u_ref, abs=1e-4), backend
@@ -191,7 +191,7 @@ def test_multichip_ab2_matches_single_chip():
         pytest.skip("needs 8 devices")
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), MESH_AXES)
     # 17^2: pad-to-divisible on both mesh axes.
-    params = Params(problem=1, i_max=17, j_max=17, T=0.5, Re=100.0,
+    params = Params(problem=1, i_max=17, j_max=17, T=0.2, Re=100.0,
                     tau=0.5, omega=1.7, epsilon=1e-6, max_it=5000,
                     dtype="float32")
     state = allocate_state(params)

@@ -411,7 +411,7 @@ def test_cli_free_surface_checkpoint_resume(tmp_path, capsys):
     """Chunked problem-6 run (checkpoint carries the marker particles)
     resumes onto the straight run's trajectory."""
     cfg = tmp_path / "f.in"
-    _write_free_config(cfg, T=1.2)      # several steps at this grid's dt
+    _write_free_config(cfg, T=0.8)      # several steps at this grid's dt
     ck = tmp_path / "ck.npz"
     rc = cli.main([str(cfg), "--max-steps", "2", "--checkpoint-every", "1",
                    "--checkpoint-path", str(ck)])
@@ -451,12 +451,12 @@ def test_cli_free_surface_gspmd_and_rejections(tmp_path, capsys):
     supported since round 5 (parity in test_sharded_free.py) — here we
     only check it is accepted."""
     cfg = tmp_path / "f.in"
-    _write_free_config(cfg)
+    _write_free_config(cfg, T=0.25)
     rc = cli.main([str(cfg), "--stats"])
     assert rc == 0
     ref = [ln for ln in capsys.readouterr().err.splitlines()
            if "steps=" in ln][0]
-    rc = cli.main([str(cfg), "--backend", "gspmd", "--mesh", "2x4",
+    rc = cli.main([str(cfg), "--backend", "gspmd", "--mesh", "2x2",
                    "--stats", "--method", "mg"])
     assert rc == 0
     out = capsys.readouterr()

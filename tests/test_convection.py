@@ -37,7 +37,7 @@ def test_buoyancy_direction():
     (left) wall region and v < 0 along the cold wall region."""
     params, cfg = cv.convection_setup(1e4, n=16, dtype="float64")
     s = cv.allocate_thermal(params, cfg)
-    for _ in range(20):
+    for _ in range(12):
         s, _ = cv.thermal_step(s, params, cfg, pressure_method="mg")
     v = np.asarray(s.v)
     mid = params.j_max // 2
@@ -108,17 +108,19 @@ def test_buoyancy_preserves_pinned_fg():
 
 def test_convection_gspmd_matches_single_chip():
     """The GSPMD multi-chip arm (XLA-partitioned thermal step over a 2D
-    mesh) must reproduce the single-chip steady state and Nusselt
-    number."""
-    from navierstokes_parallel_tpu.parallel.gspmd import _default_mesh
-
+    mesh) must reproduce the single-chip trajectory step for step and the
+    Nusselt functional on the evolved field.  8 fixed steps instead of a
+    full solve-to-steady on both paths: trajectory parity is the stronger
+    per-step contract (any partitioner regression shows within a step) at
+    a fraction of the single-core cost; the steady-state Nusselt numbers
+    themselves are validated against de Vahl Davis single-chip above."""
     params, cfg = cv.convection_setup(1e3, n=24)
-    s1, info1 = cv.solve_convection(params, cfg, pressure_method="mg",
-                                    steady_tol=1e-5)
-    mesh = _default_mesh()
-    s2, info2 = cv.solve_convection(params, cfg, pressure_method="mg",
-                                    steady_tol=1e-5, mesh=mesh)
-    assert info2["steady"] and info1["steady"]
+    s1 = cv.allocate_thermal(params, cfg)
+    stepper = cv.ThermalGspmdStepper(params, cfg, s1)
+    for _ in range(8):
+        s1, _ = cv.thermal_step(s1, params, cfg, pressure_method="mg")
+        stepper.step()
+    s2 = stepper.state()
     assert cv.nusselt_hot_wall(s2.T, params) == pytest.approx(
         cv.nusselt_hot_wall(s1.T, params), rel=1e-3)
     np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T),
@@ -324,7 +326,7 @@ def test_mixed_convection_beta0_matches_isothermal_exactly():
     cfg = cfg._replace(beta_gy=0.0, lid_u=1.0)
     ts = cv.allocate_thermal(params, cfg)
     iso = allocate_state(params)
-    for _ in range(15):
+    for _ in range(8):
         ts, _ = cv.thermal_step(ts, params, cfg, pressure_method="mg")
         iso, _ = solver.step(iso, params, pressure_method="mg")
     np.testing.assert_array_equal(np.asarray(ts.u), np.asarray(iso.u))

@@ -58,7 +58,7 @@ def test_sharded_grad_parity_controls_and_state():
     mesh = _mesh(2, 4)
 
     def wrap(mesh_arg):
-        ls = _loss(params, mesh_arg)
+        ls = _loss(params, mesh_arg, n_steps=2)
         # allow_int: the State pytree carries the int32 step counter `n`
         # (its cotangent is float0 and is not compared below).
         val, grads = jax.value_and_grad(ls, argnums=(0, 1),
@@ -85,9 +85,10 @@ def test_sharded_grad_obstacle_domain():
                      obstacles=((6, 10, 6, 10),))
     state = allocate_state(params)
     c0 = diff.default_controls(params)
-    mesh = _mesh(2, 4)
-    g1 = jax.grad(_loss(params, None), allow_int=True)(state, c0)
-    g2 = jax.jit(jax.grad(_loss(params, mesh), allow_int=True))(state, c0)
+    mesh = _mesh(2, 2)
+    g1 = jax.grad(_loss(params, None, n_steps=2), allow_int=True)(state, c0)
+    g2 = jax.jit(jax.grad(_loss(params, mesh, n_steps=2),
+                          allow_int=True))(state, c0)
     np.testing.assert_allclose(np.asarray(g1.u), np.asarray(g2.u),
                                atol=1e-10)
 
@@ -109,11 +110,11 @@ def test_sharded_grad_thermal():
     cfg = conv.ThermalConfig(alpha=1.0 / (params.Re * 0.71),
                              beta_gx=0.0, beta_gy=-1.0)
     ts0 = conv.allocate_thermal(params, cfg)
-    mesh = _mesh(2, 4)
+    mesh = _mesh(2, 2)
 
     def loss_of_beta(beta, mesh_arg):
         c = cfg._replace(beta_gy=beta)
-        final, _ = diff.solve_thermal_n_steps(params, ts0, 3, c,
+        final, _ = diff.solve_thermal_n_steps(params, ts0, 2, c,
                                               pressure_method="mg",
                                               mesh=mesh_arg)
         return jnp.sum(final.v[1:-1, 1:-1] ** 2)

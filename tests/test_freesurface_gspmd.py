@@ -44,7 +44,7 @@ def test_gspmd_dam_break_matches_single_chip():
     """Whole dam-break solve on a 2x4 mesh == the single-chip while_loop
     (the verdict item's done-criterion).  The 16/unit grid (82x50 padded
     to the mesh) exercises non-divisible padding on both axes."""
-    params, fs = FS.dam_break(n=16, T=0.5, width=1.0, height=2.0)
+    params, fs = FS.dam_break(n=16, T=0.2, width=1.0, height=2.0)
     ref, ref_stats = FS.solve_free(params, fs)
     out, stats = FS.solve_free(params, fs, mesh=_mesh(2, 4))
     assert int(stats.steps) == int(ref_stats.steps)
@@ -59,11 +59,11 @@ def test_gspmd_step_fn_matches_single_chip():
     wave — free-slip walls + the SUMMAC interpolated surface condition on
     the mesh."""
     params, fs = FS.sloshing(n=16, T=1.0)
-    mesh = _mesh(2, 4)
+    mesh = _mesh(2, 2)
     step1 = FS.make_free_step_fn(params, "freeslip")
     stepN = FS.make_free_step_gspmd(params, mesh, wall="freeslip")
     ref, sh = fs, FS.place_free(fs, params, mesh)
-    for _ in range(5):
+    for _ in range(3):
         ref, d1 = step1(ref)
         sh, dN = stepN(sh)
         np.testing.assert_allclose(float(dN.dt), float(d1.dt), rtol=1e-12)
@@ -83,11 +83,11 @@ def test_gspmd_obstacle_composition():
         state=allocate_state(pw),
         pset=FS.fill_region(pw, 0.0, 1.0, 0.0, 2.0))
     pn, fn = FS.dam_break(n=n, a=4.0, b=3.0)
-    mesh = _mesh(2, 4)
+    mesh = _mesh(2, 2)
     step_w = FS.make_free_step_gspmd(pw, mesh)
     step_n = FS.make_free_step_fn(pn, "noslip")
     sw = FS.place_free(fw, pw, mesh)
-    for _ in range(8):
+    for _ in range(5):
         sw, _ = step_w(sw)
         fn, _ = step_n(fn)
     fw = FS.fetch_free(sw, pw)

@@ -14,9 +14,16 @@ import __graft_entry__ as graft  # noqa: E402
 
 
 def test_dryrun_multichip_in_process():
+    """Legs 1-3 (rb_sor shard_map, gspmd mg, pencil fft) on the full
+    8-device (2,4) mesh — the mesh-shape-dependent core the driver gate
+    exercises.  Legs 4-8 (masked/thermal/free-surface/diff families) each
+    have a dedicated CI twin (test_sharded_obstacles, test_sharded_thermal,
+    test_freesurface_gspmd, test_diff_sharded, test_sharded_free) asserting
+    the same contracts on the same mesh; re-running them here only repeats
+    ~40 s of single-core execution.  The DRIVER always runs all eight."""
     # conftest provisions 8 virtual CPU devices -> in-process path.
     assert len(jax.devices()) >= 8
-    graft.dryrun_multichip(8)
+    graft._dryrun_impl(8, legs={1, 2, 3})
 
 
 def test_dryrun_multichip_small_mesh():
@@ -68,5 +75,8 @@ def test_dryrun_gate_has_teeth(monkeypatch):
 def test_dryrun_multichip_three_devices():
     """Non-power-of-two counts: the sharded-fft leg's grid size must stay
     pencil-divisible for a 1x3/3x1 mesh (a bare max(16, 4*px*py) picked 16,
-    which does not tile over 3 devices and crashed the gate)."""
-    graft.dryrun_multichip(3)
+    which does not tile over 3 devices and crashed the gate).  Legs 1+3 are
+    the ones whose grid/mesh arithmetic depends on the device count; the
+    gspmd legs self-skip on a prime count and the model-family legs are
+    mesh-shape-independent (covered on the (2,4) mesh elsewhere)."""
+    graft._dryrun_impl(3, legs={1, 3})

@@ -171,16 +171,18 @@ def test_circle_weights_bounded_and_effective():
 
 
 def test_sharp_cylinder_steps_stable():
-    """30 time steps of the sharp-boundary Schäfer-Turek cylinder at
+    """12 time steps of the sharp-boundary Schäfer-Turek cylinder at
     10 cells/D: finite fields, converged pressure solves (the
     interpolated normal-velocity BC puts a small constant mode in the
-    Poisson RHS — the problem-3 mean deflation must absorb it)."""
+    Poisson RHS — the problem-3 mean deflation must absorb it; the
+    impulsive start makes the constant mode largest on the FIRST steps,
+    so a short run exercises the worst case)."""
     from navierstokes_parallel_tpu import solver
     from navierstokes_parallel_tpu.models import karman as K
 
     params = K.schafer_turek(n_per_d=10, T=1.0)
     state = K.initial_state(params)
-    for _ in range(30):
+    for _ in range(12):
         state, diag = solver.step(state, params, pressure_method="mg")
         assert bool(diag.sor_converged)
     assert np.isfinite(np.asarray(state.u)).all()

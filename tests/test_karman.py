@@ -85,7 +85,11 @@ def test_schafer_turek_circle_strouhal_and_forces():
     vs u_mean), a broken masked solver, or a sign/face error in the
     control-volume force balance — each of which moves a quantity far
     outside its window."""
-    params = K.schafer_turek(n_per_d=10, T=110.0)
+    # T=85 (analysis window starts at 0.7*85 = 59.5): the wake is fully
+    # saturated well before that — every golden below re-measured at T=85
+    # within 0.2% of its T=110 value (2026-08-20), so the shorter run
+    # asserts the same numbers at ~75% of the single-core cost.
+    params = K.schafer_turek(n_per_d=10, T=85.0)
     rec = K.surface_force_record_fn(params, 5, *K.probe_node(params))
     trace = K.shedding_signal(params, method="mg", record_fn=rec)
     assert trace.stats.sor_failures == 0

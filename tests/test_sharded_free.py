@@ -47,7 +47,7 @@ def test_sharded_free_dam_break_matches_single_chip():
     (li=38 -> 76 > 75, lj=12 -> 48 > 45): this pins the pad-to-divisible
     window fix — lax.dynamic_slice clamping used to shift the last
     shard's core on exactly these shapes."""
-    params, fs = FS.dam_break(n=15, T=0.5, width=1.0, height=2.0)
+    params, fs = FS.dam_break(n=15, T=0.25, width=1.0, height=2.0)
     ref, st1 = FS.solve_free(params, fs)
     out, st2 = SF.solve_free_sharded(params, fs, _mesh(2, 4))
     assert int(st2.steps) == int(st1.steps)
@@ -62,11 +62,11 @@ def test_sharded_free_sloshing_stepper():
     """Host-driven stepping twin over the sloshing wave (free-slip walls
     + SUMMAC interpolated surface condition through the hook)."""
     params, fs = FS.sloshing(n=16, T=1.0)
-    mesh = _mesh(2, 4)
+    mesh = _mesh(2, 2)
     step1 = FS.make_free_step_fn(params, "freeslip")
     stepN = SF.make_free_step_sharded(params, mesh, wall="freeslip")
     ref = sh = fs
-    for _ in range(5):
+    for _ in range(3):
         ref, d1 = step1(ref)
         sh, dN = stepN(sh)
         np.testing.assert_allclose(float(dN.dt), float(d1.dt), rtol=1e-12)
@@ -107,7 +107,7 @@ def test_cli_problem6_sharded_backend(tmp_path, capsys):
     shutil.copy("configs/dambreak.in", cfg)
     # Shrink the run: rewrite T (line 7) for test speed.
     lines = cfg.read_text().splitlines()
-    lines[6] = "0.3"
+    lines[6] = "0.15"
     cfg.write_text("\n".join(lines) + "\n")
     assert cli.main([str(cfg), "--free-wall", "freeslip"]) == 0
     single = capsys.readouterr().out

@@ -72,10 +72,10 @@ def test_sharded_bfs_matches_single_chip():
     from navierstokes_parallel_tpu.utils.io import tolerance_errors
 
     params = step_model.backward_facing_step(Re=100.0, nx=64, ny=16,
-                                             T=2.0, dtype="float32")
+                                             T=0.6, dtype="float32")
     # Tight per-solve tolerance: both paths converge each pressure solve
     # independently, so per-step drift is O(epsilon) and compounds over
-    # the ~100-step run — 1e-6 keeps the accumulated difference inside
+    # the ~30-step run — 1e-6 keeps the accumulated difference inside
     # the 1e-4 comparator contract.
     params = params.replace(epsilon=1e-6)
     st_sh, stats_sh = sharded.solve_sharded(params, pressure_method="rb_sor")
@@ -234,10 +234,14 @@ def test_sharded_sharp_staircase_knob_still_runs():
     from navierstokes_parallel_tpu.utils.io import tolerance_errors
 
     n = 32
+    # T=0.03 (~3 steps): the knob/parity contract is per-step, so a short
+    # run exercises the same code paths as the old T=0.1 at a third of the
+    # single-core cost.
     params = Params(problem=1, i_max=n, j_max=n,
                     obstacles=((9, 16, 13, 20),),
                     obstacle_surfaces=(("box", 0.26, 0.5, 0.39, 0.625),),
-                    obstacle_pressure="staircase", **_COMMON)
+                    obstacle_pressure="staircase",
+                    **{**_COMMON, "T": 0.03})
     st_sh, stats_sh = sharded.solve_sharded(params,
                                             pressure_method="rb_sor")
     st_sc, stats_sc = solver.solve(params, pressure_method="rb_sor")

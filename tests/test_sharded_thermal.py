@@ -80,7 +80,7 @@ def test_sharded_thermal_rayleigh_benard_freeslip():
 def test_sharded_thermal_padded_grid_and_stepper():
     """Pad-to-divisible sharding (17x14 on a 2x4 mesh pads both axes) and
     the host-loop stepper twin (bitwise vs the whole-solve program)."""
-    params = _params(i_max=17, j_max=14, T=0.25, Ra=4000.0)
+    params = _params(i_max=17, j_max=14, T=0.12, Ra=4000.0)
     cfg = conv.config_from_params(params)
     ts0 = conv.allocate_thermal(params, cfg)
     mesh = _mesh(2, 4)
@@ -142,7 +142,7 @@ def test_sharded_thermal_gamma_fixed_parity():
     only covered gamma_fixed=None)."""
     from navierstokes_parallel_tpu import diff
 
-    params = _params(T=0.15, gamma_fixed=0.4)
+    params = _params(T=0.08, gamma_fixed=0.4)
     cfg = conv.config_from_params(params)
     ts0 = conv.allocate_thermal(params, cfg)
     single, st1 = conv.thermal_solve(params, cfg, ts0,
