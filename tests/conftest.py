@@ -38,13 +38,19 @@ def _clear_jax_caches_per_module():
     the conservative round-4 every-module behavior) trades a longer
     clearing stride for fewer recompiles of the programs adjacent modules
     share; an RSS backstop clears regardless once the process passes
-    24 GB so a long stride can never re-create the round-3 memory growth
-    (full-suite peak RSS measured 2.3 GB at stride 4)."""
+    8 GB — 3.5x the 2.3 GB full-suite peak measured at stride 4 — to
+    bound accumulation under long strides.  (The round-3 segfault's
+    exact trigger threshold was never measured, so treat the backstop
+    as a growth bound, not a proven segfault guard; stride 1 remains
+    the conservative fallback.)"""
     global _modules_since_clear
     yield
     _modules_since_clear += 1
-    stride = int(os.environ.get("NSP_TEST_CLEAR_EVERY", "4"))
-    if _modules_since_clear >= stride or _rss_gb() > 24.0:
+    try:
+        stride = int(os.environ.get("NSP_TEST_CLEAR_EVERY", "4"))
+    except ValueError:
+        stride = 4
+    if _modules_since_clear >= stride or _rss_gb() > 8.0:
         jax.clear_caches()
         gc.collect()
         _modules_since_clear = 0

@@ -129,6 +129,28 @@ def test_convection_gspmd_matches_single_chip():
                                atol=2e-4)
 
 
+def test_convection_gspmd_steady_detection():
+    """The chunked steady-state detection must work UNDER a mesh: the
+    per-chunk max|dT|/dt scalar comes off a sharded (padded) array, so a
+    padding/fetch regression would make the criterion never (or always)
+    fire.  With tol 2e-2 the n=16 Ra=1e3 transient steadies at step 240 —
+    strictly before max_steps=300 — on BOTH paths, with the identical
+    fetched rate."""
+    from navierstokes_parallel_tpu.parallel.gspmd import _default_mesh
+
+    params, cfg = cv.convection_setup(1e3, n=16)
+    kw = dict(pressure_method="mg", steady_tol=2e-2, chunk=30,
+              max_steps=300)
+    s1, info1 = cv.solve_convection(params, cfg, **kw)
+    s2, info2 = cv.solve_convection(params, cfg, mesh=_default_mesh(),
+                                    **kw)
+    assert info1["steady"] and info2["steady"]
+    assert info1["steps"] == info2["steps"] < 300
+    assert info2["dT_rate"] == pytest.approx(info1["dT_rate"], rel=1e-10)
+    np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T),
+                               atol=2e-6)
+
+
 def _re(Ra, Pr=0.71):
     return float(np.sqrt(Ra / Pr))
 

@@ -75,8 +75,9 @@ def test_dryrun_gate_has_teeth(monkeypatch):
 def test_dryrun_multichip_three_devices():
     """Non-power-of-two counts: the sharded-fft leg's grid size must stay
     pencil-divisible for a 1x3/3x1 mesh (a bare max(16, 4*px*py) picked 16,
-    which does not tile over 3 devices and crashed the gate).  Legs 1+3 are
-    the ones whose grid/mesh arithmetic depends on the device count; the
-    gspmd legs self-skip on a prime count and the model-family legs are
-    mesh-shape-independent (covered on the (2,4) mesh elsewhere)."""
-    graft._dryrun_impl(3, legs={1, 3})
+    which does not tile over 3 devices and crashed the gate).  Runs every
+    leg that accepts this mesh: the gspmd legs (2, 6, 7) self-skip on a
+    prime device count, but the shard_map families (masked 4, thermal 5,
+    free-surface 8) support 1D meshes in production and this is their ONLY
+    1D/odd-count CI execution — the dedicated twins all use (2,4)/(2,2)."""
+    graft._dryrun_impl(3, legs={1, 3, 4, 5, 8})

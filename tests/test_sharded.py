@@ -286,7 +286,7 @@ def test_sharded_cg_padded_grid():
         np.asarray(sh.u)[1:-1, 1:-1], np.asarray(st.u)[1:-1, 1:-1], atol=1e-5)
 
 
-def test_sharded_4096_shape_one_step():
+def test_sharded_beyond_vmem_shape_one_step():
     """The BASELINE north star names 'a 4096^2 cavity sharded over a v5e
     slice'.  Real multi-chip hardware is unavailable in CI, so this drives
     the sharded step at a >VMEM shape (2560^2 — past the 2048^2 whole-grid
