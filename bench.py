@@ -82,7 +82,8 @@ def _bench_ensemble(params, args):
 
     N = args.ensemble
     method = "rb_sor" if args.method in ("auto", "pallas_sor") else args.method
-    print(f"pressure solver: {method} (ensemble N={N})", file=sys.stderr)
+    print(f"pressure solver: {method} (ensemble N={N}, "
+          "fence=per-run)", file=sys.stderr)
     rng = np.random.default_rng(0)
     eparams = params.replace(disable_pallas=True)
 
@@ -162,8 +163,11 @@ def _time_solver(run, sync, args):
     fence epilogue exactly and yields one full solve INCLUDING any
     internal host syncs it performs (segmented/stepwise loops keep their
     per-chunk syncs) — the same latency-differencing discipline as
-    scripts/parity_breakdown.py.  Returns (best, raw_best, out, stats);
-    callers must have warmed/compiled `run` already.
+    scripts/parity_breakdown.py.  Returns (best, raw_best, mode, out,
+    stats) where `mode` is the protocol that actually produced `best`
+    ("per-run" when differencing degenerates on a jittery tunnel, so the
+    recorded line never mislabels a fenced time as differenced); callers
+    must have warmed/compiled `run` already.
     """
     best = float("inf")
     best2 = float("inf")
@@ -179,15 +183,17 @@ def _time_solver(run, sync, args):
             sync(out)
             best2 = min(best2, time.perf_counter() - t0)
     raw_best = best
+    mode = args.fence
     if args.fence == "differenced":
         diff = best2 - best
         if 0.0 < diff <= best:
             best = diff
         else:
+            mode = "per-run"
             print(f"fence differencing degenerate (t1={best:.4f}, "
                   f"t2={best2:.4f}) — reporting the fenced time",
                   file=sys.stderr)
-    return best, raw_best, out, stats
+    return best, raw_best, mode, out, stats
 
 
 def _bench_thermal(params, args, mesh_arg):
@@ -278,7 +284,7 @@ def _bench_thermal(params, args, mesh_arg):
 
     out, stats = run()
     device_fence(out)  # warm + compile
-    best, raw_best, out, stats = _time_solver(run, device_fence, args)
+    best, raw_best, fence_mode, out, stats = _time_solver(run, device_fence, args)
 
     n = params.i_max
     total_iters = int(stats.total_sor_iterations)
@@ -286,7 +292,7 @@ def _bench_thermal(params, args, mesh_arg):
     print(
         f"steps={int(stats.steps)} sor_iterations={total_iters} "
         f"sor_failures={int(stats.sor_failures)} "
-        f"fenced_seconds={raw_best:.6f} fence_mode={args.fence} "
+        f"fenced_seconds={raw_best:.6f} fence_mode={fence_mode} "
         f"mlups={mlups:.1f} device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
@@ -460,6 +466,11 @@ def main(argv=None):
     state = allocate_state(params)
 
     if args.ensemble > 0:
+        if args.time_order == 2:
+            ap.error("--ensemble benchmarks solve_ensemble, which "
+                     "integrates first-order — drop --time-order 2 "
+                     "(silently timing Euler under an AB2 flag would "
+                     "corrupt the A/B)")
         return _bench_ensemble(params, args)
 
     if params.problem == 5:
@@ -613,7 +624,7 @@ def main(argv=None):
     # --fence timing protocol (see _time_solver).
     out_state, stats = run()
     sync(out_state)
-    best, raw_best, out_state, stats = _time_solver(run, sync, args)
+    best, raw_best, fence_mode, out_state, stats = _time_solver(run, sync, args)
 
     n = params.i_max
     total_iters = int(stats.total_sor_iterations)
@@ -681,7 +692,7 @@ def main(argv=None):
     print(
         f"steps={steps} sor_iterations={total_iters} "
         f"sor_failures={int(stats.sor_failures)} "
-        f"fenced_seconds={raw_best:.6f} fence_mode={args.fence} "
+        f"fenced_seconds={raw_best:.6f} fence_mode={fence_mode} "
         f"mlups={mlups:.1f} hbm_gbps={bw / 1e9:.0f} "
         f"roofline_mlups={roofline:.0f} roofline_pct={roofline_pct:.1f} "
         f"vpu_gslots={vpu_slots / 1e9:.0f} "

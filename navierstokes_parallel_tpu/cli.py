@@ -560,7 +560,6 @@ def _build_free_runner(params, state, args, pressure_method, host_loop):
 
             mesh = make_grid_mesh(i_max=params.i_max, j_max=params.j_max)
         wall = args.free_wall
-        inner = SF.make_free_inner(params, mesh)
         if host_loop:
             stepper = _FreeStepper(params, state, wall, step_fn=SF.
                                    make_free_step_sharded(params, mesh,
@@ -568,6 +567,7 @@ def _build_free_runner(params, state, args, pressure_method, host_loop):
             stepper.warm()
             mon_fn = _make_monitor_fn(params, state.state, args)
             return lambda: _run_host_loop(params, stepper, args, mon_fn)
+        inner = SF.make_free_inner(params, mesh)
         compiled = F._solve_free.lower(params, state, wall, None,
                                        "interpolated", inner).compile()
         return lambda: compiled(state)

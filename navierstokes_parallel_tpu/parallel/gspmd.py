@@ -195,12 +195,10 @@ def _make_padded_jit(params: Params, mesh: Mesh, inner, aux_shardings):
 
     def fn(padded: State):
         out, aux = inner(unpad_state(padded, params))
-
-        def repad(a):
-            return jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(a)
-
         return (
-            State(u=repad(out.u), v=repad(out.v), p=repad(out.p),
+            State(u=_pad_grid(out.u, pi, pj, ni, nj),
+                  v=_pad_grid(out.v, pi, pj, ni, nj),
+                  p=_pad_grid(out.p, pi, pj, ni, nj),
                   t=out.t, n=out.n),
             aux,
         )
@@ -209,6 +207,9 @@ def _make_padded_jit(params: Params, mesh: Mesh, inner, aux_shardings):
 
 
 def _pad_grid(a, pi, pj, ni, nj):
+    """Boundary-padded (pi, pj) embedding of a reference-layout grid —
+    the ONE padding rule for every gspmd padded-jit wrapper (Euler and
+    AB2 alike must never diverge on fill value or dtype)."""
     return jnp.zeros((pi, pj), a.dtype).at[:ni, :nj].set(a)
 
 

@@ -155,7 +155,25 @@ def make_multislice_mesh(
         raise ValueError(
             f"slice_shape {slice_shape} != {per_slice} devices per slice")
     # Stable hierarchy sort: slice first (runtime attribute when present),
-    # then device id within the slice.
+    # then device id within the slice.  When the runtime DOES expose
+    # slice_index, the claimed (n_slices, per_slice) grouping must match
+    # the physical structure — otherwise the contiguous-block reshape
+    # below would mix devices from different physical slices into one
+    # mesh "slice", and every row dcn_seam_rows() reports as ICI-internal
+    # could silently ride DCN (the exact failure this constructor exists
+    # to prevent).  Virtual CPU devices have no slice_index: id order.
+    slice_ids = [getattr(d, "slice_index", None) for d in devices]
+    if any(i is not None for i in slice_ids):
+        if any(i is None for i in slice_ids):
+            raise ValueError(
+                "mixed devices: some expose slice_index, some do not")
+        from collections import Counter
+        groups = Counter(slice_ids)
+        if len(groups) != n_slices or set(groups.values()) != {per_slice}:
+            raise ValueError(
+                f"requested {n_slices} slices x {per_slice} devices, but "
+                f"the runtime reports slice sizes "
+                f"{dict(sorted(groups.items()))}")
     devices.sort(key=lambda d: (getattr(d, "slice_index", None) or 0, d.id))
     rows = [
         np.asarray(devices[s * per_slice: (s + 1) * per_slice]).reshape(

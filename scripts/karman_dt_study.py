@@ -239,7 +239,15 @@ def main():
         ns = sorted({r["n"] for r in rows})
     for n in ns:
         per_rung = []
-        for tau in taus:
+        # --cache-only promises "rungs keep whatever (possibly partial)
+        # tau ladder they have": iterate the rung's CACHED taus, not the
+        # CLI list — otherwise a default --taus silently drops cached
+        # finer-tau cells (e.g. the 40-rung's 0.125 cell) and the
+        # rewritten summary rows revert to less-converged limits.
+        rung_taus = (sorted({r["tau"] for r in rows if r["n"] == n},
+                            reverse=True)
+                     if args.cache_only else taus)
+        for tau in rung_taus:
             have = [r for r in rows if r["n"] == n and r["tau"] == tau]
             if have:
                 print(f"n_per_d={n} tau={tau}: cached", flush=True)

@@ -53,6 +53,42 @@ def test_multislice_layout_default_shape_and_errors():
         topology.dcn_seam_rows(mesh, 3)
 
 
+class _FakeDev:
+    """Stub with the runtime slice_index attribute real multi-slice jobs
+    expose (virtual CPU devices never have it, so this is the only way to
+    CI the physical-structure validation)."""
+
+    def __init__(self, id, slice_index):
+        self.id = id
+        self.slice_index = slice_index
+
+
+def test_multislice_runtime_slice_index_validated():
+    """When devices DO carry slice_index, the claimed (n_slices,
+    slice_shape) grouping must match the physical structure — a mismatch
+    would silently mix physical slices inside one mesh 'slice' block and
+    make dcn_seam_rows() wrong about which exchanges ride DCN."""
+    # 4 physical slices of 2 devices, but the caller claims 2 slices of 4:
+    devs = [_FakeDev(i, i // 2) for i in range(8)]
+    with pytest.raises(ValueError, match="slice sizes"):
+        topology.make_multislice_mesh(2, (2, 2), devices=devs)
+    # Unequal physical slices (3 + 5) under a claimed even split:
+    devs = [_FakeDev(i, 0 if i < 3 else 1) for i in range(8)]
+    with pytest.raises(ValueError, match="slice sizes"):
+        topology.make_multislice_mesh(2, (2, 2), devices=devs)
+    # Mixed exposure (some devices report, some do not):
+    devs = [_FakeDev(i, 0 if i < 4 else None) for i in range(8)]
+    with pytest.raises(ValueError, match="mixed devices"):
+        topology.make_multislice_mesh(2, (2, 2), devices=devs)
+    # A MATCHING runtime structure builds, slice-major regardless of the
+    # interleaved input order (ids 0,2,4,6 = slice 0; 1,3,5,7 = slice 1):
+    devs = [_FakeDev(i, i % 2) for i in range(8)]
+    mesh_devs = topology.make_multislice_mesh(2, (2, 2), devices=devs).devices
+    ids = np.vectorize(lambda d: d.id)(mesh_devs)
+    assert sorted(ids[:2].ravel().tolist()) == [0, 2, 4, 6]
+    assert sorted(ids[2:].ravel().tolist()) == [1, 3, 5, 7]
+
+
 def test_multislice_solve_matches_single_chip():
     """The (2, 2, 2) hierarchy is numerically transparent: a sharded
     cavity solve on the multislice mesh == the single-chip solve within
